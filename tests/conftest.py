@@ -1,0 +1,17 @@
+"""Test config: force a virtual 8-device CPU mesh before JAX is imported.
+
+Multi-chip sharding tests run on a CPU mesh via
+``--xla_force_host_platform_device_count`` (the TPU analogue of the
+reference's single-process CI, SURVEY.md §4); real-TPU benchmarking happens
+in bench.py, not in the test suite.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
