@@ -1,0 +1,158 @@
+"""Model-graph ops: norms, RoPE, attention, activations.
+
+jnp re-implementations of the forward ops the reference models use
+(ggml.c:7615-15640 ``ggml_compute_forward_*``), expressed XLA-first: static
+shapes, fused elementwise chains, causal masking over a preallocated KV
+buffer instead of ggml's dynamic KV views (llama.cpp:1362-1374).
+
+RoPE mode semantics follow ggml_rope (ggml.h:1060-1071):
+  mode & 1 — (unused here) skip n_past
+  mode & 2 — GPT-NeoX style: rotate (x[i], x[i + n_rot/2]) half-split pairs
+  default  — GPT-J/LLaMA-ggml style: rotate adjacent pairs (x[2i], x[2i+1])
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """ggml_rms_norm (ggml.c:10389) followed by the weight mul the models do."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(dt)
+
+
+def rms_norm_bias(x, weight, bias, eps: float = 1e-6):
+    """Bonsai's RMSNorm-with-bias (bonsai.cpp:1139-1166)."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    return (out + bias.astype(jnp.float32)).astype(dt)
+
+
+def layer_norm(x, weight, bias, eps: float = 1e-5):
+    """ggml_norm + mul/add (GPT-NeoX / Falcon / RWKV LayerNorm)."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    out = xc * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    return (out + bias.astype(jnp.float32)).astype(dt)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu(x):
+    """tanh-approx GELU, matching ggml_gelu's table-quantized tanh form."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def rope(
+    x: jax.Array,
+    positions: jax.Array,
+    n_rot: int,
+    *,
+    neox: bool,
+    base: float = 10000.0,
+) -> jax.Array:
+    """Rotary embedding over the first n_rot dims of each head.
+
+    x: [..., T, n_head, head_dim]; positions: [..., T] int32.
+    neox=True  -> half-split pairs (ggml_rope mode 2, gptneox.cpp:1220)
+    neox=False -> adjacent pairs (ggml default; llama.cpp stores weights
+                  permuted for this layout, convert.py:271-275)
+    """
+    head_dim = x.shape[-1]
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    half = n_rot // 2
+    freqs = base ** (-jnp.arange(half, dtype=jnp.float32) * 2.0 / n_rot)
+    # [..., T, 1, half]: broadcasts against x's [..., T, n_head, half]
+    theta = positions.astype(jnp.float32)[..., None, None] * freqs
+    cos = jnp.cos(theta)
+    sin = jnp.sin(theta)
+
+    if neox:
+        x0 = xf[..., :half]
+        x1 = xf[..., half:n_rot]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        rotated = jnp.concatenate([r0, r1], axis=-1)
+    else:
+        xr = xf[..., :n_rot].reshape(*xf.shape[:-1], half, 2)
+        x0 = xr[..., 0]
+        x1 = xr[..., 1]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        rotated = jnp.stack([r0, r1], axis=-1).reshape(*xf.shape[:-1], n_rot)
+
+    if n_rot < head_dim:
+        rotated = jnp.concatenate([rotated, xf[..., n_rot:]], axis=-1)
+    return rotated.astype(dt)
+
+
+def alibi_bias(n_head: int, kv_len: int, n_head_log2_bias: float = 8.0) -> jax.Array:
+    """ggml_alibi slopes (ggml.c alibi; used by some NeoX-family models)."""
+    import math
+
+    n2 = 2 ** math.floor(math.log2(n_head))
+    m0 = 2.0 ** (-8.0 / n2)
+    m1 = 2.0 ** (-4.0 / n2)
+    slopes = []
+    for h in range(n_head):
+        if h < n2:
+            slopes.append(m0 ** (h + 1))
+        else:
+            slopes.append(m1 ** (2 * (h - n2) + 1))
+    slopes = jnp.asarray(slopes, dtype=jnp.float32)
+    pos = jnp.arange(kv_len, dtype=jnp.float32)
+    return slopes[:, None] * pos[None, :]  # [n_head, kv_len]
+
+
+def attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    q_positions: jax.Array,
+    kv_mask: jax.Array,
+    scale: float,
+) -> jax.Array:
+    """Causal attention over a preallocated KV buffer.
+
+    q:        [B, T, n_head, hd]
+    k_cache:  [B, S, n_kv_head, hd]   (S = max context, static)
+    v_cache:  [B, S, n_kv_head, hd]
+    q_positions: [B, T] absolute positions of the query tokens
+    kv_mask:  [B, S] bool — True where the cache slot holds a valid token
+    returns [B, T, n_head, hd] float32 — the KQ->mask->softmax->KQV chain of
+    llama_eval_internal (llama.cpp:1396-1445) with masking replacing ggml's
+    dynamic views.
+    """
+    b, t, n_head, hd = q.shape
+    s = k_cache.shape[1]
+    n_kv = k_cache.shape[2]
+    if n_kv != n_head:
+        assert n_head % n_kv == 0
+        rep = n_head // n_kv
+        k_cache = jnp.repeat(k_cache, rep, axis=2)
+        v_cache = jnp.repeat(v_cache, rep, axis=2)
+
+    qf = q.astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    # [B, H, T, S]
+    scores = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+    kv_pos = jnp.arange(s)[None, None, None, :]  # static slot index = position
+    causal = kv_pos <= q_positions[:, None, :, None]
+    valid = kv_mask[:, None, None, :] & causal
+    scores = jnp.where(valid, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(valid, probs, 0.0)
+    return jnp.einsum("bhts,bshd->bthd", probs, vf)

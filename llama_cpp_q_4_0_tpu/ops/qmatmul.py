@@ -1,0 +1,74 @@
+"""Quantized matmul dispatch: one entry point for every format and model.
+
+q_matmul(x, w) computes x @ W^T where W is a QTensor ([N, K] row-major like
+ggml weights) or a dense array.  On TPU it calls the fused Pallas kernel
+(ops/pallas/qmm.py); elsewhere (CPU tests) an XLA dequant+dot fallback with
+identical semantics.  This is the single indirection that replaces the
+reference's quantize_fns vtable + mul_mat dispatch (ggml.c:1618, 11226).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .qtensor import QTensor
+from .pallas.qmm import qmm
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _xla_qmm(x2: jax.Array, w: QTensor, compute_dtype) -> jax.Array:
+    n, k = w.shape
+    g = k // w.gsize
+    lv = w.levels_t.astype(jnp.float32).reshape(g, w.gsize, n)
+    deq = (lv * w.gscale_t[:, None, :]).reshape(k, n).astype(compute_dtype)
+    out = jnp.dot(x2.astype(compute_dtype), deq, preferred_element_type=jnp.float32)
+    if w.gbias_t is not None:
+        xg = x2.astype(jnp.float32).reshape(x2.shape[0], g, w.gsize).sum(axis=2)
+        out = out + jnp.dot(xg, w.gbias_t, preferred_element_type=jnp.float32)
+    return out
+
+
+def q_matmul(
+    x: jax.Array,
+    w: QTensor | jax.Array,
+    *,
+    use_pallas: bool | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """x [..., K] @ W[N, K]^T -> [..., N] float32."""
+    if not isinstance(w, QTensor):
+        # dense path (f16/f32 tensors from the model file stay dense)
+        return jax.lax.dot_general(
+            x.astype(compute_dtype),
+            w.astype(compute_dtype),
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    b = x2.shape[0]
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+
+    n = w.shape[0]
+    if use_pallas and n % 128 == 0 and k % 256 == 0:
+        block_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
+        block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256
+        out = qmm(
+            x2, w.levels_t, w.gscale_t, w.gbias_t,
+            gsize=w.gsize, block_n=block_n, block_k=block_k,
+        )
+    else:
+        out = _xla_qmm(x2, w, compute_dtype)
+    return out.reshape(*lead, n)

@@ -1,0 +1,76 @@
+"""Quantized matmul: XLA path vs numpy dequant reference, Pallas vs XLA."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llama_cpp_q_4_0_tpu.ops import QTensor, q_matmul
+from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm
+from llama_cpp_q_4_0_tpu.quant import GGMLType
+
+QTYPES = [
+    GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
+    GGMLType.Q8_0,
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
+    GGMLType.Q4_K,
+    GGMLType.Q5_K,
+    GGMLType.Q6_K,
+]
+
+
+def _mk(n, k, qtype, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    return w, QTensor.quantize(w, qtype)
+
+
+@pytest.mark.parametrize("qtype", QTYPES, ids=lambda t: t.name)
+def test_qtensor_dequant_matches_planar(qtype):
+    from llama_cpp_q_4_0_tpu.quant import QUANT_FNS
+
+    w, qt = _mk(8, 512, qtype)
+    blocks = QUANT_FNS[qtype].quantize_row(w)
+    ref = QUANT_FNS[qtype].dequantize_row(blocks).reshape(8, 512)
+    got = np.asarray(qt.dequantize())
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K])
+def test_q_matmul_vs_numpy(qtype):
+    w, qt = _mk(256, 512, qtype)
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((4, 512)) * 0.5).astype(np.float32)
+    ref = x @ np.asarray(qt.dequantize()).T
+    out = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
+    # bf16 mantissa on a K=512 reduction
+    assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9) < 2e-2
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q6_K])
+def test_pallas_qmm_interpret_matches_xla(qtype):
+    """Pallas kernel (interpret mode on CPU) == XLA fallback semantics."""
+    w, qt = _mk(256, 512, qtype)
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((4, 512)) * 0.5).astype(np.float32)
+    ref = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
+    out = np.asarray(
+        qmm(
+            jnp.asarray(x), qt.levels_t, qt.gscale_t, qt.gbias_t,
+            gsize=qt.gsize, block_n=128, block_k=256, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_rows_gather():
+    w, qt = _mk(64, 256, GGMLType.Q4_0)
+    idx = jnp.asarray([3, 17, 42])
+    got = np.asarray(qt.rows(idx))
+    ref = np.asarray(qt.dequantize())[np.asarray(idx)]
+    np.testing.assert_allclose(got, ref, atol=1e-6)
