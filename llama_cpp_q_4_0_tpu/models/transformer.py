@@ -1,0 +1,212 @@
+"""Unified decoder-only transformer serving four reference families.
+
+One forward function, switched by ModelConfig, replaces the four near-clone
+graph builders of the reference (llama_eval_internal llama.cpp:1217-1643,
+gptneox.cpp:1150-1350, falcon.cpp:1147-1400, bonsai.cpp:1190-1420):
+
+  llama   — RMSNorm, separate wq/wk/wv, adjacent-pair RoPE, SwiGLU, serial
+  gptneox — LayerNorm+biases, fused QKV (per-head interleave), partial NeoX
+            RoPE, GELU MLP, parallel or serial residual with its own ln_ff
+  falcon  — LayerNorm, fused MQA QKV (1 kv head), NeoX RoPE, GELU MLP,
+            parallel residual sharing the input norm
+  bonsai  — RMSNorm+bias(+min-shift), fused MQA QKV, NeoX RoPE, grelu MLP,
+            parallel residual sharing the input norm
+
+KV cache is a preallocated [B, S, H_kv, D] buffer per layer updated with
+dynamic_update_slice + masking (replacing ggml's growing views,
+llama.cpp:1362-1374).  K is roped at insert time with its absolute position
+— mathematically identical to the NeoX-family "rope the whole cache each
+step from position 0" trick (gptneox.cpp:1220-1230) since cache slot index
+== absolute position.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import QTensor, q_matmul
+from ..ops.layers import attention, gelu, layer_norm, rms_norm, rope, silu
+from .config import ModelConfig
+
+Param = Any  # QTensor | jax.Array | None
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "attn_norm_w", "attn_norm_b",
+        "wq", "wk", "wv", "bq", "bk", "bv", "wo", "bo",
+        "ffn_norm_w", "ffn_norm_b",
+        "w_gate", "w_up", "w_down", "b_up", "b_down",
+    ],
+    meta_fields=[],
+)
+@dataclass
+class Block:
+    attn_norm_w: Param = None
+    attn_norm_b: Param = None
+    wq: Param = None
+    wk: Param = None
+    wv: Param = None
+    bq: Param = None
+    bk: Param = None
+    bv: Param = None
+    wo: Param = None
+    bo: Param = None
+    ffn_norm_w: Param = None
+    ffn_norm_b: Param = None
+    w_gate: Param = None  # llama w1
+    w_up: Param = None  # llama w3 / mlp fc
+    w_down: Param = None  # llama w2 / mlp proj
+    b_up: Param = None
+    b_down: Param = None
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["tok_embeddings", "blocks", "out_norm_w", "out_norm_b", "output"],
+    meta_fields=[],
+)
+@dataclass
+class TransformerParams:
+    tok_embeddings: Param
+    blocks: tuple
+    out_norm_w: Param
+    out_norm_b: Param
+    output: Param
+
+
+def bonsai_rms_norm(x, weight, bias, eps: float = 1e-5):
+    """BonsaiRMSNorm: T5LayerNorm shifted positive (bonsai.cpp:1139-1158)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    cur = xf * jax.lax.rsqrt(var + eps)
+    cur = cur - jnp.min(cur, axis=-1, keepdims=True) + eps
+    return cur * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def grelu(x):
+    """Bonsai hybrid relu/gelu activation (ggml_ext_grelu, bonsai.cpp:1105)."""
+    relu_part = jnp.maximum(x, 0.0)
+    x1 = jnp.minimum(x, 0.0)
+    tanh_part = jnp.tanh(x1 * math.sqrt(2.0 / math.pi))
+    return relu_part + x1 * (tanh_part + 1.0)
+
+
+def _norm(cfg: ModelConfig, x, w, b):
+    if cfg.norm == "rmsnorm":
+        return rms_norm(x, w, cfg.norm_eps)
+    if cfg.norm == "layernorm":
+        return layer_norm(x, w, b, cfg.norm_eps)
+    if cfg.norm == "rmsnorm_bias":
+        return bonsai_rms_norm(x, w, b)
+    raise ValueError(cfg.norm)
+
+
+def _act(cfg: ModelConfig, x):
+    if cfg.act == "silu":
+        return silu(x)
+    if cfg.act == "gelu":
+        return gelu(x)
+    if cfg.act == "bonsai_hybrid":
+        return grelu(x)
+    raise ValueError(cfg.act)
+
+
+def _embed(params: TransformerParams, tokens):
+    emb = params.tok_embeddings
+    if isinstance(emb, QTensor):
+        return emb.rows(tokens)
+    return jnp.take(emb, tokens, axis=0).astype(jnp.float32)
+
+
+def _mm(x, w, b=None, *, cfg: ModelConfig):
+    dt = jnp.float32 if cfg.compute_dtype == "float32" else jnp.bfloat16
+    out = q_matmul(x, w, compute_dtype=dt,
+                   use_pallas=False if dt == jnp.float32 else None)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out
+
+
+def _ffn(cfg: ModelConfig, blk: Block, h):
+    if cfg.ffn_gated:
+        return _mm(_act(cfg, _mm(h, blk.w_gate, cfg=cfg)) * _mm(h, blk.w_up, cfg=cfg),
+                   blk.w_down, cfg=cfg)
+    return _mm(_act(cfg, _mm(h, blk.w_up, blk.b_up, cfg=cfg)), blk.w_down,
+               blk.b_down, cfg=cfg)
+
+
+def forward(
+    cfg: ModelConfig,
+    params: TransformerParams,
+    tokens: jax.Array,  # [B, T] int32
+    n_past: jax.Array,  # scalar int32
+    cache_k: tuple,  # L x [B, S, H_kv, D]
+    cache_v: tuple,
+    *,
+    last_only: bool = False,
+):
+    """Returns (logits [B, T|1, n_vocab] f32, new_cache_k, new_cache_v)."""
+    b, t = tokens.shape
+    s = cache_k[0].shape[1]
+    h_all, h_kv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
+    pos = n_past + jnp.arange(t, dtype=jnp.int32)  # [T]
+    pos_b = jnp.broadcast_to(pos[None, :], (b, t))
+    kv_mask = jnp.arange(s, dtype=jnp.int32)[None, :] < (n_past + t)
+    kv_mask = jnp.broadcast_to(kv_mask, (b, s))
+    scale = 1.0 / math.sqrt(hd)
+
+    x = _embed(params, tokens)  # [B, T, E] f32
+    new_k, new_v = [], []
+    for l, blk in enumerate(params.blocks):
+        h = _norm(cfg, x, blk.attn_norm_w, blk.attn_norm_b)
+        q = _mm(h, blk.wq, blk.bq, cfg=cfg).reshape(b, t, h_all, hd)
+        k = _mm(h, blk.wk, blk.bk, cfg=cfg).reshape(b, t, h_kv, hd)
+        v = _mm(h, blk.wv, blk.bv, cfg=cfg).reshape(b, t, h_kv, hd)
+        if cfg.n_rot > 0:
+            q = rope(q, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
+            k = rope(k, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
+        ck = jax.lax.dynamic_update_slice(
+            cache_k[l], k.astype(cache_k[l].dtype), (0, n_past, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache_v[l], v.astype(cache_v[l].dtype), (0, n_past, 0, 0)
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+
+        a = attention(q, ck, cv, pos_b, kv_mask, scale)  # [B, T, H, D] f32
+        attn_out = _mm(a.reshape(b, t, cfg.n_embd), blk.wo, blk.bo, cfg=cfg)
+
+        if cfg.parallel_residual:
+            ff_in = h if cfg.ffn_norm_shared else _norm(
+                cfg, x, blk.ffn_norm_w, blk.ffn_norm_b
+            )
+            x = x + attn_out + _ffn(cfg, blk, ff_in)
+        else:
+            x = x + attn_out
+            ff_in = _norm(cfg, x, blk.ffn_norm_w, blk.ffn_norm_b)
+            x = x + _ffn(cfg, blk, ff_in)
+
+    if last_only:
+        x = x[:, -1:, :]
+    x = _norm(cfg, x, params.out_norm_w, params.out_norm_b)
+    logits = _mm(x, params.output, cfg=cfg)
+    return logits, tuple(new_k), tuple(new_v)
+
+
+def init_cache(cfg: ModelConfig, batch: int, n_ctx: int | None = None,
+               dtype=jnp.bfloat16):
+    """Preallocated KV buffers (kv_cache_init, llama.cpp:733-776)."""
+    s = n_ctx or cfg.n_ctx
+    shape = (batch, s, cfg.kv_heads, cfg.head_dim)
+    k = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
+    v = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
+    return k, v

@@ -25,15 +25,23 @@ def _on_tpu() -> bool:
         return False
 
 
+def _precision(compute_dtype):
+    # f32 compute means *really* f32: stop TPU matmuls from dropping to the
+    # default bf16 passes (used by the reference-parity path)
+    return jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+
+
 def _xla_qmm(x2: jax.Array, w: QTensor, compute_dtype) -> jax.Array:
     n, k = w.shape
     g = k // w.gsize
     lv = w.levels_t.astype(jnp.float32).reshape(g, w.gsize, n)
     deq = (lv * w.gscale_t[:, None, :]).reshape(k, n).astype(compute_dtype)
-    out = jnp.dot(x2.astype(compute_dtype), deq, preferred_element_type=jnp.float32)
+    out = jnp.dot(x2.astype(compute_dtype), deq, preferred_element_type=jnp.float32,
+                  precision=_precision(compute_dtype))
     if w.gbias_t is not None:
         xg = x2.astype(jnp.float32).reshape(x2.shape[0], g, w.gsize).sum(axis=2)
-        out = out + jnp.dot(xg, w.gbias_t, preferred_element_type=jnp.float32)
+        out = out + jnp.dot(xg, w.gbias_t, preferred_element_type=jnp.float32,
+                            precision=_precision(compute_dtype))
     return out
 
 
@@ -52,6 +60,7 @@ def q_matmul(
             w.astype(compute_dtype),
             dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_precision(compute_dtype),
         )
 
     lead = x.shape[:-1]

@@ -1,0 +1,131 @@
+"""Inference context: params + KV cache + jitted eval (the llama_context).
+
+Mirrors the lifecycle of llama_new_context_with_model / llama_eval
+(llama.cpp:2574, 3370): holds the model params, preallocated KV buffers and
+n_past, and jit-compiles one forward per (batch, n_tokens-bucket) — the XLA
+answer to ggml's build-graph-every-call.  Prompt lengths are padded up to
+the next bucket so a handful of compilations serve any prompt.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models import transformer
+from ..models.transformer import TransformerParams, init_cache
+
+PREFILL_BUCKETS = (1, 8, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 2047) // 2048) * 2048
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "last_only"),
+    donate_argnames=("cache_k", "cache_v"),
+)
+def _eval_step(cfg, params, tokens, n_past, cache_k, cache_v, last_only):
+    return transformer.forward(
+        cfg, params, tokens, n_past, cache_k, cache_v, last_only=last_only
+    )
+
+
+@dataclass
+class Timings:
+    """llama_print_timings counters (llama.cpp:3501-3517)."""
+
+    t_load_ms: float = 0.0
+    t_sample_ms: float = 0.0
+    n_sample: int = 0
+    t_prompt_ms: float = 0.0
+    n_prompt: int = 0
+    t_eval_ms: float = 0.0
+    n_eval: int = 0
+
+    def report(self) -> str:
+        lines = [f"load time = {self.t_load_ms:10.2f} ms"]
+        if self.n_sample:
+            lines.append(
+                f"sample time = {self.t_sample_ms:10.2f} ms / {self.n_sample} runs "
+                f"({self.t_sample_ms / max(1, self.n_sample):8.2f} ms per token)"
+            )
+        if self.n_prompt:
+            lines.append(
+                f"prompt eval time = {self.t_prompt_ms:10.2f} ms / {self.n_prompt} tokens "
+                f"({self.t_prompt_ms / max(1, self.n_prompt):8.2f} ms per token)"
+            )
+        if self.n_eval:
+            lines.append(
+                f"eval time = {self.t_eval_ms:10.2f} ms / {self.n_eval} runs "
+                f"({self.t_eval_ms / max(1, self.n_eval):8.2f} ms per token)"
+            )
+        return "\n".join(lines)
+
+
+class Context:
+    """One generation session over a loaded model."""
+
+    def __init__(self, cfg: ModelConfig, params: TransformerParams, *,
+                 batch: int = 1, n_ctx: int | None = None,
+                 cache_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.n_ctx = n_ctx or cfg.n_ctx
+        self.batch = batch
+        self.cache_k, self.cache_v = init_cache(cfg, batch, self.n_ctx, cache_dtype)
+        self.n_past = 0
+        self.timings = Timings()
+        self._logits = None  # last logits [B, T, V] (np)
+
+    def reset(self):
+        self.cache_k = tuple(jnp.zeros_like(c) for c in self.cache_k)
+        self.cache_v = tuple(jnp.zeros_like(c) for c in self.cache_v)
+        self.n_past = 0
+
+    def eval(self, tokens, *, logits_all: bool = False) -> np.ndarray:
+        """Evaluate tokens (list or [B, T] array) after the current n_past.
+
+        Returns logits: [B, T, V] if logits_all else [B, 1, V] (last token).
+        The llama_eval analogue (llama.cpp:3370 -> 1217)."""
+        tokens = np.atleast_2d(np.asarray(tokens, dtype=np.int32))
+        b, t = tokens.shape
+        assert b == self.batch, (b, self.batch)
+        assert self.n_past + t <= self.n_ctx, "context overflow"
+        bt = _bucket(t)
+        padded = np.zeros((b, bt), dtype=np.int32)
+        padded[:, :t] = tokens
+        t0 = time.perf_counter()
+        logits, self.cache_k, self.cache_v = _eval_step(
+            self.cfg, self.params, jnp.asarray(padded),
+            jnp.int32(self.n_past), self.cache_k, self.cache_v,
+            False if logits_all or bt != t else True,
+        )
+        logits = np.asarray(logits[:, :t] if logits.shape[1] > 1 else logits)
+        dt = (time.perf_counter() - t0) * 1e3
+        if t > 1:
+            self.timings.t_prompt_ms += dt
+            self.timings.n_prompt += t
+        else:
+            self.timings.t_eval_ms += dt
+            self.timings.n_eval += 1
+        # tokens written into the cache beyond t are masked out by kv_mask on
+        # later steps only if n_past advances by t, which it does:
+        self.n_past += t
+        self._logits = logits
+        return logits
+
+    @property
+    def logits(self) -> np.ndarray:
+        return self._logits

@@ -1,0 +1,103 @@
+"""End-to-end numerical parity against the compiled reference llama.cpp.
+
+Builds a tiny random q4_0 LLaMA GGJT file with OUR writer + quantizers, then
+evaluates the same token sequence with (a) the reference llama.cpp compiled
+from /root/reference and (b) our JAX runtime (f32 compute), and compares
+logits.  This is the strongest correctness gate short of a full wikitext
+perplexity run: it exercises file format, quantization, dequantization, the
+whole transformer graph, RoPE layout, and the KV cache in one shot.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+BUILD = "/tmp/refbuild"
+ORACLE = f"{BUILD}/ref_logits"
+
+
+@pytest.fixture(scope="module")
+def oracle_bin():
+    if not os.path.isdir(REF):
+        pytest.skip("reference unavailable")
+    if not os.path.exists(ORACLE):
+        os.makedirs(BUILD, exist_ok=True)
+        src = os.path.join(os.path.dirname(__file__), "oracle", "ref_logits.cpp")
+        flags = ["-O2", "-fPIC", "-pthread", "-DGGML_USE_K_QUANTS", f"-I{REF}"]
+        try:
+            # ggml.c / k_quants.c are C (not valid C++): compile separately
+            subprocess.run(["gcc", *flags, "-c", f"{REF}/ggml.c", "-o", f"{BUILD}/ggml.o"],
+                           check=True, capture_output=True, text=True)
+            subprocess.run(["gcc", *flags, "-c", f"{REF}/k_quants.c", "-o", f"{BUILD}/k_quants.o"],
+                           check=True, capture_output=True, text=True)
+            subprocess.run(
+                ["g++", "-std=c++11", *flags, src, f"{REF}/llama.cpp",
+                 f"{BUILD}/ggml.o", f"{BUILD}/k_quants.o", "-o", ORACLE],
+                check=True, capture_output=True, text=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            pytest.skip(f"cannot build oracle: {getattr(e, 'stderr', '')[-500:]}")
+    return ORACLE
+
+
+@pytest.mark.parametrize("qtype_name", ["F32", "Q4_0", "Q8_0", "F16", "Q4_K"])
+def test_llama_logits_parity(tmp_path, oracle_bin, qtype_name):
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_transformer
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    import jax.numpy as jnp
+
+    qtype = GGMLType[qtype_name]
+    path = str(tmp_path / "tiny.ggjt")
+    # n_embd 256 / n_mult 256 so rows are QK_K-divisible for k-quants
+    make_llama_ggjt(path, n_vocab=512, n_embd=256, n_mult=256, n_head=4,
+                    n_layer=2, qtype=qtype, seed=3)
+
+    toks = [1, 5, 42, 260, 400, 17, 9, 300]
+    res = subprocess.run(
+        [oracle_bin, path, ",".join(map(str, toks))],
+        check=True, capture_output=True, text=True,
+    )
+    lines = res.stdout.strip().splitlines()
+    n_tok, n_vocab = map(int, lines[0].split())
+    ref = np.array([[float(x) for x in l.split()] for l in lines[1 : 1 + n_tok]])
+    assert ref.shape == (len(toks), 512)
+
+    import dataclasses
+
+    gf = read_ggjt(path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=128)
+    cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    params = load_transformer(gf, cfg)
+    ctx = Context(cfg, params, n_ctx=128, cache_dtype=jnp.float32)
+    ours = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
+
+    # Expected residual differences vs the reference CPU path:
+    #  - quantized mul_mat quantizes *activations* to q8_0/q8_K first
+    #    (ggml.c:11353-11367); we keep activations in f32/bf16 (strictly
+    #    more accurate)
+    #  - ggml's silu/gelu go through fp16 lookup tables (ggml.c:120-122)
+    # so F32 files gate tightly; quantized files gate loosely + argmax.
+    scale = np.abs(ref).max()
+    err = np.abs(ours - ref).max() / scale
+    tol = 5e-3 if qtype_name == "F32" else 5e-2
+    assert err < tol, f"max rel logit err {err}"
+    agree = (np.argmax(ours, -1) == np.argmax(ref, -1)).mean()
+    # near-tied logits on a tiny random model can flip under the (expected)
+    # activation-precision differences; require strong majority agreement
+    min_agree = 1.0 if qtype_name == "F32" else 0.75
+    assert agree >= min_agree, f"argmax agreement {agree}"
+
+    # and the default bf16 path must stay close to the f32 reference
+    cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    ctx_bf = Context(cfg_bf, params, n_ctx=128)
+    ours_bf = ctx_bf.eval(np.asarray([toks], np.int32), logits_all=True)[0]
+    err_bf = np.abs(ours_bf - ref).max() / scale
+    assert err_bf < 8e-2, f"bf16 rel logit err {err_bf}"
+    assert (np.argmax(ours_bf, -1) == np.argmax(ref, -1)).mean() >= 0.75

@@ -1,0 +1,130 @@
+"""Sampling-distribution goldens ported from tests/test-sampling.cpp."""
+
+import numpy as np
+import pytest
+
+from llama_cpp_q_4_0_tpu.runtime import sampling as S
+
+
+def cands(probs):
+    return S.Candidates.from_logits(np.log(np.asarray(probs, dtype=np.float32)))
+
+
+def check(c, expected, tol):
+    assert c.size == len(expected)
+    np.testing.assert_allclose(c.p[: len(expected)], expected, atol=tol)
+
+
+@pytest.mark.parametrize(
+    "probs,expected,k",
+    [
+        ([0.1, 0.2, 0.3, 0.4], [0.4], 1),
+        ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2], 3),
+    ],
+)
+def test_top_k(probs, expected, k):
+    c = cands(probs)
+    S.sample_softmax(c)
+    S.sample_top_k(c, k, 1)
+    check(c, expected, 1e-5)
+
+
+@pytest.mark.parametrize(
+    "probs,expected,p",
+    [
+        ([0.1, 0.2, 0.3, 0.4], [0.4], 0.0),
+        ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3], 0.7),
+        ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2], 0.8),
+        ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2, 0.1], 1.0),
+    ],
+)
+def test_top_p(probs, expected, p):
+    c = cands(probs)
+    S.sample_softmax(c)
+    S.sample_top_p(c, p, 1)
+    check(c, expected, 1e-3)
+
+
+@pytest.mark.parametrize(
+    "probs,expected,z",
+    [
+        ([0.1, 0.15, 0.2, 0.25, 0.3], [0.3], 0.25),
+        ([0.1, 0.15, 0.2, 0.25, 0.3], [0.3, 0.25], 0.75),
+        ([0.1, 0.15, 0.2, 0.25, 0.3], [0.3, 0.25], 0.99),
+    ],
+)
+def test_tfs(probs, expected, z):
+    c = cands(probs)
+    S.sample_tail_free(c, z, 1)
+    check(c, expected, 1e-3)
+
+
+@pytest.mark.parametrize(
+    "probs,expected,p",
+    [
+        ([0.97, 0.01, 0.01, 0.01], [0.97], 0.5),
+        ([0.4, 0.2, 0.2, 0.2], [0.2, 0.2, 0.2], 0.5),
+    ],
+)
+def test_typical(probs, expected, p):
+    c = cands(probs)
+    S.sample_typical(c, p, 1)
+    check(c, expected, 1e-3)
+
+
+@pytest.mark.parametrize(
+    "probs,last,expected,penalty",
+    [
+        ([0.2] * 5, [0], [0.25, 0.25, 0.25, 0.25, 0], 50.0),
+        ([0.2] * 5, [0, 1, 2], [0.5, 0.5, 0, 0, 0], 50.0),
+        ([0.2] * 5, [0, 1, 2, 0, 0], [0.5, 0.5, 0, 0, 0], 50.0),
+    ],
+)
+def test_repetition_penalty(probs, last, expected, penalty):
+    c = cands(probs)
+    S.sample_softmax(c)
+    S.sample_repetition_penalty(c, last, penalty)
+    S.sample_softmax(c)
+    check(c, expected, 1e-6)  # expected is in sorted (descending p) order
+
+
+@pytest.mark.parametrize(
+    "probs,last,expected,af,ap",
+    [
+        ([0.2] * 5, [0], [0.249997, 0.249997, 0.249997, 0.249997, 0.000011], 5.0, 5.0),
+        ([0.2] * 5, [0, 1, 2], [0.499966, 0.499966, 0.000023, 0.000023, 0.000023], 5.0, 5.0),
+        ([0.2] * 5, [0, 1, 2, 0, 0], [0.499977, 0.499977, 0.000023, 0.000023, 0.0], 5.0, 5.0),
+    ],
+)
+def test_frequency_presence_penalty(probs, last, expected, af, ap):
+    c = cands(probs)
+    S.sample_softmax(c)
+    S.sample_frequency_and_presence_penalties(c, last, af, ap)
+    S.sample_softmax(c)
+    check(c, expected, 1e-3)  # expected is in sorted (descending p) order
+
+
+def test_greedy_and_token():
+    c = cands([0.1, 0.2, 0.3, 0.4])
+    assert S.sample_token_greedy(c) == 3
+    rng = np.random.default_rng(0)
+    tok = S.sample_token(c, rng)
+    assert 0 <= tok < 4
+
+
+def test_mirostat_runs():
+    rng = np.random.default_rng(0)
+    c = cands(np.linspace(0.01, 0.3, 100))
+    tok, mu = S.sample_token_mirostat(c, rng, 5.0, 0.1, 100, 10.0, 100)
+    assert 0 <= tok < 100 and np.isfinite(mu)
+    c = cands(np.linspace(0.01, 0.3, 100))
+    tok, mu = S.sample_token_mirostat_v2(c, rng, 5.0, 0.1, 10.0)
+    assert 0 <= tok < 100 and np.isfinite(mu)
+
+
+def test_sampler_chain_greedy():
+    p = S.SamplingParams(temp=0.0)
+    s = S.Sampler(p, n_vocab=16, seed=0)
+    logits = np.zeros(16, dtype=np.float32)
+    logits[7] = 5.0
+    assert s.sample(logits, last_tokens=[]) == 7
