@@ -164,7 +164,11 @@ def detect_arch(path: str | Path) -> str:
     """Guess the architecture from header plausibility + first tensor names.
 
     The reference has no arch tag in the file (one binary per arch); we
-    sniff instead so one CLI serves all five model families.
+    sniff instead so one CLI serves all five model families.  Note: falcon
+    and bonsai files are byte-compatible (same header schema and tensor
+    names — bonsai is a falcon-shaped checkpoint run with different
+    norm/activation semantics), so this returns "falcon" for both; pass
+    --arch bonsai explicitly for bonsai checkpoints.
     """
     markers = {
         "llama": ("tok_embeddings.weight", "layers.0.attention.wq.weight"),

@@ -92,7 +92,8 @@ class ModelConfig:
     def bonsai(n_vocab, n_embd, n_head, n_layer, parallel_attn=1, n_ctx=2048, **kw):
         return ModelConfig(
             arch="bonsai", n_vocab=n_vocab, n_embd=n_embd, n_layer=n_layer,
-            n_head=n_head, n_rot=n_embd // n_head, n_ff=4 * n_embd, n_ctx=n_ctx,
+            n_head=n_head, n_kv_head=1,  # MQA like falcon (bonsai.cpp:988)
+            n_rot=n_embd // n_head, n_ff=4 * n_embd, n_ctx=n_ctx,
             rope_neox=True, parallel_residual=bool(parallel_attn),
             norm="rmsnorm_bias", norm_eps=1e-6, act="bonsai_hybrid",
             ffn_gated=False, qkv_fused=True, qkv_bias=False,

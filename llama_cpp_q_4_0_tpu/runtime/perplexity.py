@@ -1,0 +1,69 @@
+"""wikitext-2 perplexity — the quality parity gate.
+
+Port of examples/perplexity/perplexity.cpp:28-119: tokenize the whole text
+(BOS swapped into the first slot of each chunk), evaluate n_ctx-token chunks
+in n_batch pieces with logits_all, and accumulate NLL over the second half
+of each window; ppl = exp(sum nll / count)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .context import Context
+from .tokenizer import TOKEN_BOS, Tokenizer
+
+
+@dataclass
+class PerplexityResult:
+    ppl: float
+    nll: float
+    count: int
+    chunk_ppls: list
+
+
+def perplexity(
+    ctx: Context,
+    tokens: list[int] | np.ndarray,
+    *,
+    n_ctx: int = 512,
+    n_batch: int = 512,
+    progress=None,
+) -> PerplexityResult:
+    tokens = np.asarray(tokens, dtype=np.int32)
+    n_chunk = len(tokens) // n_ctx
+    nll = 0.0
+    count = 0
+    chunk_ppls = []
+    for i in range(n_chunk):
+        start = i * n_ctx
+        chunk = tokens[start : start + n_ctx].copy()
+        chunk[0] = TOKEN_BOS  # BOS for the first batch of each chunk
+        ctx.reset()
+        logits = []
+        for j in range(0, n_ctx, n_batch):
+            piece = chunk[j : j + n_batch]
+            logits.append(
+                ctx.eval(piece[None, :], logits_all=True)[0].astype(np.float64)
+            )
+        logits = np.concatenate(logits, axis=0)  # [n_ctx, V]
+        lo = min(512, n_ctx // 2)
+        sel = logits[lo : n_ctx - 1]
+        m = sel.max(axis=-1, keepdims=True)
+        lse = m[:, 0] + np.log(np.exp(sel - m).sum(axis=-1))
+        targets = tokens[start + lo + 1 : start + n_ctx]
+        tok_logit = sel[np.arange(sel.shape[0]), targets]
+        nll += float((lse - tok_logit).sum())
+        count += sel.shape[0]
+        chunk_ppls.append(float(np.exp(nll / count)))
+        if progress:
+            progress(f"[{i + 1}]{chunk_ppls[-1]:.4f},")
+    return PerplexityResult(float(np.exp(nll / max(1, count))), nll, count, chunk_ppls)
+
+
+def perplexity_file(ctx: Context, tokenizer: Tokenizer, path: str, **kw):
+    with open(path, "rb") as f:
+        text = f.read()
+    toks = tokenizer.tokenize(text, bos=True)
+    return perplexity(ctx, toks, **kw)
