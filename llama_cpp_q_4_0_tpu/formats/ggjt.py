@@ -134,11 +134,13 @@ def read_ggjt(path: str | Path, arch: str = "llama") -> GGJTFile:
             raise ValueError(f"implausible n_vocab={n_vocab}; wrong arch schema?")
 
         vocab = []
+        # rwkv files carry no vocab scores (rwkv.cpp:546-549 comments them out)
+        has_scores = arch != "rwkv" and file_version >= FILE_VERSION_GGMF_V1
         for _ in range(n_vocab):
             (ln,) = struct.unpack("<I", f.read(4))
             word = f.read(ln)
             score = 0.0
-            if file_version >= FILE_VERSION_GGMF_V1:
+            if has_scores:
                 (score,) = struct.unpack("<f", f.read(4))
             vocab.append((word, score))
 
@@ -189,13 +191,19 @@ def detect_arch(path: str | Path) -> str:
 
 
 class GGJTWriter:
-    """Streaming ggjt v3 writer (llama_file_saver, llama.cpp:510-566)."""
+    """Streaming ggjt writer (llama_file_saver, llama.cpp:510-566).
+
+    llama files are ggjt v3; the arch forks read/write ggjt v1 with modern
+    block formats (gptneox.cpp:452/622, rwkv.cpp:622) — version defaults
+    accordingly."""
 
     def __init__(self, path: str | Path, arch: str, hparams: dict[str, int], ftype: int,
-                 vocab: list[tuple[bytes, float]]):
+                 vocab: list[tuple[bytes, float]], version: int | None = None):
+        if version is None:
+            version = 3 if arch == "llama" else 1
         self.f = open(path, "wb")
         self.arch = arch
-        self.f.write(struct.pack("<II", MAGIC_GGJT, 3))
+        self.f.write(struct.pack("<II", MAGIC_GGJT, version))
         fields = HEADER_FIELDS[arch]
         self.f.write(struct.pack(f"<{len(fields)}I", *[hparams[k] for k in fields]))
         self.f.write(struct.pack("<I", ftype))
@@ -204,7 +212,8 @@ class GGJTWriter:
                 word = word.encode("utf-8")
             self.f.write(struct.pack("<I", len(word)))
             self.f.write(word)
-            self.f.write(struct.pack("<f", score))
+            if arch != "rwkv":  # rwkv vocab has no scores (rwkv.cpp:546)
+                self.f.write(struct.pack("<f", score))
 
     def write_tensor(self, name: str, qtype: GGMLType, ne: tuple[int, ...], data: bytes):
         assert len(data) == row_size_bytes(qtype, int(np.prod(ne)))

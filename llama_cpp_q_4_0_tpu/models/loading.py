@@ -179,3 +179,41 @@ def load_transformer(gf: GGJTFile, cfg: ModelConfig) -> TransformerParams:
         out_norm_b=load_tensor_(gf, fnorm + ".bias"),
         output=load_tensor_(gf, out),
     )
+
+
+def load_rwkv(gf: GGJTFile, cfg: ModelConfig):
+    """GGJT -> RwkvParams (tensor names from rwkv.cpp:1157-1217)."""
+    from .rwkv import RwkvLayer, RwkvParams
+
+    dense_dtype = jnp.float32 if cfg.compute_dtype == "float32" else jnp.bfloat16
+    lt = lambda name: load_tensor(gf, name, dense_dtype)
+    layers = []
+    for i in range(cfg.n_layer):
+        p = f"rwkv.blocks.{i}"
+        layers.append(RwkvLayer(
+            ln1_g=lt(p + ".ln1.weight"), ln1_b=lt(p + ".ln1.bias"),
+            ln2_g=lt(p + ".ln2.weight"), ln2_b=lt(p + ".ln2.bias"),
+            att_time_mix_k=lt(p + ".attention.time_mix_key"),
+            att_time_mix_v=lt(p + ".attention.time_mix_value"),
+            att_time_mix_r=lt(p + ".attention.time_mix_receptance"),
+            att_time_first=lt(p + ".attention.time_first"),
+            att_time_decay=lt(p + ".attention.time_decay"),
+            att_key=lt(p + ".attention.key.weight"),
+            att_value=lt(p + ".attention.value.weight"),
+            att_receptance=lt(p + ".attention.receptance.weight"),
+            att_output=lt(p + ".attention.output.weight"),
+            ff_time_mix_k=lt(p + ".feed_forward.time_mix_key"),
+            ff_time_mix_r=lt(p + ".feed_forward.time_mix_receptance"),
+            ff_key=lt(p + ".feed_forward.key.weight"),
+            ff_receptance=lt(p + ".feed_forward.receptance.weight"),
+            ff_value=lt(p + ".feed_forward.value.weight"),
+        ))
+    return RwkvParams(
+        wte=lt("rwkv.embeddings.weight"),
+        ln_pre_g=lt("rwkv.blocks.0.pre_ln.weight"),
+        ln_pre_b=lt("rwkv.blocks.0.pre_ln.bias"),
+        layers=tuple(layers),
+        ln_out_g=lt("rwkv.ln_out.weight"),
+        ln_out_b=lt("rwkv.ln_out.bias"),
+        head=lt("head.weight"),
+    )

@@ -1,0 +1,194 @@
+"""RWKV v4 recurrent runtime — no attention, no KV cache.
+
+TPU re-design of arch/rwkv/rwkv.cpp: the reference builds a single-token
+ggml graph once and replays it per token, copying output state to input
+state (rwkv.cpp:1403-1706).  Here the layer step is a pure function of
+(state, token-embedding); prefill runs the whole prompt through one
+``lax.scan`` over tokens (jit-compiled once), decode is the same scan with
+T=1 — the XLA equivalent of the build-once graph.
+
+Per-layer recurrent state (5 vectors of n_embd, rwkv.cpp:914-944):
+  ff_prev   — channel-mix x_{t-1}
+  attn_prev — time-mix x_{t-1}
+  num, den  — WKV numerator/denominator accumulators
+  maxv      — running max for the numerically-stable WKV (init -1e30)
+
+time_decay in the model file is already -exp(decay)
+(convert-rwkv-to-ggml.py:93-95).  Hidden state is halved every
+rescale_every layers (rwkv.cpp:1629-1634); the converter pre-divides FFN
+output weights to compensate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import QTensor, q_matmul
+from ..ops.layers import layer_norm
+from .config import ModelConfig
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "ln1_g", "ln1_b", "ln2_g", "ln2_b",
+        "att_time_mix_k", "att_time_mix_v", "att_time_mix_r",
+        "att_time_first", "att_time_decay",
+        "att_key", "att_value", "att_receptance", "att_output",
+        "ff_time_mix_k", "ff_time_mix_r",
+        "ff_key", "ff_receptance", "ff_value",
+    ],
+    meta_fields=[],
+)
+@dataclass
+class RwkvLayer:
+    ln1_g: object = None
+    ln1_b: object = None
+    ln2_g: object = None
+    ln2_b: object = None
+    att_time_mix_k: object = None
+    att_time_mix_v: object = None
+    att_time_mix_r: object = None
+    att_time_first: object = None
+    att_time_decay: object = None
+    att_key: object = None
+    att_value: object = None
+    att_receptance: object = None
+    att_output: object = None
+    ff_time_mix_k: object = None
+    ff_time_mix_r: object = None
+    ff_key: object = None
+    ff_receptance: object = None
+    ff_value: object = None
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["wte", "ln_pre_g", "ln_pre_b", "layers", "ln_out_g", "ln_out_b", "head"],
+    meta_fields=[],
+)
+@dataclass
+class RwkvParams:
+    wte: object
+    ln_pre_g: object
+    ln_pre_b: object
+    layers: tuple
+    ln_out_g: object
+    ln_out_b: object
+    head: object
+
+
+def init_state(cfg: ModelConfig, batch: int = 1):
+    """5 x [L, B, E] recurrent state (rwkv.cpp:935-945)."""
+    def z():
+        # fresh buffer per field: donation forbids aliased state arrays
+        return jnp.zeros((cfg.n_layer, batch, cfg.n_embd), jnp.float32)
+
+    return {
+        "ff_prev": z(),
+        "attn_prev": z(),
+        "num": z(),
+        "den": z(),
+        "maxv": jnp.full((cfg.n_layer, batch, cfg.n_embd), -1e30, jnp.float32),
+    }
+
+
+def _mm(x, w):
+    return q_matmul(x, w)
+
+
+def _layer_step(cfg: ModelConfig, lay: RwkvLayer, st: dict, x):
+    """One layer, one token. x: [B, E]; st: dict of [B, E]. Returns (x, st)."""
+    # --- time mixing (rwkv.cpp:1469-1564) ---
+    cur = attn_cur = layer_norm(x, lay.ln1_g, lay.ln1_b, cfg.norm_eps)
+    xp = st["attn_prev"]
+    x_r = cur * lay.att_time_mix_r + xp * (1.0 - lay.att_time_mix_r)
+    x_k = cur * lay.att_time_mix_k + xp * (1.0 - lay.att_time_mix_k)
+    x_v = cur * lay.att_time_mix_v + xp * (1.0 - lay.att_time_mix_v)
+    r = jax.nn.sigmoid(_mm(x_r, lay.att_receptance))
+    k = _mm(x_k, lay.att_key)
+    v = _mm(x_v, lay.att_value)
+
+    num, den, maxv = st["num"], st["den"], st["maxv"]
+    # stable WKV with running max
+    ktf = lay.att_time_first + k
+    p = jnp.maximum(maxv, ktf)
+    e1 = jnp.exp(maxv - p)
+    e2 = jnp.exp(ktf - p)
+    wkv = (e1 * num + e2 * v) / (e1 * den + e2)
+
+    msd = maxv + lay.att_time_decay  # time_decay is already -exp(decay)
+    new_p = jnp.maximum(msd, k)
+    e1 = jnp.exp(msd - new_p)
+    e2 = jnp.exp(k - new_p)
+    new_num = e1 * num + e2 * v
+    new_den = e1 * den + e2
+    x = x + _mm(r * wkv, lay.att_output)
+
+    # --- channel mixing (rwkv.cpp:1578-1612) ---
+    cur = layer_norm(x, lay.ln2_g, lay.ln2_b, cfg.norm_eps)
+    fp = st["ff_prev"]
+    x_r = cur * lay.ff_time_mix_r + fp * (1.0 - lay.ff_time_mix_r)
+    x_k = cur * lay.ff_time_mix_k + fp * (1.0 - lay.ff_time_mix_k)
+    r = jax.nn.sigmoid(_mm(x_r, lay.ff_receptance))
+    kk = jnp.square(jax.nn.relu(_mm(x_k, lay.ff_key)))
+    x = x + r * _mm(kk, lay.ff_value)
+
+    new_st = {
+        "ff_prev": cur,  # ln2(x) of this step (rwkv.cpp:1594 "state[5*i+0]")
+        "attn_prev": attn_cur,  # ln1(x) of this step (rwkv.cpp:1487)
+        "num": new_num,
+        "den": new_den,
+        "maxv": new_p,
+    }
+    return x, new_st
+
+
+def _token_step(cfg: ModelConfig, params: RwkvParams, state: dict, emb):
+    """All layers for one token. emb: [B, E] embedded+pre-normed input."""
+    x = emb
+    new_state = {k: [] for k in state}
+    for i, lay in enumerate(params.layers):
+        st_i = {k: state[k][i] for k in state}
+        x, st_o = _layer_step(cfg, lay, st_i, x)
+        for k in state:
+            new_state[k].append(st_o[k])
+        if cfg.rescale_every > 0 and (i + 1) % cfg.rescale_every == 0:
+            x = x * 0.5
+    out_state = {k: jnp.stack(v) for k, v in new_state.items()}
+    return x, out_state
+
+
+def forward(
+    cfg: ModelConfig,
+    params: RwkvParams,
+    tokens: jax.Array,  # [B, T] int32
+    state: dict,  # 5 x [L, B, E]
+    *,
+    last_only: bool = False,
+):
+    """Scan the prompt through the recurrence.
+
+    Returns (logits [B, T|1, V] f32, new_state)."""
+    b, t = tokens.shape
+    if isinstance(params.wte, QTensor):
+        emb = params.wte.rows(tokens)
+    else:
+        emb = jnp.take(params.wte, tokens, axis=0).astype(jnp.float32)
+    emb = layer_norm(emb, params.ln_pre_g, params.ln_pre_b, cfg.norm_eps)
+
+    def scan_fn(st, e_t):  # e_t: [B, E]
+        x, st = _token_step(cfg, params, st, e_t)
+        return st, x
+
+    state, xs = jax.lax.scan(scan_fn, state, emb.swapaxes(0, 1))  # xs: [T, B, E]
+    xs = xs.swapaxes(0, 1)  # [B, T, E]
+    if last_only:
+        xs = xs[:, -1:, :]
+    xs = layer_norm(xs, params.ln_out_g, params.ln_out_b, cfg.norm_eps)
+    logits = q_matmul(xs, params.head)
+    return logits, state

@@ -129,3 +129,70 @@ class Context:
     @property
     def logits(self) -> np.ndarray:
         return self._logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "last_only"), donate_argnames=("state",))
+def _rwkv_eval_step(cfg, params, tokens, state, last_only):
+    from ..models import rwkv as rwkv_mod
+
+    return rwkv_mod.forward(cfg, params, tokens, state, last_only=last_only)
+
+
+class RwkvContext:
+    """Recurrent-session analogue of Context (rwkv_context, rwkv.cpp).
+
+    The recurrent state replaces the KV cache; there is no context-length
+    limit, so n_ctx/n_past exist only for interface parity with Context."""
+
+    def __init__(self, cfg: ModelConfig, params, *, batch: int = 1,
+                 n_ctx: int | None = None):
+        from ..models import rwkv as rwkv_mod
+
+        self.cfg = cfg
+        self.params = params
+        self.batch = batch
+        self.n_ctx = n_ctx or 1 << 30
+        self.state = rwkv_mod.init_state(cfg, batch)
+        self.n_past = 0
+        self.timings = Timings()
+        self._logits = None
+
+    def reset(self):
+        from ..models import rwkv as rwkv_mod
+
+        self.state = rwkv_mod.init_state(self.cfg, self.batch)
+        self.n_past = 0
+
+    def eval(self, tokens, *, logits_all: bool = False) -> np.ndarray:
+        tokens = np.atleast_2d(np.asarray(tokens, dtype=np.int32))
+        b, t = tokens.shape
+        assert b == self.batch
+        t0 = time.perf_counter()
+        # no bucket padding: pads would corrupt the recurrent state, and the
+        # lax.scan recurrence compiles once per exact prompt length anyway
+        logits, self.state = _rwkv_eval_step(
+            self.cfg, self.params, jnp.asarray(tokens), self.state,
+            not logits_all,
+        )
+        logits = np.asarray(logits)
+        dt = (time.perf_counter() - t0) * 1e3
+        if t > 1:
+            self.timings.t_prompt_ms += dt
+            self.timings.n_prompt += t
+        else:
+            self.timings.t_eval_ms += dt
+            self.timings.n_eval += 1
+        self.n_past += t
+        self._logits = logits
+        return logits
+
+    @property
+    def logits(self):
+        return self._logits
+
+    def get_state(self) -> dict:
+        """rwkv.h:140-153 state accessor (for session save/load)."""
+        return {k: np.asarray(v) for k, v in self.state.items()}
+
+    def set_state(self, st: dict):
+        self.state = {k: jnp.asarray(v) for k, v in st.items()}
