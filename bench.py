@@ -1,0 +1,125 @@
+"""Flagship benchmark: LLaMA-7B q4_0 single-token decode latency.
+
+Mirrors the reference's headline number — 7B q4_0 decode ms/token
+(43 ms/tok @ 8 threads on M1 Pro, README.md:466-481, BASELINE.md) — on one
+TPU chip.  Weights are synthetic (random int8 levels + scales built directly
+on device): decode is weight-bandwidth-bound, so the timing is identical to
+a real checkpoint's.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline > 1 means faster than the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_cpp_q_4_0_tpu.models import transformer
+from llama_cpp_q_4_0_tpu.models.config import ModelConfig
+from llama_cpp_q_4_0_tpu.models.transformer import Block, TransformerParams
+from llama_cpp_q_4_0_tpu.ops.qtensor import QTensor
+from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+
+BASELINE_MS_PER_TOK = 43.0  # 7B q4_0, M1 Pro 8T (README.md:467)
+
+
+def synth_qtensor(key, n: int, k: int, gsize: int = 32) -> QTensor:
+    """Random q4_0-shaped QTensor built on device (no host quantization)."""
+    k1, k2 = jax.random.split(key)
+    levels = jax.random.randint(k1, (k, n), -8, 8, dtype=jnp.int8)
+    gscale = jax.random.uniform(k2, (k // gsize, n), jnp.float32, 0.005, 0.015)
+    return QTensor(levels_t=levels, gscale_t=gscale, gbias_t=None,
+                   gsize=gsize, qtype=GGMLType.Q4_0, shape=(n, k))
+
+
+def build_llama(n_layer: int = 32, n_embd: int = 4096, n_head: int = 32,
+                n_ff: int = 11008, n_vocab: int = 32000, n_ctx: int = 2048):
+    import dataclasses
+
+    cfg = ModelConfig.llama(n_vocab=n_vocab, n_embd=n_embd, n_mult=256,
+                            n_head=n_head, n_layer=n_layer,
+                            n_rot=n_embd // n_head, n_ctx=n_ctx)
+    cfg = dataclasses.replace(cfg, n_ff=n_ff)
+    keys = jax.random.split(jax.random.key(0), 7 * n_layer + 2)
+    ki = iter(range(len(keys)))
+    q = lambda n, k: synth_qtensor(keys[next(ki)], n, k)
+    e = n_embd
+    blocks = tuple(
+        Block(
+            attn_norm_w=jnp.ones((e,), jnp.float32),
+            wq=q(e, e), wk=q(e, e), wv=q(e, e), wo=q(e, e),
+            ffn_norm_w=jnp.ones((e,), jnp.float32),
+            w_gate=q(n_ff, e), w_up=q(n_ff, e), w_down=q(e, n_ff),
+        )
+        for _ in range(n_layer)
+    )
+    params = TransformerParams(
+        tok_embeddings=q(n_vocab, e),
+        blocks=blocks,
+        out_norm_w=jnp.ones((e,), jnp.float32),
+        out_norm_b=None,
+        output=q(n_vocab, e),
+    )
+    return cfg, params
+
+
+def bench_decode(cfg, params, n_tokens: int = 64, prefill: int = 64):
+    cache_k, cache_v = transformer.init_cache(cfg, 1, cfg.n_ctx)
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def decode(params, tok, ck, cv, n_past):
+        return transformer.forward(cfg, params, tok, n_past, ck, cv,
+                                   last_only=True)
+
+    tok = jnp.zeros((1, 1), jnp.int32)
+    # warmup / compile (np.asarray = device->host transfer: the only hard
+    # sync through the axon tunnel — block_until_ready returns early there)
+    logits, cache_k, cache_v = decode(params, tok, cache_k, cache_v,
+                                      jnp.int32(0))
+    np.asarray(logits)
+    t0 = time.perf_counter()
+    for i in range(n_tokens):
+        logits, cache_k, cache_v = decode(params, tok, cache_k, cache_v,
+                                          jnp.int32(prefill + 1 + i))
+    np.asarray(logits)
+    dt = time.perf_counter() - t0
+    return dt / n_tokens * 1e3
+
+
+def main():
+    dev = jax.devices()[0]
+    configs = [
+        ("decode_ms_per_token_llama7b_q4_0", dict(n_layer=32)),
+        ("decode_ms_per_token_llama7b_q4_0_16layer", dict(n_layer=16)),
+    ]
+    last_err = None
+    for metric, kw in configs:
+        try:
+            cfg, params = build_llama(**kw)
+            jax.block_until_ready(params)
+            ms = bench_decode(cfg, params)
+            scale = 32 / kw["n_layer"]  # baseline is whole-model
+            print(json.dumps({
+                "metric": metric,
+                "value": round(ms, 3),
+                "unit": "ms/token",
+                "vs_baseline": round(BASELINE_MS_PER_TOK / (ms * scale), 3),
+            }))
+            print(f"# device={dev.device_kind} platform={dev.platform}",
+                  file=sys.stderr)
+            return
+        except Exception as e:  # OOM on small chips -> try half model
+            last_err = e
+            continue
+    raise SystemExit(f"bench failed: {last_err}")
+
+
+if __name__ == "__main__":
+    main()
