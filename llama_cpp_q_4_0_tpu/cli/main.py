@@ -1,0 +1,132 @@
+"""`main` — the text-generation CLI (examples/main/main.cpp:57-675).
+
+Covers the reference's decode loop end-to-end: prompt-cache sessions with
+prefix reuse (main.cpp:157-230), infinite-text context swap (366-389), the
+full sampling chain, antiprompts, interactive & instruct modes, and the
+timings report."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..runtime.generate import GenerateParams, generate
+from ..runtime.session import (
+    load_session, save_session, session_prefix_match,
+)
+from ..runtime.tokenizer import TOKEN_EOS
+from .common import add_model_args, add_sampling_args, load_model, sampling_from_args
+
+
+def build_parser(p: argparse.ArgumentParser | None = None):
+    p = p or argparse.ArgumentParser("main", description=__doc__)
+    add_model_args(p)
+    add_sampling_args(p)
+    p.add_argument("-p", "--prompt", default="")
+    p.add_argument("-f", "--file", default=None, help="prompt file")
+    p.add_argument("--n-keep", type=int, default=0,
+                   help="tokens kept on context swap (-1 = whole prompt)")
+    p.add_argument("--prompt-cache", default=None, dest="path_prompt_cache",
+                   help="session file for prompt state reuse")
+    p.add_argument("-r", "--reverse-prompt", action="append", default=[],
+                   dest="antiprompt")
+    p.add_argument("-i", "--interactive", action="store_true")
+    p.add_argument("--interactive-first", action="store_true")
+    p.add_argument("-ins", "--instruct", action="store_true",
+                   help="instruction mode (alpaca framing, main.cpp:244)")
+    p.add_argument("--color", action="store_true")
+    p.add_argument("--verbose-prompt", action="store_true")
+    return p
+
+
+ANSI_USER = "\x1b[32m"
+ANSI_RESET = "\x1b[0m"
+
+
+def run(args) -> int:
+    lm = load_model(args)
+    ctx, tok = lm.ctx, lm.tokenizer
+    gp = GenerateParams(
+        n_predict=args.n_predict,
+        n_keep=args.n_keep,
+        ignore_eos=args.ignore_eos,
+        sampling=sampling_from_args(args),
+        seed=args.seed,
+    )
+
+    prompt = args.prompt
+    if args.file:
+        with open(args.file) as f:
+            prompt = f.read()
+    if args.instruct:
+        prompt = f"### Instruction:\n\n{prompt}\n\n### Response:\n\n"
+
+    prompt_tokens = tok.tokenize(prompt, bos=(lm.arch != "rwkv"))
+    if args.verbose_prompt:
+        for t in prompt_tokens:
+            print(f"{t:6d} -> '{tok.token_text(t).decode(errors='replace')}'",
+                  file=sys.stderr)
+
+    # --prompt-cache: reuse the saved state's common prefix (main.cpp:157-230)
+    session_tokens: list[int] = []
+    if args.path_prompt_cache:
+        import os
+
+        if os.path.exists(args.path_prompt_cache):
+            session_tokens = load_session(args.path_prompt_cache, ctx)
+            n_match = session_prefix_match(session_tokens, prompt_tokens)
+            if n_match < ctx.n_past:
+                # state is ahead of the match point: recompute from scratch
+                ctx.reset()
+                n_match = 0
+            prompt_tokens = prompt_tokens[n_match:]
+            print(f"session: reused {n_match} tokens", file=sys.stderr)
+        if not prompt_tokens:
+            prompt_tokens = [tok.tokenize(prompt, bos=True)[-1]]
+
+    antiprompts = tuple(tok.tokenize(a) for a in args.antiprompt)
+
+    def emit(token_id: int):
+        sys.stdout.buffer.write(tok.token_text(token_id))
+        sys.stdout.flush()
+
+    all_tokens = list(session_tokens) + list(prompt_tokens)
+    print(prompt, end="", flush=True)
+    interactive = args.interactive or args.interactive_first or args.instruct
+    try:
+        while True:
+            for t in generate(ctx, prompt_tokens, gp, antiprompts=antiprompts,
+                              eos_token=TOKEN_EOS):
+                emit(t)
+                all_tokens.append(t)
+            if not interactive:
+                break
+            print(f"\n{ANSI_USER if args.color else ''}> ", end="", flush=True)
+            line = sys.stdin.readline()
+            if args.color:
+                print(ANSI_RESET, end="")
+            if not line:
+                break
+            text = line.rstrip("\n")
+            if args.instruct:
+                text = f"### Instruction:\n\n{text}\n\n### Response:\n\n"
+            prompt_tokens = tok.tokenize(text)
+            all_tokens += prompt_tokens
+    except KeyboardInterrupt:
+        print(file=sys.stderr)
+
+    if args.path_prompt_cache:
+        save_session(args.path_prompt_cache, ctx, all_tokens)
+        print(f"session: saved to {args.path_prompt_cache}", file=sys.stderr)
+    print("\n" + ctx.timings.report(), file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,187 @@
+"""`server` — HTTP completion API (examples/server/server.cpp:1-975).
+
+Endpoints (same JSON contract as the reference):
+  POST /completion — {"prompt", "n_predict", "stream", sampling params...}
+                     -> {"content", "tokens_predicted", ...} or SSE chunks
+  POST /tokenize   — {"content"} -> {"tokens": [...]}
+  POST /embedding  — {"content"} -> {"embedding": [...]}
+
+Stdlib http.server replaces httplib.h/json.hpp; one model context guarded by
+a lock (the reference is likewise single-session), with the same
+prompt-prefix reuse between requests (server.cpp loadPrompt)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..runtime.generate import GenerateParams, generate
+from ..runtime.sampling import SamplingParams
+from ..runtime.session import session_prefix_match
+from .common import add_model_args, load_model
+
+
+def build_parser(p: argparse.ArgumentParser | None = None):
+    p = p or argparse.ArgumentParser("server", description=__doc__)
+    add_model_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    return p
+
+
+def sampling_from_json(body: dict) -> SamplingParams:
+    """server.cpp:713 parse_options_completion field names."""
+    sp = SamplingParams()
+    m = {
+        "top_k": "top_k", "top_p": "top_p", "tfs_z": "tfs_z",
+        "typical_p": "typical_p", "temperature": "temp", "temp": "temp",
+        "repeat_penalty": "repeat_penalty", "repeat_last_n": "repeat_last_n",
+        "frequency_penalty": "frequency_penalty",
+        "presence_penalty": "presence_penalty", "mirostat": "mirostat",
+        "mirostat_tau": "mirostat_tau", "mirostat_eta": "mirostat_eta",
+    }
+    for k, attr in m.items():
+        if k in body:
+            setattr(sp, attr, type(getattr(sp, attr))(body[k]))
+    if body.get("logit_bias"):
+        sp.logit_bias = {int(t): float(b) for t, b in body["logit_bias"]}
+    if body.get("ignore_eos"):
+        sp.logit_bias[2] = float("-inf")
+    return sp
+
+
+class ServerState:
+    """llama_server_context (server.cpp:40-200): one model, one lock,
+    last-evaluated tokens kept for prefix reuse."""
+
+    def __init__(self, lm):
+        self.lm = lm
+        self.lock = threading.Lock()
+        self.last_tokens: list[int] = []
+
+    def load_prompt(self, prompt_tokens: list[int]):
+        ctx = self.lm.ctx
+        n_match = session_prefix_match(self.last_tokens, prompt_tokens)
+        if n_match and n_match <= ctx.n_past and n_match == len(prompt_tokens):
+            n_match -= 1  # must eval at least one token for fresh logits
+        if n_match and n_match <= ctx.n_past:
+            ctx.n_past = n_match
+        else:
+            ctx.reset()
+            n_match = 0
+        return prompt_tokens[n_match:]
+
+
+def make_handler(state: ServerState):
+    lm = state.lm
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *a):
+            print("server:", fmt % a, file=sys.stderr)
+
+        def _json(self, code: int, obj: dict):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_POST(self):  # noqa: N802
+            try:
+                body = self._body()
+                if self.path == "/tokenize":
+                    toks = lm.tokenizer.tokenize(body.get("content", ""))
+                    return self._json(200, {"tokens": toks})
+                if self.path == "/embedding":
+                    with state.lock:
+                        lm.ctx.reset()
+                        toks = lm.tokenizer.tokenize(body.get("content", ""),
+                                                     bos=True)
+                        emb = lm.ctx.embed(toks)
+                    return self._json(200, {"embedding": emb[0].tolist()})
+                if self.path == "/completion":
+                    return self._completion(body)
+                return self._json(404, {"error": "unknown endpoint"})
+            except Exception as e:  # noqa: BLE001
+                return self._json(500, {"error": str(e)})
+
+        def _completion(self, body: dict):
+            prompt = body.get("prompt", "")
+            gp = GenerateParams(
+                n_predict=int(body.get("n_predict", 128)),
+                sampling=sampling_from_json(body),
+                seed=int(body.get("seed", -1)),
+            )
+            stop = body.get("stop", [])
+            with state.lock:
+                toks = lm.tokenizer.tokenize(prompt, bos=True)
+                todo = state.load_prompt(toks)
+                antiprompts = tuple(lm.tokenizer.tokenize(s) for s in stop)
+                produced: list[int] = []
+                if body.get("stream"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def chunk(obj):
+                        data = b"data: " + json.dumps(obj).encode() + b"\n\n"
+                        self.wfile.write(hex(len(data))[2:].encode() + b"\r\n"
+                                         + data + b"\r\n")
+
+                    for t in generate(lm.ctx, todo, gp, antiprompts=antiprompts):
+                        produced.append(t)
+                        chunk({"content": lm.tokenizer.token_text(t)
+                               .decode("utf-8", errors="replace"),
+                               "stop": False})
+                    chunk({"content": "", "stop": True,
+                           "tokens_predicted": len(produced)})
+                    self.wfile.write(b"0\r\n\r\n")
+                else:
+                    for t in generate(lm.ctx, todo, gp, antiprompts=antiprompts):
+                        produced.append(t)
+                    text = lm.tokenizer.detokenize(produced).decode(
+                        "utf-8", errors="replace")
+                    self._json(200, {
+                        "content": text,
+                        "tokens_predicted": len(produced),
+                        "tokens_evaluated": len(todo),
+                        "stopped_eos": len(produced) < gp.n_predict,
+                        "generation_settings": {"n_predict": gp.n_predict},
+                    })
+                state.last_tokens = toks + produced
+
+    return Handler
+
+
+def run(args) -> int:
+    lm = load_model(args)
+    state = ServerState(lm)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    print(f"server listening on http://{args.host}:{args.port}",
+          file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def main(argv=None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

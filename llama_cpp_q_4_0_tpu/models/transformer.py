@@ -152,8 +152,11 @@ def forward(
     cache_v: tuple,
     *,
     last_only: bool = False,
+    with_embedding: bool = False,
 ):
-    """Returns (logits [B, T|1, n_vocab] f32, new_cache_k, new_cache_v)."""
+    """Returns (logits [B, T|1, n_vocab] f32, new_cache_k, new_cache_v);
+    with_embedding=True additionally returns the post-norm hidden state
+    (llama_get_embeddings, llama.h:335 / llama.cpp:1610) as second element."""
     b, t = tokens.shape
     s = cache_k[0].shape[1]
     h_all, h_kv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
@@ -199,6 +202,8 @@ def forward(
         x = x[:, -1:, :]
     x = _norm(cfg, x, params.out_norm_w, params.out_norm_b)
     logits = _mm(x, params.output, cfg=cfg)
+    if with_embedding:
+        return logits, x, tuple(new_k), tuple(new_v)
     return logits, tuple(new_k), tuple(new_v)
 
 

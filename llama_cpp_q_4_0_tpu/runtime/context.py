@@ -130,6 +130,32 @@ class Context:
     def logits(self) -> np.ndarray:
         return self._logits
 
+    def embed(self, tokens) -> np.ndarray:
+        """Evaluate tokens and return the final-norm hidden state of the last
+        token [B, n_embd] (llama_get_embeddings, llama.h:335)."""
+        tokens = np.atleast_2d(np.asarray(tokens, dtype=np.int32))
+        b, t = tokens.shape
+        assert b == self.batch and self.n_past + t <= self.n_ctx
+        bt = _bucket(t)
+        padded = np.zeros((b, bt), dtype=np.int32)
+        padded[:, :t] = tokens
+        logits, emb, self.cache_k, self.cache_v = _embed_step(
+            self.cfg, self.params, jnp.asarray(padded),
+            jnp.int32(self.n_past), self.cache_k, self.cache_v,
+        )
+        self.n_past += t
+        self._logits = np.asarray(logits[:, :t])
+        return np.asarray(emb[:, t - 1])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("cache_k", "cache_v")
+)
+def _embed_step(cfg, params, tokens, n_past, cache_k, cache_v):
+    return transformer.forward(
+        cfg, params, tokens, n_past, cache_k, cache_v, with_embedding=True
+    )
+
 
 @functools.partial(jax.jit, static_argnames=("cfg", "last_only"), donate_argnames=("state",))
 def _rwkv_eval_step(cfg, params, tokens, state, last_only):

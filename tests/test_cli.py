@@ -1,0 +1,171 @@
+"""End-to-end CLI coverage: every examples/-parity tool driven through its
+argv entry point against tiny fixture models (the reference validates these
+apps only manually; we gate them in CI)."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "tiny.bin")
+    make_llama_ggjt(p, n_vocab=256, n_embd=64, n_head=4, n_layer=2,
+                    qtype=GGMLType.Q4_0)
+    return p
+
+
+def test_main_cli(model_path, capsys):
+    import llama_cpp_q_4_0_tpu.cli.main as main_cli
+
+    rc = main_cli.main(["-m", model_path, "-p", "hello", "-n", "4",
+                        "-c", "64", "-s", "1", "--temp", "0.8"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "hello" in out.out
+
+
+def test_main_cli_prompt_cache(model_path, tmp_path, capsys):
+    import llama_cpp_q_4_0_tpu.cli.main as main_cli
+
+    cache = str(tmp_path / "sess.bin")
+    args = ["-m", model_path, "-p", "hello world", "-n", "3", "-c", "64",
+            "-s", "1", "--prompt-cache", cache]
+    assert main_cli.main(args) == 0
+    err1 = capsys.readouterr().err
+    assert "session: saved" in err1
+    assert main_cli.main(args) == 0
+    err2 = capsys.readouterr().err
+    assert "session: reused" in err2
+
+
+def test_quantize_cli(model_path, tmp_path, capsys):
+    from llama_cpp_q_4_0_tpu.cli import quantize as quantize_cli
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt as mk
+
+    f32 = str(tmp_path / "f32.bin")
+    mk(f32, n_vocab=256, n_embd=64, n_head=4, n_layer=2, qtype=GGMLType.F32)
+    out = str(tmp_path / "q5.bin")
+    assert quantize_cli.main([f32, out, "q5_1"]) == 0
+
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+
+    gf = read_ggjt(out, "llama")
+    assert gf.tensors["layers.0.attention.wq.weight"].qtype == GGMLType.Q5_1
+
+    assert quantize_cli.main([f32, out, "nope"]) == 1
+
+
+def test_perplexity_cli(model_path, tmp_path, capsys):
+    from llama_cpp_q_4_0_tpu.cli import perplexity as ppl_cli
+
+    txt = str(tmp_path / "corpus.txt")
+    with open(txt, "w") as f:
+        f.write("the quick brown fox jumps over the lazy dog. " * 40)
+    rc = ppl_cli.main(["-m", model_path, "-f", txt, "-c", "32", "-b", "32"])
+    assert rc == 0
+    assert "PPL =" in capsys.readouterr().out
+
+
+def test_embedding_cli(model_path, capsys):
+    from llama_cpp_q_4_0_tpu.cli import embedding as emb_cli
+
+    rc = emb_cli.main(["-m", model_path, "-p", "hello", "-c", "64"])
+    assert rc == 0
+    vals = capsys.readouterr().out.splitlines()[0].split()
+    assert len(vals) == 64 and all(np.isfinite(float(v)) for v in vals)
+
+
+def test_save_load_state_cli(model_path, capsys):
+    from llama_cpp_q_4_0_tpu.cli import save_load_state as sls
+
+    rc = sls.main(["-m", model_path, "-p", "hello", "-n", "6", "-c", "64"])
+    assert rc == 0
+    assert "identical" in capsys.readouterr().out
+
+
+def test_quantize_stats_cli(model_path, tmp_path, capsys):
+    from llama_cpp_q_4_0_tpu.cli import quantize_stats as qs
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt as mk
+
+    f32 = str(tmp_path / "f32.bin")
+    mk(f32, n_vocab=256, n_embd=256, n_head=4, n_layer=1, qtype=GGMLType.F32)
+    rc = qs.main(["-m", f32, "-t", "q4_0", "-t", "q8_0",
+                  "-l", "attention", "-p"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Q4_0" in out and "rmse" in out
+
+
+def test_tool_dispatcher(capsys):
+    from llama_cpp_q_4_0_tpu import cli
+
+    assert cli.dispatch(["--help"]) == 0
+    assert "perplexity" in capsys.readouterr().out
+    assert cli.dispatch(["no-such-tool"]) == 1
+
+
+def test_server_endpoints(model_path):
+    from http.server import ThreadingHTTPServer
+
+    from llama_cpp_q_4_0_tpu.cli.server import ServerState, make_handler
+    from llama_cpp_q_4_0_tpu.cli.common import load_model
+
+    class A:  # minimal args namespace
+        model, arch, n_ctx, n_batch = model_path, None, 64, 64
+        lora = lora_base = None
+        memory_f32 = False
+
+    lm = load_model(A())
+    state = ServerState(lm)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+        def post(path, obj):
+            conn.request("POST", path, json.dumps(obj),
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            return r.status, r.read()
+
+        st, body = post("/tokenize", {"content": "hello world"})
+        assert st == 200
+        toks = json.loads(body)["tokens"]
+        assert toks and all(isinstance(t, int) for t in toks)
+
+        st, body = post("/completion",
+                        {"prompt": "hello", "n_predict": 4, "seed": 3})
+        assert st == 200
+        res = json.loads(body)
+        assert "content" in res and res["tokens_predicted"] <= 4
+
+        st, body = post("/embedding", {"content": "hello"})
+        assert st == 200
+        emb = json.loads(body)["embedding"]
+        assert len(emb) == 64
+
+        st, body = post("/nope", {})
+        assert st == 404
+
+        # streaming returns SSE chunks
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn2.request("POST", "/completion",
+                      json.dumps({"prompt": "hi", "n_predict": 2,
+                                  "stream": True}),
+                      {"Content-Type": "application/json"})
+        r = conn2.getresponse()
+        assert r.status == 200
+        assert "text/event-stream" in r.getheader("Content-Type", "")
+        raw = r.read().decode()
+        assert '"stop": true' in raw
+    finally:
+        httpd.shutdown()
