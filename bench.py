@@ -31,12 +31,16 @@ BASELINE_MS_PER_TOK = 43.0  # 7B q4_0, M1 Pro 8T (README.md:467)
 
 
 def synth_qtensor(key, n: int, k: int, gsize: int = 32) -> QTensor:
-    """Random q4_0-shaped QTensor built on device (no host quantization)."""
+    """Random q4_0-shaped QTensor built on device (no host quantization),
+    nibble-packed like the real loader produces."""
     k1, k2 = jax.random.split(key)
-    levels = jax.random.randint(k1, (k, n), -8, 8, dtype=jnp.int8)
-    gscale = jax.random.uniform(k2, (k // gsize, n), jnp.float32, 0.005, 0.015)
-    return QTensor(levels_t=levels, gscale_t=gscale, gbias_t=None,
-                   gsize=gsize, qtype=GGMLType.Q4_0, shape=(n, k))
+    k2p = -(-(k // 2) // 256) * 256
+    packed = jax.random.randint(k1, (k2p, n), 0, 256, dtype=jnp.int32)
+    packed = packed.astype(jnp.uint8)
+    gscale = jax.random.uniform(k2, (2, k2p // gsize, n), jnp.float32,
+                                0.005, 0.015)
+    return QTensor(levels_t=packed, gscale_t=gscale, gbias_t=None,
+                   gsize=gsize, qtype=GGMLType.Q4_0, shape=(n, k), pack_zero=8)
 
 
 def build_llama(n_layer: int = 32, n_embd: int = 4096, n_head: int = 32,
@@ -73,10 +77,14 @@ def build_llama(n_layer: int = 32, n_embd: int = 4096, n_head: int = 32,
 def bench_decode(cfg, params, n_tokens: int = 64, prefill: int = 64):
     cache_k, cache_v = transformer.init_cache(cfg, 1, cfg.n_ctx)
 
+    # kv window bucket covering prefill + generated tokens, as Context picks
+    kv_window = 256
+    assert prefill + 1 + n_tokens <= kv_window
+
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def decode(params, tok, ck, cv, n_past):
         return transformer.forward(cfg, params, tok, n_past, ck, cv,
-                                   last_only=True)
+                                   last_only=True, kv_window=kv_window)
 
     tok = jnp.zeros((1, 1), jnp.int32)
     # warmup / compile (np.asarray = device->host transfer: the only hard

@@ -153,17 +153,25 @@ def forward(
     *,
     last_only: bool = False,
     with_embedding: bool = False,
+    kv_window: int | None = None,
 ):
     """Returns (logits [B, T|1, n_vocab] f32, new_cache_k, new_cache_v);
     with_embedding=True additionally returns the post-norm hidden state
-    (llama_get_embeddings, llama.h:335 / llama.cpp:1610) as second element."""
+    (llama_get_embeddings, llama.h:335 / llama.cpp:1610) as second element.
+
+    kv_window (static) restricts attention to the first kv_window cache
+    slots — the caller guarantees n_past + t <= kv_window.  This is the
+    static-shape answer to ggml's growing KV views (llama.cpp:1362-1374):
+    early in a long context, attention streams a short prefix of the cache
+    instead of all n_ctx slots, at the cost of one compile per bucket."""
     b, t = tokens.shape
     s = cache_k[0].shape[1]
+    w = s if kv_window is None else min(kv_window, s)
     h_all, h_kv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
     pos = n_past + jnp.arange(t, dtype=jnp.int32)  # [T]
     pos_b = jnp.broadcast_to(pos[None, :], (b, t))
-    kv_mask = jnp.arange(s, dtype=jnp.int32)[None, :] < (n_past + t)
-    kv_mask = jnp.broadcast_to(kv_mask, (b, s))
+    kv_mask = jnp.arange(w, dtype=jnp.int32)[None, :] < (n_past + t)
+    kv_mask = jnp.broadcast_to(kv_mask, (b, w))
     scale = 1.0 / math.sqrt(hd)
 
     x = _embed(params, tokens)  # [B, T, E] f32
@@ -185,7 +193,7 @@ def forward(
         new_k.append(ck)
         new_v.append(cv)
 
-        a = attention(q, ck, cv, pos_b, kv_mask, scale)  # [B, T, H, D] f32
+        a = attention(q, ck[:, :w], cv[:, :w], pos_b, kv_mask, scale)
         attn_out = _mm(a.reshape(b, t, cfg.n_embd), blk.wo, blk.bo, cfg=cfg)
 
         if cfg.parallel_residual:

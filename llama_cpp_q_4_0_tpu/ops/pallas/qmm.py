@@ -30,11 +30,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _u16_view(a: jax.Array | None) -> jax.Array | None:
+    """fp16 arrays enter Pallas as raw uint16 bits (free XLA bitcast)."""
+    if a is not None and a.dtype == jnp.float16:
+        return jax.lax.bitcast_convert_type(a, jnp.uint16)
+    return a
+
+
+def _scales_f32(tile: jax.Array) -> jax.Array:
+    """Scale tile -> f32.  fp16 scales (ggml's block 'd') arrive as raw
+    uint16 bits — Mosaic has no f16 type — and are decoded with integer ops:
+    normals get a rebiasing bit-shuffle, subnormals the exact m * 2^-24."""
+    if tile.dtype != jnp.uint16:
+        return tile.astype(jnp.float32)
+    bits = tile.astype(jnp.int32)
+    s = (bits >> 15) & 1
+    e = (bits >> 10) & 0x1F
+    m = bits & 0x3FF
+    f_norm = pltpu.bitcast(
+        (s << 31) | ((e + 112) << 23) | (m << 13), jnp.float32
+    )
+    f_sub = m.astype(jnp.float32) * jnp.float32(5.9604644775390625e-08)
+    f_sub = jnp.where(s == 1, -f_sub, f_sub)
+    return jnp.where(e == 0, f_sub, f_norm)
+
+
 def _dequant_tile(lvt_ref, gst_ref, gsize: int) -> jax.Array:
     """int8 [BK, BN] levels * [BK/gsize, BN] scales -> bf16 [BK, BN]."""
     bk, bn = lvt_ref.shape
     lv = lvt_ref[:].astype(jnp.float32).reshape(bk // gsize, gsize, bn)
-    w = lv * gst_ref[:].astype(jnp.float32)[:, None, :]
+    w = lv * _scales_f32(gst_ref[:])[:, None, :]
     return w.reshape(bk, bn).astype(jnp.bfloat16)
 
 
@@ -69,7 +94,69 @@ def _qmm_bias_kernel(
     acc = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
     # affine bias: sum_g gbias[g,n] * sum_{k in g} x[b,k]
     xg = x_ref[:].astype(jnp.float32).reshape(b, bk // gsize, gsize).sum(axis=2)
-    acc += jnp.dot(xg, gbt_ref[:], preferred_element_type=jnp.float32)
+    acc += jnp.dot(xg, _scales_f32(gbt_ref[:]), preferred_element_type=jnp.float32)
+    acc_ref[:] += acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _qmm_packed_kernel(
+    xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, out_ref, acc_ref,
+    *, n_k: int, gsize: int, zero: int,
+):
+    """Split-half 4-bit tile: low nibbles are the k-panel at this grid step,
+    high nibbles the panel K/2 later; each gets its own x slice and scale
+    tile, so unpacking is two masks — no shuffles (see ops/qtensor.py)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bk, bn = p_ref.shape
+    p = p_ref[:].astype(jnp.int32)
+    lo = ((p & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    hi = (((p >> 4) & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    wlo = (lo * _scales_f32(slo_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    whi = (hi * _scales_f32(shi_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    acc = jnp.dot(xlo_ref[:].astype(jnp.bfloat16), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xhi_ref[:].astype(jnp.bfloat16), whi,
+                   preferred_element_type=jnp.float32)
+    acc_ref[:] += acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _qmm_packed_bias_kernel(
+    xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, blo_ref, bhi_ref, out_ref,
+    acc_ref, *, n_k: int, gsize: int, zero: int,
+):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b, bk = xlo_ref.shape
+    bn = p_ref.shape[1]
+    p = p_ref[:].astype(jnp.int32)
+    lo = ((p & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    hi = (((p >> 4) & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    wlo = (lo * _scales_f32(slo_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    whi = (hi * _scales_f32(shi_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    acc = jnp.dot(xlo_ref[:].astype(jnp.bfloat16), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xhi_ref[:].astype(jnp.bfloat16), whi,
+                   preferred_element_type=jnp.float32)
+    xg_lo = xlo_ref[:].astype(jnp.float32).reshape(b, bk // gsize, gsize).sum(axis=2)
+    xg_hi = xhi_ref[:].astype(jnp.float32).reshape(b, bk // gsize, gsize).sum(axis=2)
+    acc += jnp.dot(xg_lo, _scales_f32(blo_ref[0]), preferred_element_type=jnp.float32)
+    acc += jnp.dot(xg_hi, _scales_f32(bhi_ref[0]), preferred_element_type=jnp.float32)
     acc_ref[:] += acc
 
     @pl.when(k == n_k - 1)
@@ -79,9 +166,88 @@ def _qmm_bias_kernel(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("gsize", "zero", "block_n", "block_k", "interpret"),
+)
+def qmm_packed(
+    x: jax.Array,
+    packed_t: jax.Array,  # uint8 [K2P, N] (K2P = K/2 padded to 256)
+    gscale_t: jax.Array,  # f32 [2, K2P/gsize, N] (lo/hi planes)
+    gbias_t: jax.Array | None = None,
+    *,
+    gsize: int = 32,
+    zero: int = 8,
+    block_n: int = 256,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [B, K] @ dequant(split-half packed nibbles) -> [B, N] f32.
+
+    Layout contract is QTensor's packed form (ops/qtensor.py): pad columns
+    carry zero scales, so the padded x slices contribute nothing."""
+    b, k = x.shape
+    k2p, n = packed_t.shape
+    k2 = k // 2
+    assert k2 <= k2p, (x.shape, packed_t.shape)
+    block_n = min(block_n, n)
+    bk = min(block_k, k2p)  # block over one half-panel
+    assert n % block_n == 0 and k2p % bk == 0, (n, k2p, block_n, bk)
+    assert bk % gsize == 0 and (bk // gsize) % 8 == 0
+    n_k = k2p // bk
+    grid = (n // block_n, n_k)
+
+    pad = k2p - k2
+    x_lo = jnp.pad(x[:, :k2], ((0, 0), (0, pad)))
+    x_hi = jnp.pad(x[:, k2:], ((0, 0), (0, pad)))
+    gscale_t = _u16_view(gscale_t)
+    gbias_t = _u16_view(gbias_t)
+
+    in_specs = [
+        pl.BlockSpec((b, bk), lambda i, kk: (0, kk)),
+        pl.BlockSpec((b, bk), lambda i, kk: (0, kk)),
+        pl.BlockSpec((bk, block_n), lambda i, kk: (kk, i)),
+        pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (0, kk, i)),
+        pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (1, kk, i)),
+    ]
+    args = [x_lo, x_hi, packed_t, gscale_t, gscale_t]
+    kern = functools.partial(_qmm_packed_kernel, n_k=n_k, gsize=gsize, zero=zero)
+    if gbias_t is not None:
+        in_specs += [
+            pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (0, kk, i)),
+            pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (1, kk, i)),
+        ]
+        args += [gbias_t, gbias_t]
+        kern = functools.partial(_qmm_packed_bias_kernel, n_k=n_k, gsize=gsize,
+                                 zero=zero)
+
+    flops = 2 * b * n * k
+    bytes_accessed = (
+        k2p * n
+        + 8 * (k2p // gsize) * n * (2 if gbias_t is not None else 1)
+        + 2 * b * k
+        + 4 * b * n
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, block_n), lambda i, kk: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("gsize", "block_n", "block_k", "interpret"),
 )
-def qmm(
+def qmm(  # noqa: D417 — unpacked int8 variant (5-bit+ formats)
     x: jax.Array,
     levels_t: jax.Array,
     gscale_t: jax.Array,
@@ -96,6 +262,8 @@ def qmm(
     b, k = x.shape
     k2, n = levels_t.shape
     assert k == k2, (x.shape, levels_t.shape)
+    gscale_t = _u16_view(gscale_t)
+    gbias_t = _u16_view(gbias_t)
     block_n = min(block_n, n)
     block_k = min(block_k, k)
     assert n % block_n == 0 and k % block_k == 0, (n, k, block_n, block_k)

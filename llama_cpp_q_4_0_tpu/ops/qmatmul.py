@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .qtensor import QTensor
-from .pallas.qmm import qmm
+from .pallas.qmm import qmm, qmm_packed
 
 
 def _on_tpu() -> bool:
@@ -34,13 +34,14 @@ def _precision(compute_dtype):
 def _xla_qmm(x2: jax.Array, w: QTensor, compute_dtype) -> jax.Array:
     n, k = w.shape
     g = k // w.gsize
-    lv = w.levels_t.astype(jnp.float32).reshape(g, w.gsize, n)
-    deq = (lv * w.gscale_t[:, None, :]).reshape(k, n).astype(compute_dtype)
+    lv = w.levels_full().astype(jnp.float32).reshape(g, w.gsize, n)
+    deq = (lv * w.gscale_full()[:, None, :]).reshape(k, n).astype(compute_dtype)
     out = jnp.dot(x2.astype(compute_dtype), deq, preferred_element_type=jnp.float32,
                   precision=_precision(compute_dtype))
-    if w.gbias_t is not None:
+    gb = w.gbias_full()
+    if gb is not None:
         xg = x2.astype(jnp.float32).reshape(x2.shape[0], g, w.gsize).sum(axis=2)
-        out = out + jnp.dot(xg, w.gbias_t, preferred_element_type=jnp.float32,
+        out = out + jnp.dot(xg, gb, preferred_element_type=jnp.float32,
                             precision=_precision(compute_dtype))
     return out
 
@@ -73,11 +74,22 @@ def q_matmul(
     n = w.shape[0]
     if use_pallas and n % 128 == 0 and k % 256 == 0:
         block_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
-        block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256
-        out = qmm(
-            x2, w.levels_t, w.gscale_t, w.gbias_t,
-            gsize=w.gsize, block_n=block_n, block_k=block_k,
-        )
+        if w.packed:
+            k2p = w.levels_t.shape[0]  # padded half-panel (multiple of 256)
+            block_k = max(bk for bk in (2048, 1024, 512, 256)
+                          if k2p % bk == 0 and bk % w.gsize == 0
+                          and (bk // w.gsize) % 8 == 0)
+            out = qmm_packed(
+                x2, w.levels_t, w.gscale_t, w.gbias_t,
+                gsize=w.gsize, zero=w.pack_zero,
+                block_n=block_n, block_k=block_k,
+            )
+        else:
+            block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256
+            out = qmm(
+                x2, w.levels_t, w.gscale_t, w.gbias_t,
+                gsize=w.gsize, block_n=block_n, block_k=block_k,
+            )
     else:
         out = _xla_qmm(x2, w, compute_dtype)
     return out.reshape(*lead, n)

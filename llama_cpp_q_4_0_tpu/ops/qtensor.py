@@ -6,6 +6,15 @@ sublanes (see ops/pallas/qmm.py).  All model families keep their weights as
 QTensors and share one matmul hot path, mirroring how every reference
 architecture funnels into ggml_compute_forward_mul_mat_q_f32
 (ggml.c:11226).
+
+Sub-5-bit formats (q4_0/q4_1/q2_K/q3_K/q4_K) pack two levels per byte in
+*split-half* layout: byte[r, n] holds level k=r in the low nibble and
+k=r+K/2 in the high nibble (biased by pack_zero so both nibbles are
+unsigned).  Split-half, not adjacent-pair, because the kernel then unpacks
+with two cheap masks and zero cross-lane shuffles — each nibble plane is
+already a contiguous K-panel.  This is the TPU answer to ggml's interleaved
+block_q4_0 bytes (ggml.c:870-875): decode is HBM-bandwidth-bound, and 4-bit
+packing halves the bytes per token.
 """
 
 from __future__ import annotations
@@ -24,21 +33,32 @@ from ..quant.types import GGMLType
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["levels_t", "gscale_t", "gbias_t"],
-    meta_fields=["gsize", "qtype", "shape"],
+    meta_fields=["gsize", "qtype", "shape", "pack_zero"],
 )
 @dataclass
 class QTensor:
-    """Logical weight W [N, K] (ggml row-major: N out rows, K reduce dim),
+    """Logical weight W [N, K] (ggml row-major: N out rows, K reduce dim).
 
-    stored transposed: W[n, k] = levels_t[k, n] * gscale_t[k//gsize, n]
-                                 (+ gbias_t[k//gsize, n])."""
+    Unpacked: levels_t int8 [K, N];  W[n, k] = levels_t[k, n] *
+    gscale_t[k//gsize, n] (+ gbias_t[k//gsize, n]).
 
-    levels_t: jax.Array  # int8 [K, N]
-    gscale_t: jax.Array  # f32 [K//gsize, N]
-    gbias_t: jax.Array | None  # f32 [K//gsize, N] or None
+    Packed (pack_zero is not None): levels_t uint8 [K2P, N] where
+    K2P = K/2 rounded up to 256 (zero-padded rows);
+    level(k) = (byte[k, n] & 0xF) - pack_zero          for k <  K/2
+             = (byte[k - K/2, n] >> 4) - pack_zero     for k >= K/2
+    and gscale_t/gbias_t become [2, K2P/gsize, N] (plane 0 = low-nibble
+    panel's group scales, plane 1 = high; pad rows are zero so padded
+    columns contribute nothing).  The 256 alignment keeps every Pallas
+    scale tile sublane-aligned for any K (e.g. llama's 11008 FFN dim).
+    """
+
+    levels_t: jax.Array  # int8 [K, N] | uint8 [K2P, N] when packed
+    gscale_t: jax.Array  # f32 [K//gsize, N] | [2, K2P//gsize, N] packed
+    gbias_t: jax.Array | None  # f32, same shape rule as gscale_t
     gsize: int
     qtype: GGMLType
     shape: tuple[int, int]  # (N, K)
+    pack_zero: int | None = None  # nibble bias; None = unpacked int8
 
     @property
     def n_out(self) -> int:
@@ -48,30 +68,89 @@ class QTensor:
     def n_in(self) -> int:
         return self.shape[1]
 
+    @property
+    def packed(self) -> bool:
+        return self.pack_zero is not None
+
     @staticmethod
-    def from_planar(p: PlanarQuant, device=None) -> "QTensor":
+    def from_planar(p: PlanarQuant, device=None, pack: bool = True) -> "QTensor":
         put = partial(jax.device_put, device=device) if device else jnp.asarray
+        lv = np.ascontiguousarray(p.levels.T)  # [K, N] int8
+        gs = np.ascontiguousarray(p.gscale.T)  # [K/gsize, N] f32
+        gb = np.ascontiguousarray(p.gbias.T) if p.gbias is not None else None
+        k, n = lv.shape
+        pack_zero = None
+        # each half-panel must hold whole quant groups so per-plane scale
+        # tiles align in the kernel
+        if pack and k % 2 == 0 and (k // 2) % p.gsize == 0:
+            lo, hi = int(lv.min()), int(lv.max())
+            if hi - lo <= 15:
+                pack_zero = -lo
+                k2 = k // 2
+                k2p = -(-k2 // 256) * 256
+                packed = np.zeros((k2p, n), np.uint8)
+                packed[:k2] = (((lv[k2:].astype(np.int16) + pack_zero) << 4)
+                               | (lv[:k2].astype(np.int16) + pack_zero))
+                g2, g2p = k2 // p.gsize, k2p // p.gsize
+                sc = np.zeros((2, g2p, n), np.float32)
+                sc[0, :g2] = gs[:g2]
+                sc[1, :g2] = gs[g2:]
+                lv, gs = packed, sc
+                if gb is not None:
+                    bi = np.zeros((2, g2p, n), np.float32)
+                    bi[0, :g2] = gb[:g2]
+                    bi[1, :g2] = gb[g2:]
+                    gb = bi
+        # note: fp16/bf16 scale storage was measured on v5e and won <2% —
+        # decode stays f32 for bit-exactness with the reference quantizers
         return QTensor(
-            levels_t=put(np.ascontiguousarray(p.levels.T)),
-            gscale_t=put(np.ascontiguousarray(p.gscale.T)),
-            gbias_t=put(np.ascontiguousarray(p.gbias.T)) if p.gbias is not None else None,
+            levels_t=put(lv),
+            gscale_t=put(gs),
+            gbias_t=put(gb) if gb is not None else None,
             gsize=p.gsize,
             qtype=p.qtype,
             shape=p.shape,
+            pack_zero=pack_zero,
         )
 
     @staticmethod
-    def quantize(w: np.ndarray, qtype: GGMLType) -> "QTensor":
-        return QTensor.from_planar(quantize_planar(np.asarray(w, np.float32), qtype))
+    def quantize(w: np.ndarray, qtype: GGMLType, pack: bool = True) -> "QTensor":
+        return QTensor.from_planar(
+            quantize_planar(np.asarray(w, np.float32), qtype), pack=pack
+        )
+
+    def levels_full(self) -> jax.Array:
+        """Unpacked int8 levels [K, N] (device op; packed -> unpack)."""
+        if not self.packed:
+            return self.levels_t
+        k2 = self.shape[1] // 2
+        p = self.levels_t.astype(jnp.int32)
+        lo = (p & 0xF) - self.pack_zero
+        hi = ((p >> 4) & 0xF) - self.pack_zero
+        return jnp.concatenate([lo[:k2], hi[:k2]], axis=0).astype(jnp.int8)
+
+    def gscale_full(self) -> jax.Array:
+        """Group scales in logical [K/gsize, N] order."""
+        if not self.packed:
+            return self.gscale_t
+        g2 = (self.shape[1] // 2) // self.gsize
+        return jnp.concatenate([self.gscale_t[0, :g2], self.gscale_t[1, :g2]], axis=0)
+
+    def gbias_full(self) -> jax.Array | None:
+        if self.gbias_t is None or not self.packed:
+            return self.gbias_t
+        g2 = (self.shape[1] // 2) // self.gsize
+        return jnp.concatenate([self.gbias_t[0, :g2], self.gbias_t[1, :g2]], axis=0)
 
     def dequantize_t(self, dtype=jnp.float32) -> jax.Array:
         """Dequantize to W^T [K, N] (the matmul-ready orientation)."""
         n, k = self.shape
         g = k // self.gsize
-        w = self.levels_t.astype(jnp.float32).reshape(g, self.gsize, n)
-        w = w * self.gscale_t[:, None, :]
-        if self.gbias_t is not None:
-            w = w + self.gbias_t[:, None, :]
+        w = self.levels_full().astype(jnp.float32).reshape(g, self.gsize, n)
+        w = w * self.gscale_full()[:, None, :]
+        gb = self.gbias_full()
+        if gb is not None:
+            w = w + gb[:, None, :]
         return w.reshape(k, n).astype(dtype)
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
@@ -80,13 +159,21 @@ class QTensor:
 
     def rows(self, idx: jax.Array, dtype=jnp.float32) -> jax.Array:
         """Gather + dequantize logical rows (ggml_get_rows for embeddings)."""
-        lv = jnp.take(self.levels_t, idx, axis=1).astype(jnp.float32)  # [K, ...]
-        gs = jnp.take(self.gscale_t, idx, axis=1)
         k = self.shape[1]
+        if self.packed:
+            k2 = k // 2
+            p = jnp.take(self.levels_t, idx, axis=1).astype(jnp.int32)
+            lo = (p & 0xF) - self.pack_zero
+            hi = ((p >> 4) & 0xF) - self.pack_zero
+            lv = jnp.concatenate([lo[:k2], hi[:k2]], axis=0).astype(jnp.float32)
+            gs = jnp.take(self.gscale_full(), idx, axis=1)
+        else:
+            lv = jnp.take(self.levels_t, idx, axis=1).astype(jnp.float32)
+            gs = jnp.take(self.gscale_t, idx, axis=1)
         g = k // self.gsize
         w = lv.reshape(g, self.gsize, *lv.shape[1:]) * gs[:, None, ...]
-        if self.gbias_t is not None:
-            gb = jnp.take(self.gbias_t, idx, axis=1)
-            w = w + gb[:, None, ...]
+        gb = self.gbias_full()
+        if gb is not None:
+            w = w + jnp.take(gb, idx, axis=1)[:, None, ...]
         w = w.reshape(k, *lv.shape[1:])
         return jnp.moveaxis(w, 0, -1).astype(dtype)  # [..., K]

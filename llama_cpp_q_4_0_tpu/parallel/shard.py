@@ -48,11 +48,14 @@ def put_weight(w: Any, mesh: Mesh, dim: str, axis: str = "tp"):
             spec = P(axis, None)
         else:
             spec = P(None, None)
+        # packed scales are [2, groups, N] — same spec shifted right one axis
+        sspec = P(None, *spec) if w.packed else spec
         return QTensor(
             levels_t=_put(w.levels_t, mesh, spec),
-            gscale_t=_put(w.gscale_t, mesh, spec),
-            gbias_t=_put(w.gbias_t, mesh, spec),
+            gscale_t=_put(w.gscale_t, mesh, sspec),
+            gbias_t=_put(w.gbias_t, mesh, sspec),
             gsize=w.gsize, qtype=w.qtype, shape=w.shape,
+            pack_zero=w.pack_zero,
         )
     if w.ndim == 2:  # dense [N, K]
         spec = {"col": P(axis, None), "row": P(None, axis), "rep": P()}[dim]

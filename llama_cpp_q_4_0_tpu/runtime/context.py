@@ -33,12 +33,14 @@ def _bucket(n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "last_only"),
+    static_argnames=("cfg", "last_only", "kv_window"),
     donate_argnames=("cache_k", "cache_v"),
 )
-def _eval_step(cfg, params, tokens, n_past, cache_k, cache_v, last_only):
+def _eval_step(cfg, params, tokens, n_past, cache_k, cache_v, last_only,
+               kv_window=None):
     return transformer.forward(
-        cfg, params, tokens, n_past, cache_k, cache_v, last_only=last_only
+        cfg, params, tokens, n_past, cache_k, cache_v, last_only=last_only,
+        kv_window=kv_window,
     )
 
 
@@ -111,6 +113,7 @@ class Context:
             self.cfg, self.params, jnp.asarray(padded),
             jnp.int32(self.n_past), self.cache_k, self.cache_v,
             False if logits_all or bt != t else True,
+            min(_bucket(self.n_past + t), self.n_ctx),
         )
         logits = np.asarray(logits[:, :t] if logits.shape[1] > 1 else logits)
         dt = (time.perf_counter() - t0) * 1e3

@@ -59,13 +59,51 @@ def test_pallas_qmm_interpret_matches_xla(qtype):
     rng = np.random.default_rng(2)
     x = (rng.standard_normal((4, 512)) * 0.5).astype(np.float32)
     ref = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
-    out = np.asarray(
-        qmm(
-            jnp.asarray(x), qt.levels_t, qt.gscale_t, qt.gbias_t,
-            gsize=qt.gsize, block_n=128, block_k=256, interpret=True,
+    if qt.packed:
+        from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+
+        out = np.asarray(
+            qmm_packed(
+                jnp.asarray(x), qt.levels_t, qt.gscale_t, qt.gbias_t,
+                gsize=qt.gsize, zero=qt.pack_zero, block_n=128, block_k=256,
+                interpret=True,
+            )
         )
-    )
+    else:
+        out = np.asarray(
+            qmm(
+                jnp.asarray(x), qt.levels_t, qt.gscale_t, qt.gbias_t,
+                gsize=qt.gsize, block_n=128, block_k=256, interpret=True,
+            )
+        )
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_packed_unpacked_equivalence():
+    """Nibble packing is lossless: packed and int8 QTensors of the same
+    blocks dequantize and matmul identically."""
+    from llama_cpp_q_4_0_tpu.quant.pack import quantize_planar
+
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((128, 256)) * 0.3).astype(np.float32)
+    for qtype in (GGMLType.Q4_0, GGMLType.Q4_1):
+        planar = quantize_planar(w, qtype)
+        qp = QTensor.from_planar(planar, pack=True)
+        qu = QTensor.from_planar(planar, pack=False)
+        assert qp.packed and not qu.packed
+        np.testing.assert_array_equal(np.asarray(qp.levels_full()),
+                                      np.asarray(qu.levels_t))
+        np.testing.assert_array_equal(np.asarray(qp.dequantize()),
+                                      np.asarray(qu.dequantize()))
+        x = jnp.asarray((rng.standard_normal((3, 256)) * 0.5).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(q_matmul(x, qp, use_pallas=False)),
+            np.asarray(q_matmul(x, qu, use_pallas=False)),
+            rtol=1e-6, atol=1e-6)
+        idx = jnp.asarray([0, 5, 100], jnp.int32)
+        np.testing.assert_allclose(np.asarray(qp.rows(idx)),
+                                   np.asarray(qu.rows(idx)),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_rows_gather():
