@@ -30,6 +30,25 @@ def _dense(arr: np.ndarray, dtype=jnp.float32):
     return jnp.asarray(np.ascontiguousarray(arr, dtype=np.float32), dtype=dtype)
 
 
+def _q4_0_native(raw: np.ndarray, shape: tuple[int, int]) -> QTensor | None:
+    """Fast path: C++ multithreaded block_q4_0 -> packed planar repack
+    (native/ggjt_native.cpp), skipping the numpy transpose pipeline."""
+    from .. import native
+
+    n, k = shape
+    if k % 64 != 0 or not native.available():
+        return None
+    res = native.pack_q4_0(raw, n, k)
+    if res is None:
+        return None
+    packed, scales = res
+    return QTensor(
+        levels_t=jnp.asarray(packed), gscale_t=jnp.asarray(scales),
+        gbias_t=None, gsize=32, qtype=GGMLType.Q4_0, shape=(n, k),
+        pack_zero=8,
+    )
+
+
 def load_tensor(gf: GGJTFile, name: str, dense_dtype=jnp.bfloat16):
     """2-D quantized -> QTensor; 2-D float -> dense array; 1-D -> f32 array."""
     t = gf.tensors[name]
@@ -38,6 +57,10 @@ def load_tensor(gf: GGJTFile, name: str, dense_dtype=jnp.bfloat16):
         if len(t.shape) == 1:
             return _dense(arr, jnp.float32)
         return _dense(arr, dense_dtype)
+    if t.qtype == GGMLType.Q4_0:
+        qt = _q4_0_native(gf.tensor_bytes(name), t.shape)
+        if qt is not None:
+            return qt
     blocks = gf.tensor_blocks(name)
     return QTensor.from_planar(pack_planar(blocks, t.qtype, t.shape))
 

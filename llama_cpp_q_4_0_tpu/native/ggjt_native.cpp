@@ -1,0 +1,233 @@
+// Native host-side runtime: q4_0 planar repack + SentencePiece-style
+// bigram tokenizer.
+//
+// TPU-native counterpart of the reference's C++ host runtime: where ggml
+// mmaps block_q4_0 and consumes it in-place (llama-util.h:166-266,
+// ggml.c:870-953), a TPU framework must *repack* blocks into the planar
+// split-half nibble layout the Pallas kernel streams (ops/qtensor.py) —
+// that repack and the tokenizer (llama.cpp:1655-1802) are the two host hot
+// paths, so they live here in C++ (std::thread pool), bound via ctypes.
+//
+// Build: see native/__init__.py (g++ -O3 -shared -fPIC -pthread).
+
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- fp16
+
+static float f16_to_f32(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t man = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {  // subnormal / zero
+    if (man == 0) {
+      bits = sign;
+    } else {
+      exp = 127 - 15 + 1;
+      while (!(man & 0x400)) {
+        man <<= 1;
+        exp--;
+      }
+      man &= 0x3FF;
+      bits = sign | (exp << 23) | (man << 13);
+    }
+  } else if (exp == 31) {  // inf / nan
+    bits = sign | 0x7F800000u | (man << 13);
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float out;
+  std::memcpy(&out, &bits, 4);
+  return out;
+}
+
+// ------------------------------------------------- q4_0 planar repack
+//
+// In:  blocks = N * (K/32) records of block_q4_0 {uint16 d; uint8 qs[16]}
+//      (ggml.c:870-875; byte j of qs holds elements j (lo) and j+16 (hi))
+// Out: packed  uint8 [K2P, N]   — split-half: byte(r, n) = nib(k=r) |
+//                                 nib(k=r+K/2) << 4, rows >= K/2 zero-pad
+//      scales  f32  [2, K2P/32, N] — lo/hi panel group scales, pad rows 0
+// Matches QTensor packed layout exactly (pack_zero = 8: ggml's stored
+// nibbles are already the biased levels).
+
+struct BlockQ40 {
+  uint16_t d;
+  uint8_t qs[16];
+};
+static_assert(sizeof(BlockQ40) == 18, "block_q4_0 is 18 bytes");
+
+static void pack_rows_q4_0(const BlockQ40* blocks, int64_t n, int64_t k,
+                           int64_t k2p, uint8_t* packed, float* scales,
+                           int64_t col0, int64_t col1) {
+  const int64_t nb = k / 32;       // blocks per source row
+  const int64_t k2 = k / 2;
+  const int64_t g2p = k2p / 32;    // scale rows per panel
+  for (int64_t col = col0; col < col1; ++col) {  // col = source row n
+    const BlockQ40* row = blocks + col * nb;
+    for (int64_t j = 0; j < nb; ++j) {
+      const BlockQ40& b = row[j];
+      const float d = f16_to_f32(b.d);
+      const int64_t kbase = j * 32;
+      // group scale: panel p = (kbase >= k2), group row = (kbase % k2)/32
+      const int64_t panel = kbase >= k2 ? 1 : 0;
+      const int64_t grow = (kbase - panel * k2) / 32;
+      scales[(panel * g2p + grow) * n + col] = d;
+      for (int64_t i = 0; i < 16; ++i) {
+        const uint8_t lo = row[j].qs[i] & 0x0F;        // element kbase + i
+        const uint8_t hi = row[j].qs[i] >> 4;          // element kbase + 16 + i
+        const int64_t ka = kbase + i, kb = kbase + 16 + i;
+        // scatter both elements into the split-half packed byte
+        const int64_t ra = ka < k2 ? ka : ka - k2;
+        const int64_t rb = kb < k2 ? kb : kb - k2;
+        uint8_t* pa = packed + ra * n + col;
+        uint8_t* pb = packed + rb * n + col;
+        if (ka < k2) *pa = (uint8_t)((*pa & 0xF0) | lo);
+        else         *pa = (uint8_t)((*pa & 0x0F) | (lo << 4));
+        if (kb < k2) *pb = (uint8_t)((*pb & 0xF0) | hi);
+        else         *pb = (uint8_t)((*pb & 0x0F) | (hi << 4));
+      }
+    }
+  }
+}
+
+// packed must be zero-initialised by the caller (numpy zeros).
+void gt_pack_q4_0(const uint8_t* blocks_raw, int64_t n, int64_t k,
+                  int64_t k2p, uint8_t* packed, float* scales,
+                  int n_threads) {
+  const BlockQ40* blocks = reinterpret_cast<const BlockQ40*>(blocks_raw);
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = (int)n;
+  if (n_threads <= 1) {
+    pack_rows_q4_0(blocks, n, k, k2p, packed, scales, 0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t c0 = t * chunk;
+    const int64_t c1 = std::min<int64_t>(n, c0 + chunk);
+    if (c0 >= c1) break;
+    threads.emplace_back(pack_rows_q4_0, blocks, n, k, k2p, packed, scales,
+                         c0, c1);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// ------------------------------------------------------- bigram tokenizer
+// Port of llama_tokenizer (llama.cpp:1655-1802): split to UTF-8 chars,
+// greedily merge the highest-score bigram (ties: leftmost), unknown bytes
+// fall back to id = byte + 3.
+
+struct GtVocab {
+  std::unordered_map<std::string, int32_t> token_to_id;
+  std::vector<float> scores;
+};
+
+void* gt_vocab_create(const uint8_t* bytes, const int64_t* offsets,
+                      const float* scores, int32_t n) {
+  auto* v = new GtVocab();
+  v->scores.assign(scores, scores + n);
+  v->token_to_id.reserve(n * 2);
+  for (int32_t i = 0; i < n; ++i) {
+    std::string tok(reinterpret_cast<const char*>(bytes + offsets[i]),
+                    (size_t)(offsets[i + 1] - offsets[i]));
+    // last id wins on duplicates (llama.cpp loader / python dict semantics)
+    v->token_to_id[std::move(tok)] = i;
+  }
+  return v;
+}
+
+void gt_vocab_free(void* vp) { delete static_cast<GtVocab*>(vp); }
+
+static inline int utf8_len(uint8_t b) {
+  if ((b & 0xE0) == 0xC0) return 2;
+  if ((b & 0xF0) == 0xE0) return 3;
+  if ((b & 0xF8) == 0xF0) return 4;
+  return 1;
+}
+
+struct Bigram {
+  float score;
+  int32_t left, right, size;
+};
+struct BigramLess {
+  bool operator()(const Bigram& a, const Bigram& b) const {
+    return a.score < b.score || (a.score == b.score && a.left > b.left);
+  }
+};
+
+int32_t gt_tokenize(const void* vp, const uint8_t* text, int64_t text_len,
+                    int32_t add_bos, int32_t* out, int64_t out_cap) {
+  const GtVocab* v = static_cast<const GtVocab*>(vp);
+  int64_t n_out = 0;
+  if (add_bos && n_out < out_cap) out[n_out++] = 1;  // TOKEN_BOS
+  if (text_len == 0) return (int32_t)n_out;
+
+  std::vector<std::string> sym;
+  sym.reserve(text_len);
+  std::vector<int32_t> prev, next;
+  for (int64_t off = 0; off < text_len;) {
+    int len = std::min<int64_t>(text_len - off, utf8_len(text[off]));
+    sym.emplace_back(reinterpret_cast<const char*>(text + off), len);
+    off += len;
+  }
+  const int32_t n_sym = (int32_t)sym.size();
+  std::vector<int32_t> length(n_sym);
+  prev.resize(n_sym);
+  next.resize(n_sym);
+  for (int32_t i = 0; i < n_sym; ++i) {
+    prev[i] = i - 1;
+    next[i] = i + 1 < n_sym ? i + 1 : -1;
+    length[i] = (int32_t)sym[i].size();
+  }
+
+  std::priority_queue<Bigram, std::vector<Bigram>, BigramLess> heap;
+  auto try_add = [&](int32_t left, int32_t right) {
+    if (left == -1 || right == -1) return;
+    std::string merged = sym[left] + sym[right];
+    auto it = v->token_to_id.find(merged);
+    if (it == v->token_to_id.end()) return;
+    heap.push({v->scores[it->second], left, right, (int32_t)merged.size()});
+  };
+  for (int32_t i = 1; i < n_sym; ++i) try_add(i - 1, i);
+
+  while (!heap.empty()) {
+    Bigram bg = heap.top();
+    heap.pop();
+    if (length[bg.left] == 0 || length[bg.right] == 0 ||
+        length[bg.left] + length[bg.right] != bg.size)
+      continue;
+    sym[bg.left] += sym[bg.right];
+    length[bg.left] += length[bg.right];
+    length[bg.right] = 0;
+    next[bg.left] = next[bg.right];
+    if (next[bg.right] >= 0) prev[next[bg.right]] = bg.left;
+    try_add(prev[bg.left], bg.left);
+    try_add(bg.left, next[bg.left]);
+  }
+
+  for (int32_t i = 0; i != -1; i = next[i]) {
+    auto it = v->token_to_id.find(sym[i]);
+    if (it == v->token_to_id.end()) {
+      for (unsigned char c : sym[i]) {
+        if (n_out >= out_cap) return -1;
+        out[n_out++] = (int32_t)c + 3;
+      }
+    } else {
+      if (n_out >= out_cap) return -1;
+      out[n_out++] = it->second;
+    }
+  }
+  return (int32_t)n_out;
+}
+
+}  // extern "C"

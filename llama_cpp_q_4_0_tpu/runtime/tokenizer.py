@@ -48,12 +48,20 @@ class Vocab:
 
 
 class Tokenizer:
-    def __init__(self, vocab: Vocab):
+    def __init__(self, vocab: Vocab, use_native: bool | None = None):
         self.vocab = vocab
+        self._native = None
+        if use_native is not False:
+            from .. import native
+
+            if native.available():
+                self._native = native.NativeVocab(vocab.tokens, vocab.scores)
 
     def tokenize(self, text: str | bytes, bos: bool = False) -> list[int]:
         if isinstance(text, str):
             text = text.encode("utf-8")
+        if self._native is not None:
+            return self._native.tokenize(bytes(text), bos)
         out: list[int] = []
         if bos:
             out.append(TOKEN_BOS)
