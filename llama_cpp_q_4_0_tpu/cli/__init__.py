@@ -19,6 +19,10 @@ TOOLS = {
               "train"),
     "convert": ("convert a HF checkpoint to ggjt (convert.py)", "convert"),
     "convert-lora": ("convert a PEFT LoRA dir to ggla", "convert_lora"),
+    "update": ("rewrite old ggml/ggmf file as current ggjt", "update"),
+    "export-graph": ("AOT export / replay decode step (llama_eval_export)",
+                     "export_graph"),
+    "verify-checksums": ("SHA256 model integrity check", "verify_checksums"),
 }
 
 

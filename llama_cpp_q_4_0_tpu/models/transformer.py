@@ -164,7 +164,7 @@ def forward(
     static-shape answer to ggml's growing KV views (llama.cpp:1362-1374):
     early in a long context, attention streams a short prefix of the cache
     instead of all n_ctx slots, at the cost of one compile per bucket."""
-    b, t = tokens.shape
+    b, t = tokens.shape[:2]
     s = cache_k[0].shape[1]
     w = s if kv_window is None else min(kv_window, s)
     h_all, h_kv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
@@ -174,7 +174,12 @@ def forward(
     kv_mask = jnp.broadcast_to(kv_mask, (b, w))
     scale = 1.0 / math.sqrt(hd)
 
-    x = _embed(params, tokens)  # [B, T, E] f32
+    if tokens.ndim == 3:
+        # raw input embeddings [B, T, E] (llama_eval_embd, llama.h:239-244 —
+        # the embd-input / multimodal front door)
+        x = tokens.astype(jnp.float32)
+    else:
+        x = _embed(params, tokens)  # [B, T, E] f32
     new_k, new_v = [], []
     for l, blk in enumerate(params.blocks):
         h = _norm(cfg, x, blk.attn_norm_w, blk.attn_norm_b)

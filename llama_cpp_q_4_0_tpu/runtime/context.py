@@ -133,6 +133,24 @@ class Context:
     def logits(self) -> np.ndarray:
         return self._logits
 
+    def eval_embd(self, embeddings: np.ndarray,
+                  *, logits_all: bool = False) -> np.ndarray:
+        """Evaluate raw input embeddings [B, T, n_embd] (llama_eval_embd,
+        llama.h:239-244; the embd-input multimodal entry point).  No bucket
+        padding: callers control T exactly."""
+        emb = jnp.asarray(np.asarray(embeddings, np.float32))
+        b, t, e = emb.shape
+        assert b == self.batch and e == self.cfg.n_embd
+        assert self.n_past + t <= self.n_ctx, "context overflow"
+        logits, self.cache_k, self.cache_v = _eval_step(
+            self.cfg, self.params, emb, jnp.int32(self.n_past),
+            self.cache_k, self.cache_v, not logits_all,
+            min(_bucket(self.n_past + t), self.n_ctx),
+        )
+        self.n_past += t
+        self._logits = np.asarray(logits)
+        return self._logits
+
     def embed(self, tokens) -> np.ndarray:
         """Evaluate tokens and return the final-norm hidden state of the last
         token [B, n_embd] (llama_get_embeddings, llama.h:335)."""

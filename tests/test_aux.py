@@ -1,0 +1,144 @@
+"""Auxiliary-subsystem parity: eval_embd / embd-input, rwkv_opt online
+training, graph export/import replay, update tool, checksum tool
+(SURVEY.md §2 items 11, 19, 33-36)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_transformer
+from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+from llama_cpp_q_4_0_tpu.runtime.context import Context
+from llama_cpp_q_4_0_tpu.runtime.tokenizer import Tokenizer, Vocab
+
+
+@pytest.fixture(scope="module")
+def loaded(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("aux") / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+    gf = read_ggjt(path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    return cfg, load_transformer(gf, cfg), gf
+
+
+def test_eval_embd_matches_token_eval(loaded):
+    """Feeding the model's own embedding rows must equal token eval
+    (llama_eval_embd contract)."""
+    import jax.numpy as jnp
+
+    cfg, params, _ = loaded
+    toks = np.asarray([[3, 7, 11]], np.int32)
+    ctx_a = Context(cfg, params, n_ctx=64, cache_dtype=jnp.float32)
+    ref = ctx_a.eval(toks)
+
+    from llama_cpp_q_4_0_tpu.models.transformer import _embed
+
+    emb = np.asarray(_embed(params, jnp.asarray(toks)))
+    ctx_b = Context(cfg, params, n_ctx=64, cache_dtype=jnp.float32)
+    got = ctx_b.eval_embd(emb)  # last-token logits only
+    np.testing.assert_allclose(got[:, -1], ref[:, -1], rtol=1e-5, atol=1e-5)
+    assert ctx_b.n_past == 3
+
+
+def test_embd_input_driver(loaded):
+    cfg, params, gf = loaded
+    from llama_cpp_q_4_0_tpu.runtime.embd_input import EmbdInput, LinearProjector
+    from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
+
+    rng = np.random.default_rng(0)
+    proj = LinearProjector(rng.standard_normal((cfg.n_embd, 16)) * 0.1,
+                           np.zeros(cfg.n_embd))
+    feats = rng.standard_normal((4, 16)).astype(np.float32)
+    ctx = Context(cfg, params, n_ctx=64)
+    tok = Tokenizer(Vocab.from_ggjt(gf))
+    mi = EmbdInput(ctx, tok, SamplingParams(temp=0.8), seed=3)
+    mi.eval_text("hi", bos=True)
+    mi.eval_float(proj(feats))
+    out = mi.generate_text(n_predict=4)
+    assert isinstance(out, str) and ctx.n_past > 5
+
+
+def test_rwkv_opt_reduces_error(tmp_path):
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_rwkv_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import load_rwkv
+    from llama_cpp_q_4_0_tpu.runtime.context import RwkvContext
+    from llama_cpp_q_4_0_tpu.training.rwkv_opt import rwkv_opt
+
+    path = str(tmp_path / "r.bin")
+    cfg = make_rwkv_ggjt(path, n_vocab=128, n_embd=32, n_layer=2,
+                         qtype=GGMLType.F32)
+    gf = read_ggjt(path, "rwkv")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    params = load_rwkv(gf, cfg)
+    ctx = RwkvContext(cfg, params)
+    ctx.eval(np.asarray([[5, 9]], np.int32))
+    before, after = rwkv_opt(ctx, token=11, actual=42, n_iter=8)
+    assert np.isfinite(before) and np.isfinite(after)
+    assert after < before, (before, after)
+    assert ctx.n_past == 3
+    # the updated weights should rank the trained target higher now
+    logits = ctx.eval(np.asarray([[11]], np.int32))
+    assert np.isfinite(logits).all()
+
+
+def test_export_graph_roundtrip(tmp_path, loaded):
+    cfg, params, _ = loaded
+    from llama_cpp_q_4_0_tpu.runtime.export import export_decode, load_exported
+
+    path = str(tmp_path / "step.ggtx")
+    export_decode(cfg, params, path, n_ctx=64)
+    m = load_exported(path)
+
+    ctx = Context(cfg, params, n_ctx=64)
+    toks = [3, 9, 27]
+    outs_ref = []
+    for t in toks:
+        outs_ref.append(ctx.eval(np.asarray([[t]], np.int32)))
+    for t, ref in zip(toks, outs_ref):
+        got = m.step(np.asarray([[t]], np.int32))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    with pytest.raises(ValueError, match="not an exported"):
+        import zipfile
+
+        bad = str(tmp_path / "bad.ggtx")
+        with zipfile.ZipFile(bad, "w") as z:
+            z.writestr("meta.json", json.dumps({"magic": "nope"}))
+        load_exported(bad)
+
+
+def test_update_tool(tmp_path):
+    from llama_cpp_q_4_0_tpu.cli import update as update_cli
+
+    src = str(tmp_path / "src.bin")
+    make_llama_ggjt(src, n_vocab=256, n_embd=64, n_head=4, n_layer=1)
+    dst = str(tmp_path / "dst.bin")
+    assert update_cli.main([src, dst]) == 0
+
+    a, b = read_ggjt(src, "llama"), read_ggjt(dst, "llama")
+    assert a.hparams == b.hparams and a.ftype == b.ftype
+    assert list(a.tensors) == list(b.tensors)
+    for name in a.tensors:
+        np.testing.assert_array_equal(a.tensor_bytes(name), b.tensor_bytes(name))
+
+
+def test_verify_checksums(tmp_path, capsys):
+    import hashlib
+
+    from llama_cpp_q_4_0_tpu.cli import verify_checksums as vc
+
+    f = tmp_path / "model.bin"
+    f.write_bytes(b"hello model")
+    good = hashlib.sha256(b"hello model").hexdigest()
+    sums = tmp_path / "SHA256SUMS"
+    sums.write_text(f"{good}  model.bin\n{'0' * 64}  missing.bin\n")
+    assert vc.main([str(sums)]) == 1
+    out = capsys.readouterr().out
+    assert "model.bin: OK" in out and "missing.bin: MISSING" in out
+
+    sums.write_text(f"{good}  model.bin\n")
+    assert vc.main([str(sums)]) == 0
