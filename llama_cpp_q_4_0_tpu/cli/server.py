@@ -31,6 +31,10 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     add_model_args(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--parallel", type=int, default=1,
+                   help=">1: continuous-batching engine with N slots "
+                        "(requests decode concurrently; beyond the "
+                        "reference's single-session server)")
     return p
 
 
@@ -57,10 +61,13 @@ def sampling_from_json(body: dict) -> SamplingParams:
 
 class ServerState:
     """llama_server_context (server.cpp:40-200): one model, one lock,
-    last-evaluated tokens kept for prefix reuse."""
+    last-evaluated tokens kept for prefix reuse.  With engine != None,
+    /completion requests run through the continuous-batching engine
+    concurrently instead (runtime/batch_engine.py)."""
 
-    def __init__(self, lm):
+    def __init__(self, lm, engine=None):
         self.lm = lm
+        self.engine = engine
         self.lock = threading.Lock()
         self.last_tokens: list[int] = []
 
@@ -125,6 +132,8 @@ def make_handler(state: ServerState):
                 seed=int(body.get("seed", -1)),
             )
             stop = body.get("stop", [])
+            if state.engine is not None:
+                return self._completion_batched(body, prompt, gp, stop)
             with state.lock:
                 toks = lm.tokenizer.tokenize(prompt, bos=True)
                 todo = state.load_prompt(toks)
@@ -163,12 +172,62 @@ def make_handler(state: ServerState):
                     })
                 state.last_tokens = toks + produced
 
+        def _completion_batched(self, body: dict, prompt: str, gp, stop):
+            from ..runtime.batch_engine import Request
+
+            toks = lm.tokenizer.tokenize(prompt, bos=True)
+            req = state.engine.submit(Request(
+                prompt_tokens=toks,
+                n_predict=gp.n_predict,
+                sampling=gp.sampling,
+                seed=gp.seed,
+                stop_sequences=tuple(tuple(lm.tokenizer.tokenize(s))
+                                     for s in stop),
+            ))
+            produced: list[int] = []
+            if body.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(obj):
+                    data = b"data: " + json.dumps(obj).encode() + b"\n\n"
+                    self.wfile.write(hex(len(data))[2:].encode() + b"\r\n"
+                                     + data + b"\r\n")
+
+                for t in req.tokens():
+                    produced.append(t)
+                    chunk({"content": lm.tokenizer.token_text(t)
+                           .decode("utf-8", errors="replace"), "stop": False})
+                chunk({"content": "", "stop": True,
+                       "tokens_predicted": len(produced)})
+                self.wfile.write(b"0\r\n\r\n")
+            else:
+                produced = list(req.tokens())
+                self._json(200, {
+                    "content": lm.tokenizer.detokenize(produced)
+                    .decode("utf-8", errors="replace"),
+                    "tokens_predicted": len(produced),
+                    "tokens_evaluated": len(toks),
+                    "stopped_eos": len(produced) < gp.n_predict,
+                    "generation_settings": {"n_predict": gp.n_predict},
+                })
+
     return Handler
 
 
 def run(args) -> int:
     lm = load_model(args)
-    state = ServerState(lm)
+    engine = None
+    if getattr(args, "parallel", 1) > 1:
+        from ..runtime.batch_engine import BatchEngine
+
+        engine = BatchEngine(lm.cfg, lm.ctx.params, n_slots=args.parallel,
+                             n_ctx=args.n_ctx)
+        engine.start()
+        print(f"continuous batching: {args.parallel} slots", file=sys.stderr)
+    state = ServerState(lm, engine)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"server listening on http://{args.host}:{args.port}",
           file=sys.stderr)

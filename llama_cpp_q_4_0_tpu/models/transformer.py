@@ -168,11 +168,24 @@ def forward(
     s = cache_k[0].shape[1]
     w = s if kv_window is None else min(kv_window, s)
     h_all, h_kv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
-    pos = n_past + jnp.arange(t, dtype=jnp.int32)  # [T]
-    pos_b = jnp.broadcast_to(pos[None, :], (b, t))
-    kv_mask = jnp.arange(w, dtype=jnp.int32)[None, :] < (n_past + t)
-    kv_mask = jnp.broadcast_to(kv_mask, (b, w))
+    # n_past: scalar (all rows aligned) or [B] (continuous batching — each
+    # slot at its own position)
+    per_row = jnp.ndim(n_past) == 1
+    n_past_v = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32), (b,))
+    pos_b = n_past_v[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    kv_mask = (jnp.arange(w, dtype=jnp.int32)[None, :]
+               < (n_past_v[:, None] + t))
     scale = 1.0 / math.sqrt(hd)
+
+    def cache_insert(cache, val):
+        if not per_row:
+            return jax.lax.dynamic_update_slice(
+                cache, val.astype(cache.dtype), (0, n_past, 0, 0)
+            )
+        return jax.vmap(
+            lambda c, v, o: jax.lax.dynamic_update_slice(
+                c, v.astype(c.dtype), (o, 0, 0))
+        )(cache, val, n_past_v)
 
     if tokens.ndim == 3:
         # raw input embeddings [B, T, E] (llama_eval_embd, llama.h:239-244 —
@@ -189,12 +202,8 @@ def forward(
         if cfg.n_rot > 0:
             q = rope(q, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
             k = rope(k, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
-        ck = jax.lax.dynamic_update_slice(
-            cache_k[l], k.astype(cache_k[l].dtype), (0, n_past, 0, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cache_v[l], v.astype(cache_v[l].dtype), (0, n_past, 0, 0)
-        )
+        ck = cache_insert(cache_k[l], k)
+        cv = cache_insert(cache_v[l], v)
         new_k.append(ck)
         new_v.append(cv)
 

@@ -1,0 +1,263 @@
+"""Continuous-batching inference engine — multi-request serving.
+
+The reference's server is strictly single-session (llama_server_context,
+server.cpp:40-200): one request at a time, others queue behind an HTTP
+lock.  This engine is the TPU-native upgrade called for in SURVEY.md §7.7:
+N slots share one batched decode step (one [N, 1] forward per tick,
+per-slot n_past vector), new requests are admitted into free slots
+mid-flight (slot-wise prefill touching only that row's KV rows), finished
+slots free immediately.  Throughput scales with occupancy because decode is
+weight-bandwidth-bound: the weights stream once per tick regardless of how
+many slots are active.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import transformer
+from ..models.config import ModelConfig
+from ..models.transformer import TransformerParams, init_cache
+from .sampling import Sampler, SamplingParams
+from .tokenizer import TOKEN_EOS
+
+
+@dataclass
+class Request:
+    prompt_tokens: list[int]
+    n_predict: int = 128
+    sampling: SamplingParams = field(default_factory=SamplingParams)
+    seed: int = -1
+    stop_sequences: tuple[tuple[int, ...], ...] = ()
+    # filled by the engine:
+    id: int = -1
+    out: "queue.Queue[int | None]" = field(default_factory=queue.Queue)
+
+    def tokens(self):
+        """Iterate generated ids until completion (blocking)."""
+        while True:
+            t = self.out.get()
+            if t is None:
+                return
+            yield t
+
+
+class _Slot:
+    def __init__(self, idx: int):
+        self.idx = idx
+        self.req: Request | None = None
+        self.sampler: Sampler | None = None
+        self.last_tokens: list[int] = []
+        self.produced = 0
+        self.n_past = 0
+
+    @property
+    def free(self) -> bool:
+        return self.req is None
+
+
+def _bucket(n: int) -> int:
+    from .context import PREFILL_BUCKETS
+
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 2047) // 2048) * 2048
+
+
+class BatchEngine:
+    """One engine thread owns the device state; callers submit() Requests
+    and read their token queues."""
+
+    def __init__(self, cfg: ModelConfig, params: TransformerParams, *,
+                 n_slots: int = 4, n_ctx: int | None = None,
+                 cache_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.n_slots = n_slots
+        self.n_ctx = n_ctx or cfg.n_ctx
+        self.cache_k, self.cache_v = init_cache(cfg, n_slots, self.n_ctx,
+                                                cache_dtype)
+        self.slots = [_Slot(i) for i in range(n_slots)]
+        self._ids = itertools.count()
+        self._inbox: queue.Queue[Request | None] = queue.Queue()
+        self._pending: list[Request] = []
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self._jit_decode = self._make_decode()
+        self._jit_prefill = self._make_prefill()
+
+    # ------------------------------------------------------------- device
+
+    def _make_decode(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("kv_window",),
+                           donate_argnames=("cache_k", "cache_v"))
+        def decode(params, tokens, n_past_v, cache_k, cache_v, kv_window):
+            return transformer.forward(
+                cfg, params, tokens, n_past_v, cache_k, cache_v,
+                last_only=True, kv_window=kv_window,
+            )
+
+        return decode
+
+    def _make_prefill(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("kv_window",),
+                           donate_argnames=("cache_k", "cache_v"))
+        def prefill(params, tokens, slot, n_real, cache_k, cache_v,
+                    kv_window):
+            """[1, T_pad] prefill against one slot's KV rows; returns the
+            logits of the last *real* token."""
+            row_k = tuple(jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
+                          for c in cache_k)
+            row_v = tuple(jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
+                          for c in cache_v)
+            logits, row_k, row_v = transformer.forward(
+                cfg, params, tokens, jnp.int32(0), row_k, row_v,
+                last_only=False, kv_window=kv_window,
+            )
+            logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1,
+                                                  axis=1)
+            new_k = tuple(
+                jax.lax.dynamic_update_slice_in_dim(c, r.astype(c.dtype),
+                                                    slot, 0)
+                for c, r in zip(cache_k, row_k))
+            new_v = tuple(
+                jax.lax.dynamic_update_slice_in_dim(c, r.astype(c.dtype),
+                                                    slot, 0)
+                for c, r in zip(cache_v, row_v))
+            return logits, new_k, new_v
+
+        return prefill
+
+    # -------------------------------------------------------------- public
+
+    def submit(self, req: Request) -> Request:
+        req.id = next(self._ids)
+        self._inbox.put(req)
+        return req
+
+    def start(self):
+        assert self._thread is None
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._inbox.put(None)
+        if self._thread:
+            self._thread.join()
+            self._thread = None
+
+    @property
+    def n_active(self) -> int:
+        return sum(not s.free for s in self.slots)
+
+    # -------------------------------------------------------------- engine
+
+    def _drain_inbox(self, block: bool):
+        try:
+            while True:
+                r = (self._inbox.get(timeout=0.2) if block
+                     else self._inbox.get_nowait())
+                if r is None:
+                    return
+                self._pending.append(r)
+                block = False
+        except queue.Empty:
+            pass
+
+    def _admit(self):
+        for slot in self.slots:
+            if not self._pending:
+                return
+            if not slot.free:
+                continue
+            req = self._pending.pop(0)
+            prompt = req.prompt_tokens[: self.n_ctx - 1] or [1]
+            pad = min(_bucket(len(prompt)), self.n_ctx)
+            toks = np.zeros((1, pad), np.int32)
+            toks[0, : len(prompt)] = prompt
+            logits, self.cache_k, self.cache_v = self._jit_prefill(
+                self.params, jnp.asarray(toks), jnp.int32(slot.idx),
+                jnp.int32(len(prompt)), self.cache_k, self.cache_v,
+                kv_window=pad,
+            )
+            slot.req = req
+            slot.sampler = Sampler(req.sampling, self.cfg.n_vocab, req.seed)
+            slot.last_tokens = list(prompt)
+            slot.produced = 0
+            slot.n_past = len(prompt)
+            self._emit(slot, np.asarray(logits)[0, -1])
+
+    def _emit(self, slot: _Slot, row_logits: np.ndarray):
+        """Sample one token for the slot; handle finish conditions."""
+        req = slot.req
+        tok = slot.sampler.sample(row_logits, slot.last_tokens)
+        done = False
+        if tok == TOKEN_EOS:
+            done = True
+        else:
+            slot.last_tokens.append(tok)
+            slot.produced += 1
+            req.out.put(tok)
+            if req.stop_sequences and any(
+                tuple(slot.last_tokens[-len(ss):]) == ss
+                for ss in req.stop_sequences if ss
+            ):
+                done = True
+        if (slot.produced >= req.n_predict
+                or slot.n_past + 1 >= self.n_ctx):
+            done = True
+        if done:
+            req.out.put(None)
+            slot.req = None
+            slot.sampler = None
+
+    def _tick(self):
+        """One batched decode step over all active slots."""
+        toks = np.zeros((self.n_slots, 1), np.int32)
+        n_past = np.zeros(self.n_slots, np.int32)
+        for s in self.slots:
+            if not s.free:
+                toks[s.idx, 0] = s.last_tokens[-1]
+                n_past[s.idx] = s.n_past
+        window = min(_bucket(int(n_past.max()) + 1), self.n_ctx)
+        logits, self.cache_k, self.cache_v = self._jit_decode(
+            self.params, jnp.asarray(toks), jnp.asarray(n_past),
+            self.cache_k, self.cache_v, kv_window=window,
+        )
+        logits = np.asarray(logits)
+        for s in self.slots:
+            if s.free:
+                continue
+            s.n_past += 1
+            self._emit(s, logits[s.idx, -1])
+
+    def _run(self):
+        while not self._stop.is_set():
+            self._drain_inbox(block=(self.n_active == 0 and not self._pending))
+            if self._stop.is_set():
+                break
+            self._admit()
+            if self.n_active:
+                self._tick()
+        for s in self.slots:  # fail any open requests on shutdown
+            if s.req is not None:
+                s.req.out.put(None)
+                s.req = None
+        for r in self._pending:
+            r.out.put(None)
+        self._pending.clear()

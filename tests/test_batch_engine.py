@@ -1,0 +1,177 @@
+"""Continuous-batching engine: per-row n_past forward correctness, engine
+output parity with single-session generation, mid-flight admission, and the
+batched server endpoint (SURVEY.md §7.7 — capability the reference lacks)."""
+
+import http.client
+import json
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+from llama_cpp_q_4_0_tpu.models import transformer
+from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_transformer
+from llama_cpp_q_4_0_tpu.runtime.batch_engine import BatchEngine, Request
+from llama_cpp_q_4_0_tpu.runtime.context import Context
+from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
+
+GREEDY = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                        repeat_last_n=0)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("be") / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+    gf = read_ggjt(path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    return cfg, load_transformer(gf, cfg), gf
+
+
+def test_per_row_n_past_matches_scalar(model):
+    """forward with an n_past vector == row-by-row scalar forwards."""
+    cfg, params, _ = model
+    b = 3
+    rng = np.random.default_rng(0)
+    tok = jnp.asarray(rng.integers(0, 255, (b, 1)), jnp.int32)
+    offs = [0, 3, 7]
+
+    # per-row: prime each row's cache at a different offset
+    ck, cv = transformer.init_cache(cfg, b, 32, dtype=jnp.float32)
+    prim = jnp.asarray(rng.integers(0, 255, (b, 8)), jnp.int32)
+    # prime rows individually with scalar n_past 0 (lengths differ by mask)
+    rows = []
+    for i in range(b):
+        ck1, cv1 = transformer.init_cache(cfg, 1, 32, dtype=jnp.float32)
+        if offs[i]:
+            _, ck1, cv1 = transformer.forward(
+                cfg, params, prim[i:i + 1, :offs[i]], jnp.int32(0), ck1, cv1)
+        rows.append((ck1, cv1))
+    ck = tuple(jnp.concatenate([rows[i][0][l] for i in range(b)], axis=0)
+               for l in range(cfg.n_layer))
+    cv = tuple(jnp.concatenate([rows[i][1][l] for i in range(b)], axis=0)
+               for l in range(cfg.n_layer))
+
+    got, _, _ = transformer.forward(
+        cfg, params, tok, jnp.asarray(offs, jnp.int32), ck, cv,
+        last_only=True)
+    for i in range(b):
+        want, _, _ = transformer.forward(
+            cfg, params, tok[i:i + 1], jnp.int32(offs[i]),
+            tuple(c[i:i + 1] for c in ck), tuple(c[i:i + 1] for c in cv),
+            last_only=True)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want[0]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_engine_matches_single_session(model):
+    """Greedy outputs through the engine == single-session Context decode,
+    even with concurrent interleaved requests."""
+    cfg, params, gf = model
+    prompts = [[3, 5, 7], [11, 13], [100, 90, 80, 70]]
+
+    def single(prompt, n=6):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    refs = [single(p) for p in prompts]
+
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64)
+    eng.start()
+    try:
+        reqs = [eng.submit(Request(p, n_predict=6, sampling=GREEDY))
+                for p in prompts]  # 3 requests, 2 slots: forces queueing
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    # bf16 cache + batched math: identical greedy paths expected on this
+    # scale; compare token-for-token
+    for ref, out in zip(refs, outs):
+        assert ref == out, (ref, out)
+
+
+def test_engine_n_predict_and_stop(model):
+    cfg, params, _ = model
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64)
+    eng.start()
+    try:
+        r1 = eng.submit(Request([5, 6], n_predict=2, sampling=GREEDY))
+        out = list(r1.tokens())
+        assert len(out) <= 2
+        # stop sequence of length 1 = first generated token -> single token
+        first = out[0]
+        r2 = eng.submit(Request([5, 6], n_predict=8, sampling=GREEDY,
+                                stop_sequences=((first,),)))
+        out2 = list(r2.tokens())
+        assert out2[0] == first and len(out2) == 1
+    finally:
+        eng.stop()
+    assert eng.n_active == 0
+
+
+def test_server_parallel_endpoint(model, tmp_path_factory):
+    from http.server import ThreadingHTTPServer
+
+    from llama_cpp_q_4_0_tpu.cli.common import load_model
+    from llama_cpp_q_4_0_tpu.cli.server import ServerState, make_handler
+
+    path = str(tmp_path_factory.mktemp("besrv") / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+
+    class A:
+        model, arch, n_ctx, n_batch = path, None, 64, 64
+        lora = lora_base = None
+        memory_f32 = False
+
+    lm = load_model(A())
+    eng = BatchEngine(lm.cfg, lm.ctx.params, n_slots=2, n_ctx=64)
+    eng.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(ServerState(lm, eng)))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        results = {}
+
+        def post(i):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request("POST", "/completion",
+                         json.dumps({"prompt": f"req {i}", "n_predict": 4,
+                                     "seed": i}),
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            results[i] = (r.status, json.loads(r.read()))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(3):
+            st, body = results[i]
+            assert st == 200 and body["tokens_predicted"] <= 4
+    finally:
+        httpd.shutdown()
+        eng.stop()
+
+
+def test_profiling_dump(model):
+    from llama_cpp_q_4_0_tpu.utils.profiling import dump_graph, op_histogram
+
+    cfg, params, _ = model
+    ctx = Context(cfg, params, n_ctx=64)
+    hist = op_histogram(ctx)
+    assert hist.get("dot_general", 0) > 0
+    txt = dump_graph(ctx, compiled_stats=True)
+    assert "equations" in txt and "dot_general" in txt
