@@ -25,7 +25,45 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--sizey", type=int, default=4096)
     p.add_argument("--sizez", type=int, default=128)
     p.add_argument("-t", "--type", default="q4_0")
+    p.add_argument("--vdot", action="store_true",
+                   help="vector-dot accuracy/speed comparison "
+                        "(pocs/vdot/{vdot,q8dot}.cpp analogue)")
     return p
+
+
+def run_vdot(args) -> int:
+    """pocs/vdot parity: compare the quantized dot against the full-float
+    dot — error statistics + timing, like vdot.cpp:59-296."""
+    import jax
+
+    k = args.sizey
+    qtype = GGMLType[args.type.upper()]
+    rng = np.random.default_rng(0)
+    errs = []
+    for trial in range(16):
+        w = (rng.standard_normal((1, k)) * 0.5).astype(np.float32)
+        x = (rng.standard_normal((1, k)) * 0.5).astype(np.float32)
+        qw = QTensor.quantize(w, qtype)
+        exact = float(x[0] @ w[0])
+        qdot = float(np.asarray(q_matmul(jnp.asarray(x), qw,
+                                         use_pallas=False))[0, 0])
+        # quantize-then-dot against the *dequantized* weight = the format's
+        # intrinsic error (vdot.cpp's "dot" vs "exact dot")
+        deq = float(x[0] @ np.asarray(qw.dequantize())[0])
+        errs.append((abs(qdot - exact), abs(qdot - deq)))
+    errs = np.asarray(errs)
+    print(f"{qtype.name} vdot over K={k}, 16 trials:")
+    print(f"  |qdot - exact f32 dot|   avg {errs[:, 0].mean():.5f}  "
+          f"max {errs[:, 0].max():.5f}  (quantization error)")
+    print(f"  |qdot - dequant dot|     avg {errs[:, 1].mean():.5f}  "
+          f"max {errs[:, 1].max():.5f}  (compute error)")
+    w = (rng.standard_normal((128, k)) * 0.5).astype(np.float32)
+    qw = QTensor.quantize(w, qtype)
+    x = jnp.asarray((rng.standard_normal((1, k)) * 0.5).astype(np.float32))
+    t = _time(jax.jit(lambda: q_matmul(x, qw)).lower().compile(),
+              args.iterations)
+    print(f"  GEMV latency: {t * 1e6:.1f} us ({2 * 128 * k / t / 1e9:.2f} GFLOPS)")
+    return 0
 
 
 def _time(fn, iters: int) -> float:
@@ -39,6 +77,8 @@ def _time(fn, iters: int) -> float:
 
 
 def run(args) -> int:
+    if args.vdot:
+        return run_vdot(args)
     n, k, b = args.sizex, args.sizey, args.sizez
     qtype = GGMLType[args.type.upper()]
     rng = np.random.default_rng(0)

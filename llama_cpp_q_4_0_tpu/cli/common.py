@@ -33,6 +33,10 @@ def add_model_args(p: argparse.ArgumentParser):
                    help="f16/f32 base model for --lora")
     p.add_argument("--memory-f32", action="store_true",
                    help="f32 KV cache (default bf16; reference default f16)")
+    p.add_argument("--cache-type", default=None,
+                   choices=("bf16", "f32", "f16", "f8"),
+                   help="KV cache dtype; f8 (e4m3) halves KV memory — an "
+                        "option the reference lacks")
     p.add_argument("-t", "--threads", type=int, default=0,
                    help="accepted for reference-CLI compatibility (XLA "
                         "manages device parallelism)")
@@ -98,7 +102,12 @@ def load_model(args, *, logits_all: bool = False) -> LoadedModel:
     gf = read_ggjt(args.model, arch)
     cfg = config_from_ggjt(gf, n_ctx=args.n_ctx)
     tokenizer = Tokenizer(Vocab.from_ggjt(gf))
-    cache_dtype = jnp.float32 if getattr(args, "memory_f32", False) else jnp.bfloat16
+    cache_map = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+                 "f16": jnp.float16, "f8": jnp.float8_e4m3fn}
+    if getattr(args, "cache_type", None):
+        cache_dtype = cache_map[args.cache_type]
+    else:
+        cache_dtype = jnp.float32 if getattr(args, "memory_f32", False) else jnp.bfloat16
     if arch == "rwkv":
         params = load_rwkv(gf, cfg)
         ctx = RwkvContext(cfg, params)

@@ -142,3 +142,30 @@ def test_verify_checksums(tmp_path, capsys):
 
     sums.write_text(f"{good}  model.bin\n")
     assert vc.main([str(sums)]) == 0
+
+
+def test_fp8_kv_cache(loaded):
+    """f8 KV cache (capability beyond the reference): decode runs and stays
+    close to the bf16-cache logits."""
+    import jax.numpy as jnp
+
+    cfg, params, _ = loaded
+    toks = np.asarray([[3, 7, 11, 19]], np.int32)
+    ref = Context(cfg, params, n_ctx=64).eval(toks)
+    ctx8 = Context(cfg, params, n_ctx=64, cache_dtype=jnp.float8_e4m3fn)
+    got = ctx8.eval(toks)
+    assert ctx8.cache_k[0].dtype == jnp.float8_e4m3fn
+    # fp8 cache only quantizes K/V of *attended* history; logits stay close
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.15, rel
+    nxt = ctx8.eval(np.asarray([[5]], np.int32))
+    assert np.isfinite(nxt).all()
+
+
+def test_multihost_helpers_single_process():
+    from llama_cpp_q_4_0_tpu.parallel import distributed
+
+    assert distributed.is_primary()
+    distributed.sync_hosts()  # no-op single process
+    mesh = distributed.pod_mesh(tp=2, sp=1)
+    assert mesh.shape["tp"] == 2 and mesh.shape["dp"] * 2 == 8
