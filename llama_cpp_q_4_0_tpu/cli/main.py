@@ -36,6 +36,9 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--interactive-first", action="store_true")
     p.add_argument("-ins", "--instruct", action="store_true",
                    help="instruction mode (alpaca framing, main.cpp:244)")
+    p.add_argument("--oasst", action="store_true",
+                   help="OpenAssistant chat framing with <|prompter|>/"
+                        "<|assistant|> tokens (main-oasst.cpp:155-265)")
     p.add_argument("--color", action="store_true")
     p.add_argument("--verbose-prompt", action="store_true")
     return p
@@ -63,7 +66,21 @@ def run(args) -> int:
     if args.instruct:
         prompt = f"### Instruction:\n\n{prompt}\n\n### Response:\n\n"
 
-    prompt_tokens = tok.tokenize(prompt, bos=(lm.arch != "rwkv"))
+    def frame_oasst(text: str) -> list[int]:
+        """<|prompter|>text<|endoftext|><|assistant|> token framing
+        (main-oasst.cpp:262-266); falls back to plain text markers when the
+        vocab lacks the special tokens."""
+        t2i = tok.vocab.token_to_id
+        pid = t2i.get(b"<|prompter|>")
+        aid = t2i.get(b"<|assistant|>")
+        if pid is None or aid is None:
+            return tok.tokenize(f"<|prompter|>{text}<|endoftext|><|assistant|>")
+        return [pid] + tok.tokenize(text) + [TOKEN_EOS, aid]
+
+    if args.oasst:
+        prompt_tokens = frame_oasst(prompt)
+    else:
+        prompt_tokens = tok.tokenize(prompt, bos=(lm.arch != "rwkv"))
     if args.verbose_prompt:
         for t in prompt_tokens:
             print(f"{t:6d} -> '{tok.token_text(t).decode(errors='replace')}'",
@@ -94,7 +111,8 @@ def run(args) -> int:
 
     all_tokens = list(session_tokens) + list(prompt_tokens)
     print(prompt, end="", flush=True)
-    interactive = args.interactive or args.interactive_first or args.instruct
+    interactive = (args.interactive or args.interactive_first
+                   or args.instruct or args.oasst)
     try:
         while True:
             for t in generate(ctx, prompt_tokens, gp, antiprompts=antiprompts,
@@ -112,7 +130,10 @@ def run(args) -> int:
             text = line.rstrip("\n")
             if args.instruct:
                 text = f"### Instruction:\n\n{text}\n\n### Response:\n\n"
-            prompt_tokens = tok.tokenize(text)
+            if args.oasst:
+                prompt_tokens = frame_oasst(text)
+            else:
+                prompt_tokens = tok.tokenize(text)
             all_tokens += prompt_tokens
     except KeyboardInterrupt:
         print(file=sys.stderr)

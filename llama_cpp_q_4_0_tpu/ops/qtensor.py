@@ -119,6 +119,22 @@ class QTensor:
             quantize_planar(np.asarray(w, np.float32), qtype), pack=pack
         )
 
+    def unpack(self) -> "QTensor":
+        """Return the unpacked-int8 twin (host op).  Needed for row-parallel
+        sharding: the split-half nibble pairing (k with k+K/2) makes a
+        contiguous slice of packed rows correspond to a *discontiguous* set
+        of reduce-dim indices, so packed tensors only shard column-wise."""
+        if not self.packed:
+            return self
+        return QTensor(
+            levels_t=jnp.asarray(np.asarray(self.levels_full())),
+            gscale_t=jnp.asarray(np.asarray(self.gscale_full())),
+            gbias_t=(jnp.asarray(np.asarray(self.gbias_full()))
+                     if self.gbias_t is not None else None),
+            gsize=self.gsize, qtype=self.qtype, shape=self.shape,
+            pack_zero=None,
+        )
+
     def levels_full(self) -> jax.Array:
         """Unpacked int8 levels [K, N] (device op; packed -> unpack)."""
         if not self.packed:

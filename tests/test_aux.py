@@ -69,17 +69,17 @@ def test_rwkv_opt_reduces_error(tmp_path):
     from llama_cpp_q_4_0_tpu.training.rwkv_opt import rwkv_opt
 
     path = str(tmp_path / "r.bin")
-    cfg = make_rwkv_ggjt(path, n_vocab=128, n_embd=32, n_layer=2,
+    cfg = make_rwkv_ggjt(path, n_vocab=128, n_embd=32, n_layer=1,
                          qtype=GGMLType.F32)
     gf = read_ggjt(path, "rwkv")
     cfg = config_from_ggjt(gf, n_ctx=64)
     params = load_rwkv(gf, cfg)
     ctx = RwkvContext(cfg, params)
     ctx.eval(np.asarray([[5, 9]], np.int32))
-    before, after = rwkv_opt(ctx, token=11, actual=42, n_iter=8)
+    before, after = rwkv_opt(ctx, token=11, actual=42, n_iter=4)
     assert np.isfinite(before) and np.isfinite(after)
     assert after < before, (before, after)
-    assert ctx.n_past == 3
+    assert ctx.n_past == 3  # 2 prompt + 1 trained
     # the updated weights should rank the trained target higher now
     logits = ctx.eval(np.asarray([[11]], np.int32))
     assert np.isfinite(logits).all()

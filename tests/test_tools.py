@@ -30,7 +30,7 @@ def test_train_cli_end_to_end(vocab_model, tmp_path, capsys):
         "--vocab-model", vocab_model, "--train-data", corpus,
         "--checkpoint-out", ckpt, "--model-out", model_out,
         "--embd", "32", "--head", "2", "--layer", "1", "--mult", "16",
-        "-c", "16", "-b", "2", "-n", "4", "--predict", "4",
+        "-c", "16", "-b", "2", "-n", "2", "--predict", "2",
     ])
     assert rc == 0
     assert os.path.exists(ckpt) and os.path.exists(model_out)
@@ -40,7 +40,7 @@ def test_train_cli_end_to_end(vocab_model, tmp_path, capsys):
         "--vocab-model", vocab_model, "--train-data", corpus,
         "--checkpoint-in", ckpt, "--checkpoint-out", ckpt,
         "--embd", "32", "--head", "2", "--layer", "1", "--mult", "16",
-        "-c", "16", "-b", "2", "-n", "2", "--predict", "0",
+        "-c", "16", "-b", "2", "-n", "1", "--predict", "0",
     ])
     assert rc == 0
     assert "resumed" in capsys.readouterr().err

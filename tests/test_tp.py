@@ -1,0 +1,93 @@
+"""Explicit shard_map tensor-parallel forward (parallel/tp.py) vs the
+single-device forward — the multi-chip hot path with manual psum/all_gather
+placement, validated on the virtual CPU mesh."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cpp_q_4_0_tpu.models import transformer
+from llama_cpp_q_4_0_tpu.models.config import ModelConfig
+from llama_cpp_q_4_0_tpu.parallel import make_mesh
+from llama_cpp_q_4_0_tpu.parallel.tp import prepare_tp_params, tp_forward
+from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+
+from test_parallel import tiny_q_model
+
+
+def _tiny_mqa(seed=0, n_vocab=256, e=128, n_head=4, n_layer=1, f=256):
+    """Falcon-style MQA quantized model (1 KV head -> replicated KV)."""
+    from llama_cpp_q_4_0_tpu.models.transformer import Block, TransformerParams
+    from llama_cpp_q_4_0_tpu.ops.qtensor import QTensor
+
+    cfg = ModelConfig.falcon(n_vocab=n_vocab, n_embd=e, n_head=n_head,
+                             n_layer=n_layer, n_ctx=64)
+    cfg = dataclasses.replace(cfg, n_ff=f)
+    rng = np.random.default_rng(seed)
+    q = lambda n, k: QTensor.quantize(
+        rng.standard_normal((n, k), dtype=np.float32) * 0.05, GGMLType.Q4_0)
+    d = cfg.head_dim
+    blocks = tuple(
+        Block(attn_norm_w=jnp.ones((e,)), attn_norm_b=jnp.zeros((e,)),
+              wq=q(e, e), wk=q(d, e), wv=q(d, e), wo=q(e, e),
+              w_up=q(f, e), w_down=q(e, f))
+        for _ in range(n_layer))
+    params = TransformerParams(tok_embeddings=q(n_vocab, e), blocks=blocks,
+                               out_norm_w=jnp.ones((e,)),
+                               out_norm_b=jnp.zeros((e,)),
+                               output=q(n_vocab, e))
+    return cfg, params
+
+
+def _run_pair(cfg, params, tp):
+    mesh = make_mesh(dp=1, sp=1, tp=tp)
+    rng = np.random.default_rng(1)
+    prompt = jnp.asarray(rng.integers(0, 255, (2, 8)), jnp.int32)
+    step = jnp.asarray(rng.integers(0, 255, (2, 1)), jnp.int32)
+
+    # reference: plain forward
+    ck, cv = transformer.init_cache(cfg, 2, 32, dtype=jnp.float32)
+    ref1, ck, cv = transformer.forward(cfg, params, prompt, jnp.int32(0),
+                                       ck, cv, last_only=True)
+    ref2, _, _ = transformer.forward(cfg, params, step, jnp.int32(8),
+                                     ck, cv, last_only=True)
+
+    # tp: prepared params + explicit collectives, prefill then decode
+    sp = prepare_tp_params(params, mesh, cfg)
+    tck, tcv = transformer.init_cache(cfg, 2, 32, dtype=jnp.float32)
+    from llama_cpp_q_4_0_tpu.parallel.shard import shard_cache
+
+    tck, tcv = shard_cache(tck, tcv, cfg, mesh)
+    got1, tck, tcv = tp_forward(cfg, sp, prompt, jnp.int32(0), tck, tcv,
+                                mesh, last_only=True)
+    got2, _, _ = tp_forward(cfg, sp, step, jnp.int32(8), tck, tcv, mesh,
+                            last_only=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tp_forward_llama_tp4():
+    cfg, params = tiny_q_model(n_layer=1)
+    _run_pair(cfg, params, tp=4)
+
+
+def test_tp_forward_mqa_tp2():
+    cfg, params = _tiny_mqa()
+    _run_pair(cfg, params, tp=2)
+
+
+def test_unpack_roundtrip():
+    from llama_cpp_q_4_0_tpu.ops.qtensor import QTensor
+
+    rng = np.random.default_rng(2)
+    w = (rng.standard_normal((64, 256)) * 0.2).astype(np.float32)
+    qp = QTensor.quantize(w, GGMLType.Q4_0)
+    assert qp.packed
+    qu = qp.unpack()
+    assert not qu.packed
+    np.testing.assert_array_equal(np.asarray(qp.dequantize()),
+                                  np.asarray(qu.dequantize()))

@@ -40,7 +40,7 @@ def test_loss_decreases(setup, kind):
     step = make_train_step(cfg, tx, donate=(kind == "adam"))
     l0 = None
     p = params
-    for i in range(10):
+    for i in range(4 if kind == "lbfgs" else 10):  # lbfgs iters are slow on 1 cpu
         p, opt_state, loss = step(p, opt_state, tokens, targets)
         if l0 is None:
             l0 = float(loss)
