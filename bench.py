@@ -101,6 +101,24 @@ def bench_decode(cfg, params, n_tokens: int = 64, prefill: int = 64):
     return dt / n_tokens * 1e3
 
 
+def bench_prefill(cfg, params, t: int = 512, iters: int = 4) -> float:
+    cache_k, cache_v = transformer.init_cache(cfg, 1, cfg.n_ctx)
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def prefill(p, toks, ck, cv):
+        return transformer.forward(cfg, p, toks, jnp.int32(0), ck, cv,
+                                   last_only=True, kv_window=t)
+
+    toks = jnp.zeros((1, t), jnp.int32)
+    logits, cache_k, cache_v = prefill(params, toks, cache_k, cache_v)
+    np.asarray(logits)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logits, cache_k, cache_v = prefill(params, toks, cache_k, cache_v)
+    np.asarray(logits)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     dev = jax.devices()[0]
     configs = [
@@ -122,6 +140,12 @@ def main():
             }))
             print(f"# device={dev.device_kind} platform={dev.platform}",
                   file=sys.stderr)
+            try:  # secondary: prefill throughput (stderr comment only)
+                pms = bench_prefill(cfg, params)
+                print(f"# prefill_512: {pms:.1f} ms ({512 / pms * 1e3:.0f} tok/s)",
+                      file=sys.stderr)
+            except Exception:
+                pass
             return
         except Exception as e:  # OOM on small chips -> try half model
             last_err = e
