@@ -45,6 +45,13 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--predict", type=int, default=16,
                    help="sample N tokens after training")
+    p.add_argument("--use-scan", action="store_true",
+                   help="scan-over-layers forward (compile time constant "
+                        "in depth)")
+    p.add_argument("--use-remat", action="store_true",
+                   help="rematerialize per-layer activations (the "
+                        "--use-flash-era memory knob, TPU style); implies "
+                        "--use-scan")
     return p
 
 
@@ -84,7 +91,17 @@ def run(args) -> int:
         print(f"resumed from {args.checkpoint_in} at step {start}",
               file=sys.stderr)
 
-    step = make_train_step(cfg, tx, donate=args.adam)
+    if args.use_scan or args.use_remat:
+        from ..training.stacked import (
+            make_stacked_train_step, stack_params, unstack_params,
+        )
+
+        params = stack_params(params)
+        opt_state = init_opt_state(tx, params)
+        step = make_stacked_train_step(cfg, tx, remat=args.use_remat,
+                                       donate=args.adam)
+    else:
+        step = make_train_step(cfg, tx, donate=args.adam)
     rng = np.random.default_rng(args.seed)
     n_ctx, n_batch = args.ctx, args.batch
     t0 = time.perf_counter()
@@ -100,6 +117,9 @@ def run(args) -> int:
             print(f"iter {it}: loss {float(loss):.4f} "
                   f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
+    if args.use_scan or args.use_remat:
+        params = unstack_params(params, cfg.n_layer)
+        opt_state = None  # optimizer state is stacked-shaped; fresh on resume
     save_checkpoint(args.checkpoint_out, cfg, params, opt_state,
                     step=start + args.iterations)
     print(f"checkpoint saved to {args.checkpoint_out}", file=sys.stderr)

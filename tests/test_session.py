@@ -112,3 +112,42 @@ def test_kv_shift_layer0_exact(model):
     # decoding continues cleanly from the shifted state
     out = ctx.eval(np.asarray([[19]], np.int32))
     assert np.isfinite(out).all()
+
+
+def test_rwkv_state_roundtrip(tmp_path):
+    """Recurrent-state branch of the session API (rwkv.h:140-153)."""
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_rwkv_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_rwkv
+    from llama_cpp_q_4_0_tpu.runtime.context import RwkvContext
+
+    path = str(tmp_path / "r.bin")
+    make_rwkv_ggjt(path, n_vocab=128, n_embd=32, n_layer=1)
+    gf = read_ggjt(path, "rwkv")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    ctx = RwkvContext(cfg, load_rwkv(gf, cfg))
+    ctx.eval(np.asarray([[5, 9, 11]], np.int32))
+    blob = state_to_bytes(get_state(ctx))
+
+    ctx2 = RwkvContext(cfg, ctx.params)
+    set_state(ctx2, state_from_bytes(blob))
+    assert ctx2.n_past == 3
+    a = ctx.eval(np.asarray([[7]], np.int32))
+    b = ctx2.eval(np.asarray([[7]], np.int32))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_malformed_ggjt_errors(tmp_path):
+    """Corrupt files must raise ValueError, not crash (reader hardening)."""
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt as rg
+
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic|GGML"):
+        rg(str(bad), "llama")
+
+    # right magic, absurd header
+    import struct
+
+    bad.write_bytes(struct.pack("<II", 0x67676A74, 3) + b"\xff" * 64)
+    with pytest.raises(ValueError):
+        rg(str(bad), "llama")

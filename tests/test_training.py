@@ -86,3 +86,46 @@ def test_cross_entropy_matches_manual():
     p = jax.nn.log_softmax(logits, axis=-1)
     want = float(-(p[0, 0, 0] + p[0, 1, 2]) / 2)
     assert abs(got - want) < 1e-6
+
+
+def test_stacked_forward_matches_loop(setup):
+    """Scan-over-layers forward == per-layer python loop forward."""
+    from llama_cpp_q_4_0_tpu.models.transformer import init_cache
+    from llama_cpp_q_4_0_tpu.models import transformer
+    from llama_cpp_q_4_0_tpu.training.stacked import (
+        stack_params, stacked_forward, unstack_params,
+    )
+
+    cfg, params, tokens, targets = setup
+    ck, cv = init_cache(cfg, tokens.shape[0], tokens.shape[1],
+                        dtype=jnp.float32)
+    ref, _, _ = transformer.forward(cfg, params, tokens, jnp.int32(0),
+                                    ck, cv, last_only=False)
+    sp = stack_params(params)
+    for remat in (False, True):
+        got = stacked_forward(cfg, sp, tokens, remat=remat)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+    # unstack round-trips exactly
+    back = unstack_params(sp, cfg.n_layer)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stacked_train_step_loss_decreases(setup):
+    from llama_cpp_q_4_0_tpu.training import OptParams, init_opt_state, make_optimizer
+    from llama_cpp_q_4_0_tpu.training.stacked import (
+        make_stacked_train_step, stack_params,
+    )
+
+    cfg, params, tokens, targets = setup
+    sp = stack_params(jax.tree.map(jnp.copy, params))
+    tx = make_optimizer(OptParams(kind="adam", lr=1e-2))
+    opt = init_opt_state(tx, sp)
+    step = make_stacked_train_step(cfg, tx, remat=True)
+    l0 = None
+    for _ in range(6):
+        sp, opt, loss = step(sp, opt, tokens, targets)
+        if l0 is None:
+            l0 = float(loss)
+    assert float(loss) < l0
