@@ -73,6 +73,8 @@ def q_matmul(
 
     n = w.shape[0]
     if use_pallas and n % 128 == 0 and k % 256 == 0:
+        # tile defaults validated at MODEL level on v5e (single-kernel
+        # sweeps mislead: cross-op DMA overlap favors deeper k tiles)
         block_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
         if w.packed:
             k2p = w.levels_t.shape[0]  # padded half-panel (multiple of 256)
