@@ -18,7 +18,6 @@ import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import numpy as np
 
 from ..runtime.generate import GenerateParams, generate
 from ..runtime.sampling import SamplingParams

@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 from ..formats.ggjt import read_ggjt
-from ..models.config import ModelConfig, llama_n_ff
+from ..models.config import ModelConfig
 from ..runtime.tokenizer import Tokenizer, Vocab
 
 

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..quant.registry import QUANT_FNS, quantize
+from ..quant.registry import quantize
 from ..quant.types import (
     FTYPE_BASE_TYPE,
     GGMLType,
@@ -23,7 +23,7 @@ from ..quant.types import (
     TYPE_TRAITS,
     is_quantized,
 )
-from .ggjt import GGJTFile, GGJTWriter, read_ggjt
+from .ggjt import GGJTWriter, read_ggjt
 
 
 @dataclass

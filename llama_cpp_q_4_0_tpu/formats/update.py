@@ -5,7 +5,7 @@ is mmap-aligned ggjt."""
 
 from __future__ import annotations
 
-from .ggjt import GGJTFile, GGJTWriter, detect_arch, read_ggjt
+from .ggjt import GGJTWriter, detect_arch, read_ggjt
 
 
 def update_model(fname_inp: str, fname_out: str, arch: str | None = None,

@@ -9,7 +9,6 @@ reference's quantize_fns vtable + mul_mat dispatch (ggml.c:1618, 11226).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

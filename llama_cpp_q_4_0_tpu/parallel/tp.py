@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -31,7 +29,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..models.config import ModelConfig
-from ..models.transformer import Block, TransformerParams, _act, _embed, _mm, _norm
+from ..models.transformer import Block, TransformerParams, _act, _mm, _norm
 from ..ops.layers import attention, rope
 from ..ops.qtensor import QTensor
 from .shard import BLOCK_COL, BLOCK_ROW

@@ -23,7 +23,7 @@ dequantizers do, so planar dequantization is bit-identical to
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

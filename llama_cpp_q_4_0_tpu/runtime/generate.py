@@ -9,13 +9,13 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Iterator
+from typing import Iterator
 
 import numpy as np
 
 from .context import Context
 from .sampling import Sampler, SamplingParams
-from .tokenizer import TOKEN_BOS, TOKEN_EOS, Tokenizer
+from .tokenizer import TOKEN_EOS, Tokenizer
 
 
 @dataclass

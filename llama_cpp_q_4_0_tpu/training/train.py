@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -120,8 +120,3 @@ def make_train_step(
 
     return step
 
-
-def train_params_only(params: TransformerParams):
-    """Partition leaves into (trainable, static) — QTensor metadata and None
-    fields are static."""
-    return jax.tree_util.tree_leaves(params)
