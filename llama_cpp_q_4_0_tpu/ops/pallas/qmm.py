@@ -81,7 +81,8 @@ def _qmm_kernel(x_ref, lvt_ref, gst_ref, out_ref, acc_ref, *, n_k: int, gsize: i
 
 
 def _qmm_bias_kernel(
-    x_ref, lvt_ref, gst_ref, gbt_ref, out_ref, acc_ref, *, n_k: int, gsize: int
+    x_ref, xg_ref, lvt_ref, gst_ref, gbt_ref, out_ref, acc_ref, *, n_k: int,
+    gsize: int
 ):
     k = pl.program_id(1)
 
@@ -89,12 +90,13 @@ def _qmm_bias_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b, bk = x_ref.shape
     w = _dequant_tile(lvt_ref, gst_ref, gsize)
     acc = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
-    # affine bias: sum_g gbias[g,n] * sum_{k in g} x[b,k]
-    xg = x_ref[:].astype(jnp.float32).reshape(b, bk // gsize, gsize).sum(axis=2)
-    acc += jnp.dot(xg, _scales_f32(gbt_ref[:]), preferred_element_type=jnp.float32)
+    # affine bias: sum_g gbias[g,n] * sum_{k in g} x[b,k]; the group sums
+    # xg arrive precomputed — splitting the lane axis in-kernel is an
+    # unsupported Mosaic shape cast on real TPUs
+    acc += jnp.dot(xg_ref[:], _scales_f32(gbt_ref[:]),
+                   preferred_element_type=jnp.float32)
     acc_ref[:] += acc
 
     @pl.when(k == n_k - 1)
@@ -133,8 +135,8 @@ def _qmm_packed_kernel(
 
 
 def _qmm_packed_bias_kernel(
-    xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, blo_ref, bhi_ref, out_ref,
-    acc_ref, *, n_k: int, gsize: int, zero: int,
+    xlo_ref, xhi_ref, xglo_ref, xghi_ref, p_ref, slo_ref, shi_ref, blo_ref,
+    bhi_ref, out_ref, acc_ref, *, n_k: int, gsize: int, zero: int,
 ):
     k = pl.program_id(1)
 
@@ -142,7 +144,7 @@ def _qmm_packed_bias_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b, bk = xlo_ref.shape
+    bk = xlo_ref.shape[1]
     bn = p_ref.shape[1]
     p = p_ref[:].astype(jnp.int32)
     lo = ((p & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
@@ -153,10 +155,10 @@ def _qmm_packed_bias_kernel(
                   preferred_element_type=jnp.float32)
     acc += jnp.dot(xhi_ref[:].astype(jnp.bfloat16), whi,
                    preferred_element_type=jnp.float32)
-    xg_lo = xlo_ref[:].astype(jnp.float32).reshape(b, bk // gsize, gsize).sum(axis=2)
-    xg_hi = xhi_ref[:].astype(jnp.float32).reshape(b, bk // gsize, gsize).sum(axis=2)
-    acc += jnp.dot(xg_lo, _scales_f32(blo_ref[0]), preferred_element_type=jnp.float32)
-    acc += jnp.dot(xg_hi, _scales_f32(bhi_ref[0]), preferred_element_type=jnp.float32)
+    acc += jnp.dot(xglo_ref[:], _scales_f32(blo_ref[0]),
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(xghi_ref[:], _scales_f32(bhi_ref[0]),
+                   preferred_element_type=jnp.float32)
     acc_ref[:] += acc
 
     @pl.when(k == n_k - 1)
@@ -200,6 +202,7 @@ def qmm_packed(
     x_hi = jnp.pad(x[:, k2:], ((0, 0), (0, pad)))
     gscale_t = _u16_view(gscale_t)
     gbias_t = _u16_view(gbias_t)
+    g2p = k2p // gsize
 
     in_specs = [
         pl.BlockSpec((b, bk), lambda i, kk: (0, kk)),
@@ -211,11 +214,16 @@ def qmm_packed(
     args = [x_lo, x_hi, packed_t, gscale_t, gscale_t]
     kern = functools.partial(_qmm_packed_kernel, n_k=n_k, gsize=gsize, zero=zero)
     if gbias_t is not None:
+        xg_lo = x_lo.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
+        xg_hi = x_hi.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
+        in_specs.insert(2, pl.BlockSpec((b, bk // gsize), lambda i, kk: (0, kk)))
+        in_specs.insert(3, pl.BlockSpec((b, bk // gsize), lambda i, kk: (0, kk)))
         in_specs += [
             pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (0, kk, i)),
             pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (1, kk, i)),
         ]
-        args += [gbias_t, gbias_t]
+        args = [x_lo, x_hi, xg_lo, xg_hi, packed_t, gscale_t, gscale_t,
+                gbias_t, gbias_t]
         kern = functools.partial(_qmm_packed_bias_kernel, n_k=n_k, gsize=gsize,
                                  zero=zero)
 
@@ -279,10 +287,13 @@ def qmm(  # noqa: D417 — unpacked int8 variant (5-bit+ formats)
     args = [x, levels_t, gscale_t]
     kern = functools.partial(_qmm_kernel, n_k=n_k, gsize=gsize)
     if gbias_t is not None:
+        xg = x.astype(jnp.float32).reshape(b, k // gsize, gsize).sum(axis=2)
+        in_specs.insert(1, pl.BlockSpec((b, block_k // gsize),
+                                        lambda i, kk: (0, kk)))
         in_specs.append(
             pl.BlockSpec((block_k // gsize, block_n), lambda i, kk: (kk, i))
         )
-        args.append(gbias_t)
+        args = [x, xg, levels_t, gscale_t, gbias_t]
         kern = functools.partial(_qmm_bias_kernel, n_k=n_k, gsize=gsize)
 
     flops = 2 * b * n * k

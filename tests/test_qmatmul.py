@@ -52,7 +52,11 @@ def test_q_matmul_vs_numpy(qtype):
     assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9) < 2e-2
 
 
-@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q6_K])
+@pytest.mark.parametrize(
+    "qtype",
+    # one per kernel path: packed, packed+bias, int8, int8+bias
+    [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q6_K, GGMLType.Q5_1],
+)
 def test_pallas_qmm_interpret_matches_xla(qtype):
     """Pallas kernel (interpret mode on CPU) == XLA fallback semantics."""
     w, qt = _mk(256, 512, qtype)
