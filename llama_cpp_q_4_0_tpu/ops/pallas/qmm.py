@@ -86,18 +86,18 @@ def _qmm_bias_kernel(
 ):
     k = pl.program_id(1)
 
+    # affine-bias seed: sum_g gbias[g,n] * sum_{k in g} x[b,k], computed
+    # once per n-block from the FULL-K group sums (xg precomputed in XLA:
+    # splitting the lane axis in-kernel is an unsupported Mosaic shape
+    # cast, and a K-blocked xg tile would be under-aligned)
     @pl.when(k == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[:] = jnp.dot(xg_ref[:], _scales_f32(gbt_ref[:]),
+                             preferred_element_type=jnp.float32)
 
     w = _dequant_tile(lvt_ref, gst_ref, gsize)
-    acc = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
-    # affine bias: sum_g gbias[g,n] * sum_{k in g} x[b,k]; the group sums
-    # xg arrive precomputed — splitting the lane axis in-kernel is an
-    # unsupported Mosaic shape cast on real TPUs
-    acc += jnp.dot(xg_ref[:], _scales_f32(gbt_ref[:]),
-                   preferred_element_type=jnp.float32)
-    acc_ref[:] += acc
+    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), w,
+                          preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -141,8 +141,13 @@ def _qmm_packed_bias_kernel(
     k = pl.program_id(1)
 
     @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    def _():  # full-K bias seed (see _qmm_bias_kernel)
+        acc_ref[:] = (
+            jnp.dot(xglo_ref[:], _scales_f32(blo_ref[0]),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(xghi_ref[:], _scales_f32(bhi_ref[0]),
+                      preferred_element_type=jnp.float32)
+        )
 
     bk = xlo_ref.shape[1]
     bn = p_ref.shape[1]
@@ -154,10 +159,6 @@ def _qmm_packed_bias_kernel(
     acc = jnp.dot(xlo_ref[:].astype(jnp.bfloat16), wlo,
                   preferred_element_type=jnp.float32)
     acc += jnp.dot(xhi_ref[:].astype(jnp.bfloat16), whi,
-                   preferred_element_type=jnp.float32)
-    acc += jnp.dot(xglo_ref[:], _scales_f32(blo_ref[0]),
-                   preferred_element_type=jnp.float32)
-    acc += jnp.dot(xghi_ref[:], _scales_f32(bhi_ref[0]),
                    preferred_element_type=jnp.float32)
     acc_ref[:] += acc
 
@@ -216,11 +217,11 @@ def qmm_packed(
     if gbias_t is not None:
         xg_lo = x_lo.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
         xg_hi = x_hi.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
-        in_specs.insert(2, pl.BlockSpec((b, bk // gsize), lambda i, kk: (0, kk)))
-        in_specs.insert(3, pl.BlockSpec((b, bk // gsize), lambda i, kk: (0, kk)))
+        in_specs.insert(2, pl.BlockSpec((b, g2p), lambda i, kk: (0, 0)))
+        in_specs.insert(3, pl.BlockSpec((b, g2p), lambda i, kk: (0, 0)))
         in_specs += [
-            pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (0, kk, i)),
-            pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (1, kk, i)),
+            pl.BlockSpec((1, g2p, block_n), lambda i, kk: (0, 0, i)),
+            pl.BlockSpec((1, g2p, block_n), lambda i, kk: (1, 0, i)),
         ]
         args = [x_lo, x_hi, xg_lo, xg_hi, packed_t, gscale_t, gscale_t,
                 gbias_t, gbias_t]
@@ -287,11 +288,11 @@ def qmm(  # noqa: D417 — unpacked int8 variant (5-bit+ formats)
     args = [x, levels_t, gscale_t]
     kern = functools.partial(_qmm_kernel, n_k=n_k, gsize=gsize)
     if gbias_t is not None:
-        xg = x.astype(jnp.float32).reshape(b, k // gsize, gsize).sum(axis=2)
-        in_specs.insert(1, pl.BlockSpec((b, block_k // gsize),
-                                        lambda i, kk: (0, kk)))
+        g_all = k // gsize
+        xg = x.astype(jnp.float32).reshape(b, g_all, gsize).sum(axis=2)
+        in_specs.insert(1, pl.BlockSpec((b, g_all), lambda i, kk: (0, 0)))
         in_specs.append(
-            pl.BlockSpec((block_k // gsize, block_n), lambda i, kk: (kk, i))
+            pl.BlockSpec((g_all, block_n), lambda i, kk: (0, i))
         )
         args = [x, xg, levels_t, gscale_t, gbias_t]
         kern = functools.partial(_qmm_bias_kernel, n_k=n_k, gsize=gsize)
