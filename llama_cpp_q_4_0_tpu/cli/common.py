@@ -127,4 +127,17 @@ def load_model(args, *, logits_all: bool = False) -> LoadedModel:
     print(f"{arch}: loaded {args.model} | n_vocab={cfg.n_vocab} "
           f"n_embd={cfg.n_embd} n_layer={cfg.n_layer} n_ctx={args.n_ctx}",
           file=sys.stderr)
+    if arch != "rwkv":  # MEM_REQ banner (llama.cpp:81-130 analogue)
+        from ..formats.quantize import FTYPE_BASE_TYPE
+        from ..utils.memory import estimate
+        from ..quant.types import LlamaFType
+
+        try:
+            base = FTYPE_BASE_TYPE.get(LlamaFType(gf.ftype), None)
+            if base is not None:
+                print("mem estimate: "
+                      + estimate(cfg, base, n_ctx=args.n_ctx).report(),
+                      file=sys.stderr)
+        except ValueError:
+            pass
     return LoadedModel(cfg, ctx, tokenizer, arch, t_load)

@@ -32,8 +32,8 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", _SRC, "-o", _SO]
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+           "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", _SO]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
@@ -65,6 +65,11 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         lib.gt_pack_q4_0.restype = None
+        lib.gt_quantize_q4_0.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.gt_quantize_q4_0.restype = None
         lib.gt_vocab_create.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
         ]
@@ -101,6 +106,20 @@ def pack_q4_0(blocks_raw: np.ndarray, n: int, k: int,
         packed.ctypes.data, scales.ctypes.data, n_threads,
     )
     return packed, scales
+
+
+def quantize_q4_0(x: np.ndarray, n_threads: int = 0) -> np.ndarray | None:
+    """f32 [N, K] -> raw block_q4_0 bytes [N, K/32, 18]; None if no lib.
+    Bit-exact with quant.blockq.quantize_q4_0 (tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    n, k = x.shape
+    assert k % 32 == 0, k
+    out = np.empty((n, k // 32, 18), np.uint8)
+    lib.gt_quantize_q4_0(x.ctypes.data, n, k, out.ctypes.data, n_threads)
+    return out
 
 
 class NativeVocab:

@@ -10,6 +10,7 @@
 //
 // Build: see native/__init__.py (g++ -O3 -shared -fPIC -pthread).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -118,6 +119,86 @@ void gt_pack_q4_0(const uint8_t* blocks_raw, int64_t n, int64_t k,
     if (c0 >= c1) break;
     threads.emplace_back(pack_rows_q4_0, blocks, n, k, k2p, packed, scales,
                          c0, c1);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------- q4_0 quantization
+// Bit-exact port of ggml's quantize_row_q4_0_reference (ggml.c:918-953):
+// d = signed_absmax / -8 (stored fp16, round-to-nearest-even), id from the
+// *unrounded* d, q = MIN(15, (int8_t)(x*id + 8.5f)).
+
+static uint16_t f32_to_f16(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, 4);
+  const uint32_t sign = (bits >> 16) & 0x8000u;
+  const uint32_t aexp = (bits >> 23) & 0xFFu;
+  uint32_t man = bits & 0x7FFFFFu;
+  if (aexp == 0xFFu)  // inf / nan
+    return (uint16_t)(sign | 0x7C00u | (man ? 0x200u : 0u));
+  const int32_t exp = (int32_t)aexp - 127 + 15;
+  if (exp >= 31) return (uint16_t)(sign | 0x7C00u);  // overflow -> inf
+  if (exp <= 0) {  // subnormal fp16
+    if (exp < -10) return (uint16_t)sign;
+    man |= 0x800000u;
+    const int shift = 14 - exp;
+    uint32_t q = man >> shift;
+    const uint32_t rem = man & ((1u << shift) - 1);
+    const uint32_t half = 1u << (shift - 1);
+    if (rem > half || (rem == half && (q & 1))) q++;
+    return (uint16_t)(sign | q);
+  }
+  uint32_t q = man >> 13;
+  const uint32_t rem = man & 0x1FFFu;
+  uint32_t h = sign | ((uint32_t)exp << 10) | q;
+  if (rem > 0x1000u || (rem == 0x1000u && (h & 1))) h++;
+  return (uint16_t)h;
+}
+
+static void quant_rows_q4_0(const float* x, int64_t k, uint8_t* out,
+                            int64_t row0, int64_t row1) {
+  const int64_t nb = k / 32;
+  for (int64_t r = row0; r < row1; ++r) {
+    const float* xr = x + r * k;
+    uint8_t* o = out + r * nb * 18;
+    for (int64_t j = 0; j < nb; ++j) {
+      const float* xb = xr + j * 32;
+      float amax = 0.0f, maxv = 0.0f;
+      for (int i = 0; i < 32; ++i) {
+        const float a = std::fabs(xb[i]);
+        if (amax < a) { amax = a; maxv = xb[i]; }
+      }
+      const float d = maxv / -8.0f;
+      const float id = d != 0.0f ? 1.0f / d : 0.0f;
+      uint8_t* blk = o + j * 18;
+      const uint16_t dh = f32_to_f16(d);
+      std::memcpy(blk, &dh, 2);
+      for (int i = 0; i < 16; ++i) {
+        int q0 = (int)(xb[i] * id + 8.5f);
+        int q1 = (int)(xb[16 + i] * id + 8.5f);
+        if (q0 > 15) q0 = 15;
+        if (q1 > 15) q1 = 15;
+        blk[2 + i] = (uint8_t)(q0 | (q1 << 4));
+      }
+    }
+  }
+}
+
+void gt_quantize_q4_0(const float* x, int64_t n_rows, int64_t k,
+                      uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > n_rows) n_threads = (int)n_rows;
+  if (n_threads <= 1) {
+    quant_rows_q4_0(x, k, out, 0, n_rows);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t c0 = t * chunk;
+    const int64_t c1 = std::min<int64_t>(n_rows, c0 + chunk);
+    if (c0 >= c1) break;
+    threads.emplace_back(quant_rows_q4_0, x, k, out, c0, c1);
   }
   for (auto& th : threads) th.join();
 }

@@ -182,6 +182,18 @@ QUANT_FNS: dict[GGMLType, QuantFns] = {
 
 def quantize(x: np.ndarray, t: GGMLType) -> np.ndarray:
     """Quantize float32 rows to blocks of type t."""
+    # C++ fast path for the flagship format (native/ggjt_native.cpp);
+    # bit-exact with the numpy quantizer below (tests/test_native.py)
+    if t == GGMLType.Q4_0 and getattr(x, "ndim", 0) == 2 and x.shape[1] % 32 == 0:
+        from .. import native
+
+        raw = native.quantize_q4_0(np.asarray(x, np.float32)) \
+            if native.available() else None
+        if raw is not None:
+            from .blockq import BLOCK_Q4_0
+
+            return raw.reshape(x.shape[0], -1).view(BLOCK_Q4_0).reshape(
+                x.shape[0], x.shape[1] // 32)
     return QUANT_FNS[t].quantize_row(x)
 
 

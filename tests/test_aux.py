@@ -169,3 +169,17 @@ def test_multihost_helpers_single_process():
     distributed.sync_hosts()  # no-op single process
     mesh = distributed.pod_mesh(tp=2, sp=1)
     assert mesh.shape["tp"] == 2 and mesh.shape["dp"] * 2 == 8
+
+
+def test_memory_estimate():
+    from llama_cpp_q_4_0_tpu.models.config import ModelConfig
+    from llama_cpp_q_4_0_tpu.utils.memory import estimate
+
+    cfg = ModelConfig.llama()  # 7B defaults
+    est = estimate(cfg, GGMLType.Q4_0, n_ctx=2048)
+    # 7B q4_0 device footprint: ~4.2 GiB weights (0.625 B/w), ~1 GiB KV
+    assert 3.5e9 < est.weights_bytes < 5.5e9, est.weights_bytes
+    assert 0.5e9 < est.kv_bytes < 1.5e9, est.kv_bytes
+    assert "GiB" in est.report()
+    est8 = estimate(cfg, GGMLType.Q8_0, n_ctx=2048)
+    assert est8.weights_bytes > est.weights_bytes

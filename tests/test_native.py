@@ -90,3 +90,25 @@ def test_native_loader_fast_path(tmp_path):
                                   np.asarray(slow.levels_t))
     np.testing.assert_array_equal(np.asarray(fast.gscale_t),
                                   np.asarray(slow.gscale_t))
+
+
+def test_native_quantize_q4_0_bit_exact():
+    """C++ quantizer must be BYTE-identical to the numpy reference — this
+    is the same gate the reference applies to its SIMD quantizers
+    (test-quantize-fns 'reference vs SIMD')."""
+    from llama_cpp_q_4_0_tpu.quant.blockq import quantize_q4_0
+
+    rng = np.random.default_rng(3)
+    for shape in ((4, 64), (33, 11008 // 86 * 32), (128, 4096)):
+        w = (rng.standard_normal(shape) * rng.uniform(0.001, 4.0)).astype(np.float32)
+        # exercise edge cases: zeros rows, subnormal scales, exact ties
+        w[0, :32] = 0.0
+        w[1, :32] = 6e-8
+        ref = quantize_q4_0(w)
+        raw = native.quantize_q4_0(w)
+        np.testing.assert_array_equal(
+            raw.reshape(shape[0], -1),
+            ref.reshape(shape[0], -1).view(np.uint8).reshape(shape[0], -1))
+        a = native.quantize_q4_0(w, n_threads=1)
+        b = native.quantize_q4_0(w, n_threads=8)
+        np.testing.assert_array_equal(a, b)
