@@ -52,42 +52,49 @@ def unstack_params(params: TransformerParams, n_layer: int) -> TransformerParams
     )
 
 
-def stacked_forward(cfg: ModelConfig, params: TransformerParams,
-                    tokens: jax.Array, *, remat: bool = False) -> jax.Array:
-    """Full-sequence causal logits [B, T, V]; params from stack_params."""
-    b, t = tokens.shape
+def layer_apply(cfg: ModelConfig, blk: Block, x: jax.Array) -> jax.Array:
+    """One transformer layer on a full causal sequence [B, T, E] (training
+    form: no KV cache).  Shared by the layer scan and the pipeline stages
+    (parallel/pipeline.py)."""
+    b, t = x.shape[:2]
     hd = cfg.head_dim
     h_q, h_kv = cfg.n_head, cfg.kv_heads
     pos_b = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
     kv_mask = jnp.ones((b, t), bool)
     scale = 1.0 / math.sqrt(hd)
+    h = _norm(cfg, x, blk.attn_norm_w, blk.attn_norm_b)
+    q = _mm(h, blk.wq, blk.bq, cfg=cfg).reshape(b, t, h_q, hd)
+    k = _mm(h, blk.wk, blk.bk, cfg=cfg).reshape(b, t, h_kv, hd)
+    v = _mm(h, blk.wv, blk.bv, cfg=cfg).reshape(b, t, h_kv, hd)
+    if cfg.n_rot > 0:
+        q = rope(q, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
+        k = rope(k, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
+    a = attention(q, k, v, pos_b, kv_mask, scale)
+    attn_out = _mm(a.reshape(b, t, h_q * hd), blk.wo, blk.bo, cfg=cfg)
+
+    def ffn(h_in):
+        if cfg.ffn_gated:
+            inner = (_act(cfg, _mm(h_in, blk.w_gate, cfg=cfg))
+                     * _mm(h_in, blk.w_up, cfg=cfg))
+            return _mm(inner, blk.w_down, cfg=cfg)
+        return _mm(_act(cfg, _mm(h_in, blk.w_up, blk.b_up, cfg=cfg)),
+                   blk.w_down, blk.b_down, cfg=cfg)
+
+    if cfg.parallel_residual:
+        ff_in = h if cfg.ffn_norm_shared else _norm(
+            cfg, x, blk.ffn_norm_w, blk.ffn_norm_b)
+        return x + attn_out + ffn(ff_in)
+    x = x + attn_out
+    return x + ffn(_norm(cfg, x, blk.ffn_norm_w, blk.ffn_norm_b))
+
+
+def stacked_forward(cfg: ModelConfig, params: TransformerParams,
+                    tokens: jax.Array, *, remat: bool = False) -> jax.Array:
+    """Full-sequence causal logits [B, T, V]; params from stack_params."""
     (stacked,) = params.blocks
 
     def layer(x, blk: Block):
-        h = _norm(cfg, x, blk.attn_norm_w, blk.attn_norm_b)
-        q = _mm(h, blk.wq, blk.bq, cfg=cfg).reshape(b, t, h_q, hd)
-        k = _mm(h, blk.wk, blk.bk, cfg=cfg).reshape(b, t, h_kv, hd)
-        v = _mm(h, blk.wv, blk.bv, cfg=cfg).reshape(b, t, h_kv, hd)
-        if cfg.n_rot > 0:
-            q = rope(q, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
-            k = rope(k, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
-        a = attention(q, k, v, pos_b, kv_mask, scale)
-        attn_out = _mm(a.reshape(b, t, h_q * hd), blk.wo, blk.bo, cfg=cfg)
-
-        def ffn(h_in):
-            if cfg.ffn_gated:
-                inner = (_act(cfg, _mm(h_in, blk.w_gate, cfg=cfg))
-                         * _mm(h_in, blk.w_up, cfg=cfg))
-                return _mm(inner, blk.w_down, cfg=cfg)
-            return _mm(_act(cfg, _mm(h_in, blk.w_up, blk.b_up, cfg=cfg)),
-                       blk.w_down, blk.b_down, cfg=cfg)
-
-        if cfg.parallel_residual:
-            ff_in = h if cfg.ffn_norm_shared else _norm(
-                cfg, x, blk.ffn_norm_w, blk.ffn_norm_b)
-            return x + attn_out + ffn(ff_in)
-        x = x + attn_out
-        return x + ffn(_norm(cfg, x, blk.ffn_norm_w, blk.ffn_norm_b))
+        return layer_apply(cfg, blk, x)
 
     body = jax.checkpoint(layer) if remat else layer
 
