@@ -91,3 +91,31 @@ def test_unpack_roundtrip():
     assert not qu.packed
     np.testing.assert_array_equal(np.asarray(qp.dequantize()),
                                   np.asarray(qu.dequantize()))
+
+
+def test_tp_forward_gptneox_biases_tp2():
+    """NeoX exercises the bias paths (bq/bk/bv/bo/b_up/b_down) and
+    LayerNorm through the explicit-collective forward."""
+    from llama_cpp_q_4_0_tpu.models.transformer import Block, TransformerParams
+    from llama_cpp_q_4_0_tpu.ops.qtensor import QTensor
+
+    e, heads, layers, f, v = 128, 4, 1, 256, 256
+    cfg = ModelConfig.gptneox(n_vocab=v, n_embd=e, n_head=heads,
+                              n_layer=layers, n_rot=16,
+                              use_parallel_residual=0, n_ctx=64)
+    rng = np.random.default_rng(3)
+    q = lambda n, k: QTensor.quantize(
+        rng.standard_normal((n, k), dtype=np.float32) * 0.05, GGMLType.Q4_0)
+    vec = lambda n: jnp.asarray(rng.standard_normal(n) * 0.01, jnp.float32)
+    blocks = tuple(
+        Block(attn_norm_w=jnp.ones((e,)), attn_norm_b=vec(e),
+              wq=q(e, e), wk=q(e, e), wv=q(e, e),
+              bq=vec(e), bk=vec(e), bv=vec(e),
+              wo=q(e, e), bo=vec(e),
+              ffn_norm_w=jnp.ones((e,)), ffn_norm_b=vec(e),
+              w_up=q(f, e), b_up=vec(f), w_down=q(e, f), b_down=vec(e))
+        for _ in range(layers))
+    params = TransformerParams(tok_embeddings=q(v, e), blocks=blocks,
+                               out_norm_w=jnp.ones((e,)), out_norm_b=vec(e),
+                               output=q(v, e))
+    _run_pair(cfg, params, tp=2)
