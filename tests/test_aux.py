@@ -183,3 +183,34 @@ def test_memory_estimate():
     assert "GiB" in est.report()
     est8 = estimate(cfg, GGMLType.Q8_0, n_ctx=2048)
     assert est8.weights_bytes > est.weights_bytes
+
+
+def test_ondevice_generate_matches_greedy(loaded):
+    """Device-resident chunked decode (greedy) == host greedy loop."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import (
+        DeviceSampling, generate_ondevice,
+    )
+
+    cfg, params, _ = loaded
+    prompt = [3, 9, 27]
+    ctx = Context(cfg, params, n_ctx=64)
+    logits = ctx.eval(np.asarray([prompt], np.int32))
+    want = []
+    for _ in range(10):
+        t = int(np.argmax(logits[0, -1]))
+        want.append(t)
+        logits = ctx.eval(np.asarray([[t]], np.int32))
+
+    ctx2 = Context(cfg, params, n_ctx=64)
+    got = generate_ondevice(ctx2, prompt, 10,
+                            sampling=DeviceSampling(temp=-1.0), chunk=4)
+    assert got == want, (got, want)
+
+    # sampled path: deterministic per seed, differs across seeds (usually)
+    ctx3 = Context(cfg, params, n_ctx=64)
+    a = generate_ondevice(ctx3, prompt, 8,
+                          sampling=DeviceSampling(temp=0.8, top_k=40), seed=1)
+    ctx4 = Context(cfg, params, n_ctx=64)
+    b = generate_ondevice(ctx4, prompt, 8,
+                          sampling=DeviceSampling(temp=0.8, top_k=40), seed=1)
+    assert a == b
