@@ -79,11 +79,23 @@ class BatchEngine:
 
     def __init__(self, cfg: ModelConfig, params: TransformerParams, *,
                  n_slots: int = 4, n_ctx: int | None = None,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, chunk: int = 1,
+                 device_sampling=None):
+        """chunk > 1 enables throughput mode: `chunk` tokens per engine tick
+        are decoded and sampled ON DEVICE (runtime/device_sample.py) with
+        one host round-trip per chunk — engine-wide uniform sampling
+        (device_sampling: DeviceSampling) replaces per-request sampler
+        chains, and finished slots waste at most chunk-1 steps."""
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
         self.n_ctx = n_ctx or cfg.n_ctx
+        self.chunk = chunk
+        if chunk > 1:
+            from .device_sample import DeviceSampling
+
+            self.device_sampling = device_sampling or DeviceSampling()
+            self._key = jax.random.key(0)
         self.cache_k, self.cache_v = init_cache(cfg, n_slots, self.n_ctx,
                                                 cache_dtype)
         self.slots = [_Slot(i) for i in range(n_slots)]
@@ -226,6 +238,53 @@ class BatchEngine:
             slot.req = None
             slot.sampler = None
 
+    def _tick_chunked(self):
+        """Throughput tick: `chunk` tokens per slot decoded + sampled on
+        device, one host round-trip."""
+        from .device_sample import decode_chunk
+
+        toks = np.zeros((self.n_slots,), np.int32)
+        n_past = np.zeros(self.n_slots, np.int32)
+        for s in self.slots:
+            if not s.free:
+                toks[s.idx] = s.last_tokens[-1]
+                n_past[s.idx] = s.n_past
+        window = min(_bucket(int(n_past.max()) + self.chunk + 1), self.n_ctx)
+        out, self.cache_k, self.cache_v, self._key = decode_chunk(
+            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(n_past),
+            self.cache_k, self.cache_v, self._key,
+            n_steps=self.chunk, ds=self.device_sampling, kv_window=window,
+        )
+        out = np.asarray(out)  # [N, chunk]
+        for s in self.slots:
+            if s.free:
+                continue
+            req = s.req
+            done = False
+            for j in range(self.chunk):
+                tok = int(out[s.idx, j])
+                s.n_past += 1
+                if tok == TOKEN_EOS:
+                    done = True
+                    break
+                s.last_tokens.append(tok)
+                s.produced += 1
+                req.out.put(tok)
+                if req.stop_sequences and any(
+                    tuple(s.last_tokens[-len(ss):]) == ss
+                    for ss in req.stop_sequences if ss
+                ):
+                    done = True
+                    break
+                if (s.produced >= req.n_predict
+                        or s.n_past + self.chunk + 1 >= self.n_ctx):
+                    done = True
+                    break
+            if done:
+                req.out.put(None)
+                s.req = None
+                s.sampler = None
+
     def _tick(self):
         """One batched decode step over all active slots."""
         toks = np.zeros((self.n_slots, 1), np.int32)
@@ -253,7 +312,10 @@ class BatchEngine:
                 break
             self._admit()
             if self.n_active:
-                self._tick()
+                if self.chunk > 1:
+                    self._tick_chunked()
+                else:
+                    self._tick()
         for s in self.slots:  # fail any open requests on shutdown
             if s.req is not None:
                 s.req.out.put(None)

@@ -175,3 +175,36 @@ def test_profiling_dump(model):
     assert hist.get("dot_general", 0) > 0
     txt = dump_graph(ctx, compiled_stats=True)
     assert "equations" in txt and "dot_general" in txt
+
+
+def test_engine_chunked_matches_single_session(model):
+    """Throughput mode (on-device greedy, chunk=4) == host greedy."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params, _ = model
+    prompts = [[3, 5, 7], [11, 13]]
+
+    def single(prompt, n=6):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    refs = [single(p) for p in prompts]
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64, chunk=4,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    try:
+        reqs = [eng.submit(Request(p, n_predict=6, sampling=GREEDY))
+                for p in prompts]
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    for ref, out in zip(refs, outs):
+        assert ref == out, (ref, out)
