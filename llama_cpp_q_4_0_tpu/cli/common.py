@@ -31,6 +31,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--lora", default=None, help="ggla adapter to apply")
     p.add_argument("--lora-base", default=None,
                    help="f16/f32 base model for --lora")
+    p.add_argument("--lora-unmerged", action="store_true",
+                   help="apply LoRA at matmul time instead of merging — "
+                        "keeps quantized bases bit-exact (no requantize)")
     p.add_argument("--memory-f32", action="store_true",
                    help="f32 KV cache (default bf16; reference default f16)")
     p.add_argument("--cache-type", default=None,
@@ -120,7 +123,8 @@ def load_model(args, *, logits_all: bool = False) -> LoadedModel:
             if args.lora_base:
                 bgf = read_ggjt(args.lora_base, arch)
                 base_weights = {n: bgf.tensor_f32(n) for n in bgf.tensors}
-            params = apply_lora(params, args.lora, base_weights=base_weights)
+            params = apply_lora(params, args.lora, base_weights=base_weights,
+                                merge=not getattr(args, 'lora_unmerged', False))
         ctx = Context(cfg, params, n_ctx=args.n_ctx, cache_dtype=cache_dtype)
     t_load = (time.perf_counter() - t0) * 1e3
     ctx.timings.t_load_ms = t_load

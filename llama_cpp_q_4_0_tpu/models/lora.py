@@ -59,11 +59,21 @@ def apply_lora(
     adapter: str | GglaFile,
     *,
     base_weights: dict[str, np.ndarray] | None = None,
+    merge: bool = True,
     progress=None,
 ) -> TransformerParams:
-    """Returns params with LoRA deltas merged (functional; originals
-    untouched).  base_weights optionally maps ggml base-names to f32 arrays
-    from an unquantized base model."""
+    """Returns params with the LoRA adapter applied (functional; originals
+    untouched).
+
+    merge=True reproduces the reference semantics (w += (α/r)BA, with
+    requantization of quantized targets, llama.cpp:2716-2991).
+    merge=False keeps the quantized base bit-exact and attaches the delta as
+    an unmerged low-rank patch applied at matmul time (ops/lowrank.py) —
+    zero requantization error, hot-swappable adapters.
+    base_weights optionally maps ggml base-names to f32 arrays from an
+    unquantized base model (--lora-base)."""
+    from ..ops.lowrank import patch
+
     gf = read_ggla(adapter) if isinstance(adapter, str) else adapter
     pairs = gf.pairs()
     blocks = list(params.blocks)
@@ -77,23 +87,27 @@ def apply_lora(
         w = getattr(blk, fieldname)
         if w is None:
             raise ValueError(f"model has no tensor for '{base_name}'")
-        if isinstance(w, QTensor) and not warned:
-            import sys
-
-            print("apply_lora: warning: quantized base weights — quality may "
-                  "degrade; use an f16/f32 --lora-base (llama.cpp:2915)",
-                  file=sys.stderr)
-            warned = True
-        delta = gf.delta(base_name)
-        n, k = (w.shape if isinstance(w, QTensor) else w.shape)
-        if delta.shape != (n, k):
+        a, b = pairs[base_name]
+        n, k = w.shape
+        if (b.shape[0], a.shape[0]) != (n, k):
             raise ValueError(
-                f"incompatible lora dims for {base_name}: {delta.shape} vs {(n, k)}"
+                f"incompatible lora dims for {base_name}: "
+                f"{(b.shape[0], a.shape[0])} vs {(n, k)}"
             )
-        base = base_weights.get(base_name) if base_weights else None
-        blocks[layer] = dataclasses.replace(
-            blk, **{fieldname: _patched(w, delta, base)}
-        )
+        if not merge:
+            new_w = patch(w, a.T, b, gf.scaling)  # a stored [K, r] -> [r, K]
+        else:
+            if isinstance(w, QTensor) and not warned:
+                import sys
+
+                print("apply_lora: warning: merging into quantized weights "
+                      "requantizes — quality may degrade; use merge=False "
+                      "or an f16/f32 --lora-base (llama.cpp:2915)",
+                      file=sys.stderr)
+                warned = True
+            base = base_weights.get(base_name) if base_weights else None
+            new_w = _patched(w, gf.delta(base_name), base)
+        blocks[layer] = dataclasses.replace(blk, **{fieldname: new_w})
         if progress:
             progress(i + 1, len(pairs))
     return dataclasses.replace(params, blocks=tuple(blocks))

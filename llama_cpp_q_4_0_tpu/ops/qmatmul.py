@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .qtensor import QTensor
+from .lowrank import LowRankPatched
 from .pallas.qmm import qmm, qmm_packed
 
 
@@ -53,6 +54,15 @@ def q_matmul(
     compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """x [..., K] @ W[N, K]^T -> [..., N] float32."""
+    if isinstance(w, LowRankPatched):
+        # unmerged LoRA: exact quantized base + two skinny matmuls
+        from .lowrank import lowrank_apply
+
+        base = q_matmul(x, w.base, use_pallas=use_pallas,
+                        compute_dtype=compute_dtype)
+        lead, k = x.shape[:-1], x.shape[-1]
+        corr = lowrank_apply(x.reshape(-1, k), w)
+        return base + corr.reshape(*lead, -1)
     if not isinstance(w, QTensor):
         # dense path (f16/f32 tensors from the model file stay dense)
         return jax.lax.dot_general(

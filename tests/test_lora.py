@@ -96,3 +96,34 @@ def test_apply_lora_dim_mismatch(loaded):
     ad = _adapter(cfg.n_embd // 2)
     with pytest.raises(ValueError, match="incompatible"):
         apply_lora(params, ad)
+
+
+def test_apply_lora_unmerged_exact(loaded):
+    """merge=False: base stays untouched, matmul output == base + x@deltaᵀ,
+    end-to-end decode runs through Context."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.ops.lowrank import LowRankPatched
+    from llama_cpp_q_4_0_tpu.ops.qmatmul import q_matmul
+
+    cfg, params, gf = loaded
+    ad = _adapter(cfg.n_embd)
+    out = apply_lora(params, ad, merge=False)
+    w = out.blocks[1].wo
+    assert isinstance(w, LowRankPatched)
+    # the base object is the SAME array (bit-exact, zero requantization)
+    assert w.base is params.blocks[1].wo
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, cfg.n_embd)).astype(np.float32))
+    got = np.asarray(q_matmul(x, w, use_pallas=False))
+    want = np.asarray(q_matmul(x, params.blocks[1].wo, use_pallas=False)) \
+        + np.asarray(x) @ ad.delta("layers.1.attention.wo.weight").T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # end to end decode
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    ctx = Context(cfg, out, n_ctx=64)
+    logits = ctx.eval(np.asarray([[3, 9]], np.int32))
+    assert np.isfinite(logits).all()
