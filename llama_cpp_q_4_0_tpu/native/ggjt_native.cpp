@@ -66,36 +66,43 @@ struct BlockQ40 {
 };
 static_assert(sizeof(BlockQ40) == 18, "block_q4_0 is 18 bytes");
 
-static void pack_rows_q4_0(const BlockQ40* blocks, int64_t n, int64_t k,
-                           int64_t k2p, uint8_t* packed, float* scales,
-                           int64_t col0, int64_t col1) {
-  const int64_t nb = k / 32;       // blocks per source row
+// Iterate packed OUTPUT rows (contiguous writes), tiling the column axis
+// so the strided source records stay cache-resident — a cache-blocked
+// transpose rather than a per-block scatter.
+static void pack_outrows_q4_0(const BlockQ40* blocks, int64_t n, int64_t k,
+                              int64_t k2p, uint8_t* packed, float* scales,
+                              int64_t r0, int64_t r1) {
+  const int64_t nb = k / 32;
   const int64_t k2 = k / 2;
-  const int64_t g2p = k2p / 32;    // scale rows per panel
-  for (int64_t col = col0; col < col1; ++col) {  // col = source row n
-    const BlockQ40* row = blocks + col * nb;
-    for (int64_t j = 0; j < nb; ++j) {
-      const BlockQ40& b = row[j];
-      const float d = f16_to_f32(b.d);
-      const int64_t kbase = j * 32;
-      // group scale: panel p = (kbase >= k2), group row = (kbase % k2)/32
-      const int64_t panel = kbase >= k2 ? 1 : 0;
-      const int64_t grow = (kbase - panel * k2) / 32;
-      scales[(panel * g2p + grow) * n + col] = d;
-      for (int64_t i = 0; i < 16; ++i) {
-        const uint8_t lo = row[j].qs[i] & 0x0F;        // element kbase + i
-        const uint8_t hi = row[j].qs[i] >> 4;          // element kbase + 16 + i
-        const int64_t ka = kbase + i, kb = kbase + 16 + i;
-        // scatter both elements into the split-half packed byte
-        const int64_t ra = ka < k2 ? ka : ka - k2;
-        const int64_t rb = kb < k2 ? kb : kb - k2;
-        uint8_t* pa = packed + ra * n + col;
-        uint8_t* pb = packed + rb * n + col;
-        if (ka < k2) *pa = (uint8_t)((*pa & 0xF0) | lo);
-        else         *pa = (uint8_t)((*pa & 0x0F) | (lo << 4));
-        if (kb < k2) *pb = (uint8_t)((*pb & 0xF0) | hi);
-        else         *pb = (uint8_t)((*pb & 0x0F) | (hi << 4));
+  const int64_t g2p = k2p / 32;
+  constexpr int64_t CT = 512;  // column tile: 2 recs * 18B * 512 = 18 KB
+  for (int64_t c0 = 0; c0 < n; c0 += CT) {
+    const int64_t c1 = std::min(n, c0 + CT);
+    for (int64_t r = r0; r < r1; ++r) {
+      if (r >= k2) break;  // zero padding rows stay zero
+      const int64_t klo = r, khi = r + k2;
+      const int64_t jlo = klo / 32, ilo = klo % 32;
+      const int64_t jhi = khi / 32, ihi = khi % 32;
+      uint8_t* out = packed + r * n;
+      for (int64_t c = c0; c < c1; ++c) {
+        const BlockQ40& blo = blocks[c * nb + jlo];
+        const BlockQ40& bhi = blocks[c * nb + jhi];
+        const uint8_t lo = ilo < 16 ? (uint8_t)(blo.qs[ilo] & 0x0F)
+                                    : (uint8_t)(blo.qs[ilo - 16] >> 4);
+        const uint8_t hi = ihi < 16 ? (uint8_t)(bhi.qs[ihi] & 0x0F)
+                                    : (uint8_t)(bhi.qs[ihi - 16] >> 4);
+        out[c] = (uint8_t)(lo | (hi << 4));
       }
+    }
+  }
+  // group scales (tiny): panel-ordered rows
+  for (int64_t r = r0; r < r1; r += 32) {
+    if (r >= k2) break;
+    const int64_t grow = r / 32;
+    const int64_t jlo = r / 32, jhi = (r + k2) / 32;
+    for (int64_t c = 0; c < n; ++c) {
+      scales[grow * n + c] = f16_to_f32(blocks[c * nb + jlo].d);
+      scales[(g2p + grow) * n + c] = f16_to_f32(blocks[c * nb + jhi].d);
     }
   }
 }
@@ -105,20 +112,22 @@ void gt_pack_q4_0(const uint8_t* blocks_raw, int64_t n, int64_t k,
                   int64_t k2p, uint8_t* packed, float* scales,
                   int n_threads) {
   const BlockQ40* blocks = reinterpret_cast<const BlockQ40*>(blocks_raw);
+  const int64_t k2 = k / 2;
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
-  if (n_threads > n) n_threads = (int)n;
   if (n_threads <= 1) {
-    pack_rows_q4_0(blocks, n, k, k2p, packed, scales, 0, n);
+    pack_outrows_q4_0(blocks, n, k, k2p, packed, scales, 0, k2);
     return;
   }
+  // split packed rows across threads, 32-aligned so scale rows don't split
   std::vector<std::thread> threads;
-  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  int64_t chunk = (k2 + n_threads - 1) / n_threads;
+  chunk = (chunk + 31) & ~int64_t(31);
   for (int t = 0; t < n_threads; ++t) {
-    const int64_t c0 = t * chunk;
-    const int64_t c1 = std::min<int64_t>(n, c0 + chunk);
-    if (c0 >= c1) break;
-    threads.emplace_back(pack_rows_q4_0, blocks, n, k, k2p, packed, scales,
-                         c0, c1);
+    const int64_t r0 = t * chunk;
+    const int64_t r1 = std::min(k2, r0 + chunk);
+    if (r0 >= r1) break;
+    threads.emplace_back(pack_outrows_q4_0, blocks, n, k, k2p, packed,
+                         scales, r0, r1);
   }
   for (auto& th : threads) th.join();
 }
