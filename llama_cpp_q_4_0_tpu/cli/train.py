@@ -82,26 +82,27 @@ def run(args) -> int:
     op = OptParams(kind="adam" if args.adam else "lbfgs",
                    lr=args.learning_rate, grad_clip=args.grad_clip)
     tx = make_optimizer(op)
+    use_scan = args.use_scan or args.use_remat
     params = init_transformer(cfg, jax.random.key(args.seed))
-    opt_state = init_opt_state(tx, params)
-    start = 0
-    if args.checkpoint_in:
-        cfg, params, opt_state, start = load_checkpoint(
-            args.checkpoint_in, params, opt_state)
-        print(f"resumed from {args.checkpoint_in} at step {start}",
-              file=sys.stderr)
-
-    if args.use_scan or args.use_remat:
+    if use_scan:
         from ..training.stacked import (
             make_stacked_train_step, stack_params, unstack_params,
         )
 
         params = stack_params(params)
-        opt_state = init_opt_state(tx, params)
         step = make_stacked_train_step(cfg, tx, remat=args.use_remat,
                                        donate=args.adam)
     else:
         step = make_train_step(cfg, tx, donate=args.adam)
+    opt_state = init_opt_state(tx, params)
+    start = 0
+    if args.checkpoint_in:
+        # checkpoint layout (stacked or per-layer) must match the mode:
+        # the pytree 'like' below carries the chosen structure
+        cfg, params, opt_state, start = load_checkpoint(
+            args.checkpoint_in, params, opt_state)
+        print(f"resumed from {args.checkpoint_in} at step {start}",
+              file=sys.stderr)
     rng = np.random.default_rng(args.seed)
     n_ctx, n_batch = args.ctx, args.batch
     t0 = time.perf_counter()
@@ -117,12 +118,12 @@ def run(args) -> int:
             print(f"iter {it}: loss {float(loss):.4f} "
                   f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
-    if args.use_scan or args.use_remat:
-        params = unstack_params(params, cfg.n_layer)
-        opt_state = None  # optimizer state is stacked-shaped; fresh on resume
     save_checkpoint(args.checkpoint_out, cfg, params, opt_state,
-                    step=start + args.iterations)
+                    step=start + args.iterations,
+                    extra={"stacked": use_scan})
     print(f"checkpoint saved to {args.checkpoint_out}", file=sys.stderr)
+    if use_scan:  # inference below wants per-layer params
+        params = unstack_params(params, cfg.n_layer)
 
     if args.model_out:
         from ..formats.export import save_llama_ggjt

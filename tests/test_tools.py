@@ -45,6 +45,17 @@ def test_train_cli_end_to_end(vocab_model, tmp_path, capsys):
     assert rc == 0
     assert "resumed" in capsys.readouterr().err
 
+    # stacked trainer: fresh + resume with preserved optimizer state
+    ckpt2 = str(tmp_path / "ckpt_scan.bin")
+    common = ["--vocab-model", vocab_model, "--train-data", corpus,
+              "--embd", "32", "--head", "2", "--layer", "2", "--mult", "16",
+              "-c", "16", "-b", "2", "--predict", "0", "--use-remat"]
+    assert train_cli.main(common + ["--checkpoint-out", ckpt2, "-n", "2"]) == 0
+    assert train_cli.main(common + ["--checkpoint-in", ckpt2,
+                                    "--checkpoint-out", ckpt2, "-n", "1"]) == 0
+    err = capsys.readouterr().err
+    assert "resumed" in err
+
     # the exported ggjt loads and generates through the normal CLI
     import llama_cpp_q_4_0_tpu.cli.main as main_cli
 
