@@ -170,8 +170,14 @@ def forward(
     state: dict,  # 5 x [L, B, E]
     *,
     last_only: bool = False,
+    valid: jax.Array | None = None,  # [B, T] bool: padded steps hold state
 ):
     """Scan the prompt through the recurrence.
+
+    `valid` lets callers pad prompts to bucketed lengths without corrupting
+    the recurrent state (a padded step passes the carry through untouched) —
+    the recurrence's answer to the transformer path's bucket padding, so a
+    handful of compilations serve any prompt length.
 
     Returns (logits [B, T|1, V] f32, new_state)."""
     b, t = tokens.shape
@@ -181,11 +187,17 @@ def forward(
         emb = jnp.take(params.wte, tokens, axis=0).astype(jnp.float32)
     emb = layer_norm(emb, params.ln_pre_g, params.ln_pre_b, cfg.norm_eps)
 
-    def scan_fn(st, e_t):  # e_t: [B, E]
-        x, st = _token_step(cfg, params, st, e_t)
-        return st, x
+    def scan_fn(st, ev):  # ev: ([B, E], [B] bool | None)
+        e_t, v_t = ev
+        x, st_new = _token_step(cfg, params, st, e_t)
+        if v_t is not None:
+            keep = v_t[None, :, None]  # [1, B, 1] over [L, B, E]
+            st_new = jax.tree.map(
+                lambda new, old: jnp.where(keep, new, old), st_new, st)
+        return st_new, x
 
-    state, xs = jax.lax.scan(scan_fn, state, emb.swapaxes(0, 1))  # xs: [T, B, E]
+    vs = None if valid is None else valid.swapaxes(0, 1)
+    state, xs = jax.lax.scan(scan_fn, state, (emb.swapaxes(0, 1), vs))
     xs = xs.swapaxes(0, 1)  # [B, T, E]
     if last_only:
         xs = xs[:, -1:, :]

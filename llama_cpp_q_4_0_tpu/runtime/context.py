@@ -179,10 +179,11 @@ def _embed_step(cfg, params, tokens, n_past, cache_k, cache_v):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "last_only"), donate_argnames=("state",))
-def _rwkv_eval_step(cfg, params, tokens, state, last_only):
+def _rwkv_eval_step(cfg, params, tokens, state, valid, last_only):
     from ..models import rwkv as rwkv_mod
 
-    return rwkv_mod.forward(cfg, params, tokens, state, last_only=last_only)
+    return rwkv_mod.forward(cfg, params, tokens, state, valid=valid,
+                            last_only=last_only)
 
 
 class RwkvContext:
@@ -215,13 +216,20 @@ class RwkvContext:
         b, t = tokens.shape
         assert b == self.batch
         t0 = time.perf_counter()
-        # no bucket padding: pads would corrupt the recurrent state, and the
-        # lax.scan recurrence compiles once per exact prompt length anyway
+        # bucket-pad like the transformer path: padded steps carry the
+        # recurrent state through untouched (rwkv.forward `valid`)
+        bt = _bucket(t)
+        padded = np.zeros((b, bt), dtype=np.int32)
+        padded[:, :t] = tokens
+        valid = np.zeros((b, bt), dtype=bool)
+        valid[:, :t] = True
         logits, self.state = _rwkv_eval_step(
-            self.cfg, self.params, jnp.asarray(tokens), self.state,
-            not logits_all,
+            self.cfg, self.params, jnp.asarray(padded), self.state,
+            jnp.asarray(valid), False if logits_all or bt != t else True,
         )
         logits = np.asarray(logits)
+        if logits.shape[1] > 1:
+            logits = logits[:, :t] if logits_all else logits[:, t - 1 : t]
         dt = (time.perf_counter() - t0) * 1e3
         if t > 1:
             self.timings.t_prompt_ms += dt

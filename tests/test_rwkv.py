@@ -98,3 +98,34 @@ def test_rwkv_parity_vs_reference(tmp_path, oracle_bin, qtype_name):
     assert np.abs(ours - ref_probs).max() < tol
     agree = (np.argmax(ours, -1) == np.argmax(ref_probs, -1)).mean()
     assert agree >= (1.0 if qtype_name == "F32" else 0.6)
+
+
+def test_rwkv_bucket_padding_state_exact(tmp_path):
+    """Bucket-padded prompts must leave state and logits identical to the
+    exact-length eval (padded steps pass the carry through)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.models import rwkv as rwkv_mod
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_rwkv
+
+    path = _build_model(tmp_path, "F32", n_vocab=128, n_embd=32, n_layer=2)
+    gf = read_ggjt(path, "rwkv")
+    cfg = config_from_ggjt(gf)
+    params = load_rwkv(gf, cfg)
+    toks = np.asarray([[5, 9, 11]], np.int32)  # t=3 pads to bucket 8
+
+    st0 = rwkv_mod.init_state(cfg, 1)
+    ref_logits, ref_state = rwkv_mod.forward(cfg, params, jnp.asarray(toks),
+                                             st0, last_only=True)
+
+    from llama_cpp_q_4_0_tpu.runtime.context import RwkvContext
+
+    ctx = RwkvContext(cfg, params)
+    got = ctx.eval(toks)
+    np.testing.assert_allclose(got, np.asarray(ref_logits), rtol=1e-5,
+                               atol=1e-5)
+    for k in ref_state:
+        np.testing.assert_allclose(np.asarray(ctx.state[k]),
+                                   np.asarray(ref_state[k]),
+                                   rtol=1e-5, atol=1e-5)
