@@ -119,6 +119,51 @@ class QTensor:
             quantize_planar(np.asarray(w, np.float32), qtype), pack=pack
         )
 
+    def repack_row_shards(self, tp: int) -> "QTensor":
+        """Re-pack for ROW-parallel sharding over `tp` chips: each chip's
+        contiguous K-slice is split-half packed independently, and the
+        per-shard planes are stacked so NamedSharding P('tp') on the leading
+        axis hands every chip a self-contained packed layout.
+
+        Result: levels uint8 [tp*K2P_l, N] (shard-major), scales
+        [tp*2, K2P_l/gsize, N]; `shape` records the LOCAL logical
+        (N, K/tp), so inside shard_map the tensor needs no fixup."""
+        lv = np.asarray(self.levels_full())  # [K, N] int8
+        gs = np.asarray(self.gscale_full())
+        gb = None if self.gbias_t is None else np.asarray(self.gbias_full())
+        k, n = lv.shape
+        assert k % tp == 0, (k, tp)
+        kl = k // tp
+        assert kl % 2 == 0 and (kl // 2) % self.gsize == 0, (kl, self.gsize)
+        lo, hi = int(lv.min()), int(lv.max())
+        assert hi - lo <= 15, "levels exceed 4 bits; cannot pack"
+        zero = -lo
+        k2 = kl // 2
+        k2p = -(-k2 // 256) * 256
+        g2, g2p = k2 // self.gsize, k2p // self.gsize
+        gl = kl // self.gsize
+        levels = np.zeros((tp * k2p, n), np.uint8)
+        scales = np.zeros((tp * 2, g2p, n), np.float32)
+        bias = None if gb is None else np.zeros((tp * 2, g2p, n), np.float32)
+        for s in range(tp):
+            sl = lv[s * kl : (s + 1) * kl]
+            levels[s * k2p : s * k2p + k2] = (
+                ((sl[k2:].astype(np.int16) + zero) << 4)
+                | (sl[:k2].astype(np.int16) + zero)).astype(np.uint8)
+            sg = gs[s * gl : (s + 1) * gl]
+            scales[2 * s, :g2] = sg[:g2]
+            scales[2 * s + 1, :g2] = sg[g2:]
+            if gb is not None:
+                sb = gb[s * gl : (s + 1) * gl]
+                bias[2 * s, :g2] = sb[:g2]
+                bias[2 * s + 1, :g2] = sb[g2:]
+        return QTensor(
+            levels_t=jnp.asarray(levels), gscale_t=jnp.asarray(scales),
+            gbias_t=None if bias is None else jnp.asarray(bias),
+            gsize=self.gsize, qtype=self.qtype, shape=(n, kl),
+            pack_zero=zero,
+        )
+
     def unpack(self) -> "QTensor":
         """Return the unpacked-int8 twin (host op).  Needed for row-parallel
         sharding: the split-half nibble pairing (k with k+K/2) makes a

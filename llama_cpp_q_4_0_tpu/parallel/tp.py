@@ -42,11 +42,15 @@ def _wspec(w, dim: str) -> P:
     if isinstance(w, QTensor):
         if dim == "col":
             leaf = P(None, "tp")
+            sleaf = P(None, None, "tp") if w.packed else leaf
         elif dim == "row":
+            # row-parallel packed tensors arrive shard-major
+            # (QTensor.repack_row_shards): leading axis splits per chip
             leaf = P("tp", None)
+            sleaf = P("tp", None, None) if w.packed else leaf
         else:
             leaf = P(None, None)
-        sleaf = P(None, *leaf) if w.packed else leaf
+            sleaf = P(None, None, None) if w.packed else leaf
         return QTensor(levels_t=leaf, gscale_t=sleaf,
                        gbias_t=sleaf if w.gbias_t is not None else None,
                        gsize=w.gsize, qtype=w.qtype, shape=w.shape,
@@ -96,6 +100,26 @@ def prepare_tp_params(params: TransformerParams, mesh: Mesh,
             if f in ("wk", "wv", "bk", "bv") and not kv_sharded:
                 dim = "rep"
             if dim == "row" and isinstance(w, QTensor):
+                tp = mesh.shape["tp"]
+                kl = w.shape[1] // tp
+                if (w.shape[1] % tp == 0 and kl % 2 == 0
+                        and (kl // 2) % w.gsize == 0):
+                    # per-shard split-half repack keeps 4-bit streaming on
+                    # every chip (levels arrive shard-major)
+                    from jax.sharding import NamedSharding
+
+                    rs = w.repack_row_shards(tp)
+                    kw[f] = QTensor(
+                        levels_t=jax.device_put(
+                            rs.levels_t, NamedSharding(mesh, P("tp", None))),
+                        gscale_t=jax.device_put(
+                            rs.gscale_t, NamedSharding(mesh, P("tp", None, None))),
+                        gbias_t=None if rs.gbias_t is None else jax.device_put(
+                            rs.gbias_t, NamedSharding(mesh, P("tp", None, None))),
+                        gsize=rs.gsize, qtype=rs.qtype, shape=rs.shape,
+                        pack_zero=rs.pack_zero,
+                    )
+                    continue
                 w = w.unpack()
             kw[f] = put_weight(w, mesh, dim)
         return Block(**kw)

@@ -119,3 +119,30 @@ def test_tp_forward_gptneox_biases_tp2():
                                out_norm_w=jnp.ones((e,)), out_norm_b=vec(e),
                                output=q(v, e))
     _run_pair(cfg, params, tp=2)
+
+
+def test_repack_row_shards_lossless():
+    """Per-shard repack reassembles to exactly the original dequant."""
+    from llama_cpp_q_4_0_tpu.ops.qtensor import QTensor
+
+    rng = np.random.default_rng(5)
+    n, k, tp = 64, 512, 4
+    w = (rng.standard_normal((n, k)) * 0.2).astype(np.float32)
+    for qt in (GGMLType.Q4_0, GGMLType.Q4_1):
+        q = QTensor.quantize(w, qt)
+        rs = q.repack_row_shards(tp)
+        assert rs.shape == (n, k // tp)
+        kl = k // tp
+        k2p = rs.levels_t.shape[0] // tp
+        full = np.asarray(q.dequantize())  # [N, K]
+        for s in range(tp):
+            local = QTensor(
+                levels_t=rs.levels_t[s * k2p:(s + 1) * k2p],
+                gscale_t=rs.gscale_t[2 * s:2 * s + 2],
+                gbias_t=None if rs.gbias_t is None
+                else rs.gbias_t[2 * s:2 * s + 2],
+                gsize=rs.gsize, qtype=rs.qtype, shape=rs.shape,
+                pack_zero=rs.pack_zero)
+            np.testing.assert_array_equal(
+                np.asarray(local.dequantize()),
+                full[:, s * kl:(s + 1) * kl])
