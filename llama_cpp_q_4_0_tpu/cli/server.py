@@ -34,6 +34,12 @@ def build_parser(p: argparse.ArgumentParser | None = None):
                    help=">1: continuous-batching engine with N slots "
                         "(requests decode concurrently; beyond the "
                         "reference's single-session server)")
+    p.add_argument("--parallel-chunk", type=int, default=1,
+                   help=">1: throughput mode — decode+sample N tokens per "
+                        "tick on device (engine-wide temp/top-k sampling "
+                        "replaces per-request chains)")
+    p.add_argument("--parallel-temp", type=float, default=0.8)
+    p.add_argument("--parallel-top-k", type=int, default=40)
     return p
 
 
@@ -222,10 +228,19 @@ def run(args) -> int:
     if getattr(args, "parallel", 1) > 1:
         from ..runtime.batch_engine import BatchEngine
 
+        kw = {}
+        if getattr(args, "parallel_chunk", 1) > 1:
+            from ..runtime.device_sample import DeviceSampling
+
+            kw = dict(chunk=args.parallel_chunk,
+                      device_sampling=DeviceSampling(
+                          temp=args.parallel_temp, top_k=args.parallel_top_k))
         engine = BatchEngine(lm.cfg, lm.ctx.params, n_slots=args.parallel,
-                             n_ctx=args.n_ctx)
+                             n_ctx=args.n_ctx, **kw)
         engine.start()
-        print(f"continuous batching: {args.parallel} slots", file=sys.stderr)
+        print(f"continuous batching: {args.parallel} slots"
+              + (f", chunk {args.parallel_chunk}" if kw else ""),
+              file=sys.stderr)
     state = ServerState(lm, engine)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"server listening on http://{args.host}:{args.port}",
