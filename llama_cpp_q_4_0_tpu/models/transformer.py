@@ -154,6 +154,7 @@ def forward(
     last_only: bool = False,
     with_embedding: bool = False,
     kv_window: int | None = None,
+    last_index: jax.Array | None = None,
 ):
     """Returns (logits [B, T|1, n_vocab] f32, new_cache_k, new_cache_v);
     with_embedding=True additionally returns the post-norm hidden state
@@ -220,7 +221,11 @@ def forward(
             ff_in = _norm(cfg, x, blk.ffn_norm_w, blk.ffn_norm_b)
             x = x + _ffn(cfg, blk, ff_in)
 
-    if last_only:
+    if last_index is not None:
+        # bucket-padded prompt: head matmul + transfer for ONE row (the
+        # real last token), not the whole padded window
+        x = jax.lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
+    elif last_only:
         x = x[:, -1:, :]
     x = _norm(cfg, x, params.out_norm_w, params.out_norm_b)
     logits = _mm(x, params.output, cfg=cfg)

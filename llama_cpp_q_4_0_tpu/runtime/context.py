@@ -33,14 +33,15 @@ def _bucket(n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "last_only", "kv_window"),
+    static_argnames=("cfg", "last_only", "kv_window", "slice_last"),
     donate_argnames=("cache_k", "cache_v"),
 )
 def _eval_step(cfg, params, tokens, n_past, cache_k, cache_v, last_only,
-               kv_window=None):
+               kv_window=None, last_index=None, slice_last=False):
     return transformer.forward(
         cfg, params, tokens, n_past, cache_k, cache_v, last_only=last_only,
         kv_window=kv_window,
+        last_index=last_index if slice_last else None,
     )
 
 
@@ -109,11 +110,13 @@ class Context:
         padded = np.zeros((b, bt), dtype=np.int32)
         padded[:, :t] = tokens
         t0 = time.perf_counter()
+        slice_last = not logits_all and bt != t
         logits, self.cache_k, self.cache_v = _eval_step(
             self.cfg, self.params, jnp.asarray(padded),
             jnp.int32(self.n_past), self.cache_k, self.cache_v,
             False if logits_all or bt != t else True,
             min(_bucket(self.n_past + t), self.n_ctx),
+            jnp.int32(t - 1), slice_last,
         )
         logits = np.asarray(logits[:, :t] if logits.shape[1] > 1 else logits)
         dt = (time.perf_counter() - t0) * 1e3
