@@ -71,7 +71,9 @@ def build_llama(n_layer: int = 32, n_embd: int = 4096, n_head: int = 32,
         out_norm_b=None,
         output=q(n_vocab, e),
     )
-    return cfg, params
+    from llama_cpp_q_4_0_tpu.models.fuse import fuse_projections
+
+    return cfg, fuse_projections(cfg, params)
 
 
 def bench_decode(cfg, params, n_tokens: int = 64, prefill: int = 64):

@@ -131,7 +131,8 @@ def config_from_ggjt(gf: GGJTFile, n_ctx: int = 2048) -> ModelConfig:
     raise ValueError(gf.arch)
 
 
-def load_transformer(gf: GGJTFile, cfg: ModelConfig) -> TransformerParams:
+def load_transformer(gf: GGJTFile, cfg: ModelConfig,
+                     fuse: bool = True) -> TransformerParams:
     L = cfg.n_layer
     dense_dtype = jnp.float32 if cfg.compute_dtype == "float32" else jnp.bfloat16
     load_tensor_ = lambda gf_, name: load_tensor(gf_, name, dense_dtype)
@@ -150,13 +151,18 @@ def load_transformer(gf: GGJTFile, cfg: ModelConfig) -> TransformerParams:
                 w_down=load_tensor_(gf, p + "feed_forward.w2.weight"),
                 w_up=load_tensor_(gf, p + "feed_forward.w3.weight"),
             ))
-        return TransformerParams(
+        params = TransformerParams(
             tok_embeddings=load_tensor_(gf, "tok_embeddings.weight"),
             blocks=tuple(blocks),
             out_norm_w=load_tensor_(gf, "norm.weight"),
             out_norm_b=None,
             output=load_tensor_(gf, "output.weight"),
         )
+        if fuse:
+            from .fuse import fuse_projections
+
+            params = fuse_projections(cfg, params)
+        return params
 
     groups = _qkv_groups(cfg)
     if cfg.arch == "gptneox":
@@ -195,13 +201,18 @@ def load_transformer(gf: GGJTFile, cfg: ModelConfig) -> TransformerParams:
                 blk.ffn_norm_b = load_tensor_(gf, p + ".post_attn_layernorm.bias")
         blocks.append(blk)
 
-    return TransformerParams(
+    params = TransformerParams(
         tok_embeddings=load_tensor_(gf, emb),
         blocks=tuple(blocks),
         out_norm_w=load_tensor_(gf, fnorm + ".weight"),
         out_norm_b=load_tensor_(gf, fnorm + ".bias"),
         output=load_tensor_(gf, out),
     )
+    if fuse:
+        from .fuse import fuse_projections
+
+        params = fuse_projections(cfg, params)
+    return params
 
 
 def load_rwkv(gf: GGJTFile, cfg: ModelConfig):

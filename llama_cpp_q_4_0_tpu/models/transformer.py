@@ -44,6 +44,7 @@ Param = Any  # QTensor | jax.Array | None
         "wq", "wk", "wv", "bq", "bk", "bv", "wo", "bo",
         "ffn_norm_w", "ffn_norm_b",
         "w_gate", "w_up", "w_down", "b_up", "b_down",
+        "wqkv", "b_qkv", "w_gateup",
     ],
     meta_fields=[],
 )
@@ -66,6 +67,11 @@ class Block:
     w_down: Param = None  # llama w2 / mlp proj
     b_up: Param = None
     b_down: Param = None
+    # load-time fused projections (models/fuse.py): one matmul instead of
+    # three/two; populated instead of wq/wk/wv / w_gate/w_up
+    wqkv: Param = None
+    b_qkv: Param = None
+    w_gateup: Param = None
 
 
 @partial(
@@ -137,10 +143,33 @@ def _mm(x, w, b=None, *, cfg: ModelConfig):
 
 def _ffn(cfg: ModelConfig, blk: Block, h):
     if cfg.ffn_gated:
-        return _mm(_act(cfg, _mm(h, blk.w_gate, cfg=cfg)) * _mm(h, blk.w_up, cfg=cfg),
-                   blk.w_down, cfg=cfg)
+        if blk.w_gateup is not None:
+            gu = _mm(h, blk.w_gateup, cfg=cfg)
+            f = gu.shape[-1] // 2
+            inner = _act(cfg, gu[..., :f]) * gu[..., f:]
+        else:
+            inner = _act(cfg, _mm(h, blk.w_gate, cfg=cfg)) * _mm(h, blk.w_up, cfg=cfg)
+        return _mm(inner, blk.w_down, cfg=cfg)
     return _mm(_act(cfg, _mm(h, blk.w_up, blk.b_up, cfg=cfg)), blk.w_down,
                blk.b_down, cfg=cfg)
+
+
+def _qkv(cfg: ModelConfig, blk: Block, h, b, t):
+    """Q/K/V projections, fused when the loader merged them."""
+    h_all, h_kv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
+    if blk.wqkv is not None:
+        qkv = _mm(h, blk.wqkv, blk.b_qkv, cfg=cfg)
+        e = h_all * hd
+        kvd = h_kv * hd
+        q = qkv[..., :e]
+        k = qkv[..., e:e + kvd]
+        v = qkv[..., e + kvd:]
+    else:
+        q = _mm(h, blk.wq, blk.bq, cfg=cfg)
+        k = _mm(h, blk.wk, blk.bk, cfg=cfg)
+        v = _mm(h, blk.wv, blk.bv, cfg=cfg)
+    return (q.reshape(b, t, h_all, hd), k.reshape(b, t, h_kv, hd),
+            v.reshape(b, t, h_kv, hd))
 
 
 def forward(
@@ -197,9 +226,7 @@ def forward(
     new_k, new_v = [], []
     for l, blk in enumerate(params.blocks):
         h = _norm(cfg, x, blk.attn_norm_w, blk.attn_norm_b)
-        q = _mm(h, blk.wq, blk.bq, cfg=cfg).reshape(b, t, h_all, hd)
-        k = _mm(h, blk.wk, blk.bk, cfg=cfg).reshape(b, t, h_kv, hd)
-        v = _mm(h, blk.wv, blk.bv, cfg=cfg).reshape(b, t, h_kv, hd)
+        q, k, v = _qkv(cfg, blk, h, b, t)
         if cfg.n_rot > 0:
             q = rope(q, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)
             k = rope(k, pos_b, cfg.n_rot, neox=cfg.rope_neox, base=cfg.rope_base)

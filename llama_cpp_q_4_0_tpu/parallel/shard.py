@@ -66,7 +66,8 @@ def put_weight(w: Any, mesh: Mesh, dim: str, axis: str = "tp"):
 
 
 # Which Block fields are column- vs row-parallel (everything else replicated).
-BLOCK_COL = ("wq", "wk", "wv", "bq", "bk", "bv", "w_gate", "w_up", "b_up")
+BLOCK_COL = ("wq", "wk", "wv", "bq", "bk", "bv", "w_gate", "w_up", "b_up",
+             "wqkv", "b_qkv", "w_gateup")
 BLOCK_ROW = ("wo", "w_down")
 
 

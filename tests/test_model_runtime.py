@@ -81,3 +81,27 @@ def test_context_swap_infinite_text(tmp_path):
                         sampling=SamplingParams(temp=0.0))
     toks = list(generate(ctx, [1, 5, 9], gp))
     assert len(toks) == 48  # ran past n_ctx via swap
+
+
+def test_fused_projections_match_unfused(tmp_path):
+    """Load-time QKV/gate-up fusion must be a pure no-op numerically."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_transformer
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    path = str(tmp_path / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+    gf = read_ggjt(path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    fused = load_transformer(gf, cfg, fuse=True)
+    plain = load_transformer(gf, cfg, fuse=False)
+    assert fused.blocks[0].wqkv is not None and fused.blocks[0].wq is None
+    assert fused.blocks[0].w_gateup is not None
+
+    toks = np.asarray([[3, 9, 27, 6]], np.int32)
+    a = Context(cfg, fused, n_ctx=64, cache_dtype=jnp.float32).eval(toks)
+    b = Context(cfg, plain, n_ctx=64, cache_dtype=jnp.float32).eval(toks)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
