@@ -152,7 +152,7 @@ def test_export_quantized_roundtrip(tmp_path):
     out = str(tmp_path / "exp.bin")
     save_llama_ggjt(out, cfg, params, _fake_vocab(256), qtype=GGMLType.Q4_0)
     gf = read_ggjt(out, "llama")
-    p2 = load_transformer(gf, cfg)
+    p2 = load_transformer(gf, cfg, fuse=False)
     a = np.asarray(params.blocks[0].wq)
     b = np.asarray(p2.blocks[0].wq.dequantize())
     rmse = float(np.sqrt(np.mean((a - b) ** 2)))
