@@ -85,7 +85,9 @@ class BatchEngine:
         are decoded and sampled ON DEVICE (runtime/device_sample.py) with
         one host round-trip per chunk — engine-wide uniform sampling
         (device_sampling: DeviceSampling) replaces per-request sampler
-        chains, and finished slots waste at most chunk-1 steps."""
+        chains, and finished slots waste at most chunk-1 steps.  Only the
+        FIRST token of each request (sampled at admission) uses the
+        request's own host sampling params."""
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
