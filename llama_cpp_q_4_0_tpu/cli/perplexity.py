@@ -14,6 +14,9 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     add_model_args(p)
     p.add_argument("-f", "--file", required=True, help="raw text file "
                    "(e.g. wiki.test.raw)")
+    p.add_argument("--on-device", action="store_true",
+                   help="reduce NLL on the TPU (f32 logsumexp; avoids "
+                        "shipping [n_ctx, vocab] logits per chunk)")
     return p
 
 
@@ -22,7 +25,7 @@ def run(args) -> int:
     print(f"calculating perplexity over chunks of {args.n_ctx}",
           file=sys.stderr)
     res = perplexity_file(
-        lm.ctx, lm.tokenizer, args.file,
+        lm.ctx, lm.tokenizer, args.file, on_device=args.on_device,
         n_ctx=args.n_ctx, n_batch=args.n_batch,
         progress=lambda s: print(s, end="", flush=True, file=sys.stderr),
     )

@@ -214,3 +214,18 @@ def test_ondevice_generate_matches_greedy(loaded):
     b = generate_ondevice(ctx4, prompt, 8,
                           sampling=DeviceSampling(temp=0.8, top_k=40), seed=1)
     assert a == b
+
+
+def test_perplexity_ondevice_matches_host(loaded):
+    from llama_cpp_q_4_0_tpu.runtime.perplexity import (
+        perplexity, perplexity_ondevice,
+    )
+
+    cfg, params, _ = loaded
+    rng = np.random.default_rng(0)
+    toks = rng.integers(4, 250, 3 * 32).astype(np.int32)
+    host = perplexity(Context(cfg, params, n_ctx=32), toks, n_ctx=32,
+                      n_batch=32)
+    dev = perplexity_ondevice(Context(cfg, params, n_ctx=32), toks, n_ctx=32)
+    assert abs(host.ppl - dev.ppl) / host.ppl < 1e-3, (host.ppl, dev.ppl)
+    assert host.count == dev.count
