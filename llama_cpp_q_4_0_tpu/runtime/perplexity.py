@@ -62,6 +62,37 @@ def perplexity(
     return PerplexityResult(float(np.exp(nll / max(1, count))), nll, count, chunk_ppls)
 
 
+def _lazy_jit_chunk_nll():
+    """Module-level jit (built on first use so jax imports stay lazy) —
+    defining it inside perplexity_ondevice would recompile on every call."""
+    global _chunk_nll
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import transformer
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "lo", "n_ctx"),
+                       donate_argnames=("cache_k", "cache_v"))
+    def _chunk_nll_impl(cfg, params, chunk, cache_k, cache_v, lo, n_ctx):
+        logits, ck, cv = transformer.forward(
+            cfg, params, chunk[None, :], jnp.int32(0), cache_k, cache_v,
+            last_only=False, kv_window=n_ctx)
+        sel = logits[0, lo : n_ctx - 1].astype(jnp.float32)
+        tgt = chunk[lo + 1 : n_ctx]
+        lse = jax.scipy.special.logsumexp(sel, axis=-1)
+        tok_logit = jnp.take_along_axis(sel, tgt[:, None], axis=1)[:, 0]
+        return jnp.sum(lse - tok_logit), ck, cv
+
+    _chunk_nll = _chunk_nll_impl
+    return _chunk_nll
+
+
+def _chunk_nll(*args, **kw):  # replaced by the jitted impl on first call
+    return _lazy_jit_chunk_nll()(*args, **kw)
+
+
 def perplexity_ondevice(
     ctx: Context,
     tokens: list[int] | np.ndarray,
@@ -74,27 +105,11 @@ def perplexity_ondevice(
     chunk only two scalars cross the host link instead of [n_ctx, V] logits
     (65 MB/chunk at 7B).  f32 logsumexp instead of the host path's f64; the
     difference is ~1e-5 in ppl."""
-    import functools
-
-    import jax
     import jax.numpy as jnp
 
     from ..models import transformer
 
     cfg = ctx.cfg
-
-    @functools.partial(jax.jit, static_argnames=("lo",),
-                       donate_argnames=("cache_k", "cache_v"))
-    def chunk_nll(params, chunk, cache_k, cache_v, lo):
-        logits, ck, cv = transformer.forward(
-            cfg, params, chunk[None, :], jnp.int32(0), cache_k, cache_v,
-            last_only=False, kv_window=n_ctx)
-        sel = logits[0, lo : n_ctx - 1].astype(jnp.float32)
-        tgt = chunk[lo + 1 : n_ctx]
-        lse = jax.scipy.special.logsumexp(sel, axis=-1)
-        tok_logit = jnp.take_along_axis(sel, tgt[:, None], axis=1)[:, 0]
-        return jnp.sum(lse - tok_logit), ck, cv
-
     tokens = np.asarray(tokens, dtype=np.int32)
     n_chunk = len(tokens) // n_ctx
     lo = min(512, n_ctx // 2)
@@ -103,8 +118,8 @@ def perplexity_ondevice(
     for i in range(n_chunk):
         chunk = tokens[i * n_ctx : (i + 1) * n_ctx].copy()
         chunk[0] = TOKEN_BOS
-        s, cache_k, cache_v = chunk_nll(ctx.params, jnp.asarray(chunk),
-                                        cache_k, cache_v, lo)
+        s, cache_k, cache_v = _chunk_nll(cfg, ctx.params, jnp.asarray(chunk),
+                                         cache_k, cache_v, lo, n_ctx)
         nll += float(s)
         count += n_ctx - 1 - lo
         chunk_ppls.append(float(np.exp(nll / count)))
