@@ -59,6 +59,50 @@ def _concat_bias(bs: list):
     return jnp.concatenate(list(bs), axis=0), True
 
 
+def _slice_n(w, lo: int, hi: int):
+    """Slice a weight along the OUTPUT dim (inverse of _concat_n)."""
+    if isinstance(w, QTensor):
+        axis_s = 2 if w.packed else 1
+        return QTensor(
+            levels_t=w.levels_t[:, lo:hi],
+            gscale_t=(w.gscale_t[:, :, lo:hi] if w.packed
+                      else w.gscale_t[:, lo:hi]),
+            gbias_t=None if w.gbias_t is None else (
+                w.gbias_t[:, :, lo:hi] if w.packed else w.gbias_t[:, lo:hi]),
+            gsize=w.gsize, qtype=w.qtype, shape=(hi - lo, w.shape[1]),
+            pack_zero=w.pack_zero,
+        )
+    return w[lo:hi]
+
+
+def defuse_projections(cfg: ModelConfig, params: TransformerParams) -> TransformerParams:
+    """Inverse of fuse_projections — needed before tensor-parallel
+    placement: a column shard of fused [Q|K|V] rows would straddle the
+    q/k/v boundaries."""
+    e = cfg.n_embd
+    kvd = cfg.kv_heads * cfg.head_dim
+    blocks = []
+    for blk in params.blocks:
+        kw = {}
+        if blk.wqkv is not None:
+            kw.update(
+                wq=_slice_n(blk.wqkv, 0, e),
+                wk=_slice_n(blk.wqkv, e, e + kvd),
+                wv=_slice_n(blk.wqkv, e + kvd, e + 2 * kvd),
+                wqkv=None,
+            )
+            if blk.b_qkv is not None:
+                kw.update(bq=blk.b_qkv[:e], bk=blk.b_qkv[e:e + kvd],
+                          bv=blk.b_qkv[e + kvd:], b_qkv=None)
+        if blk.w_gateup is not None:
+            f = blk.w_gateup.shape[0] // 2
+            kw.update(w_gate=_slice_n(blk.w_gateup, 0, f),
+                      w_up=_slice_n(blk.w_gateup, f, 2 * f),
+                      w_gateup=None)
+        blocks.append(dataclasses.replace(blk, **kw) if kw else blk)
+    return dataclasses.replace(params, blocks=tuple(blocks))
+
+
 def fuse_projections(cfg: ModelConfig, params: TransformerParams) -> TransformerParams:
     """Returns params with per-block fused QKV / gate-up where formats allow
     (no numeric change; forward slices the fused outputs)."""

@@ -50,7 +50,10 @@ def pp_loss(
     targets: jax.Array,  # [M, mb, T]
     mesh: Mesh,
 ) -> jax.Array:
-    """Mean LM loss across microbatches, computed through the pipeline."""
+    """Mean LM loss across microbatches, computed through the pipeline.
+
+    NOTE: wrap in jax.jit (and jax.grad) at the call site and reuse — the
+    shard_map closure here is rebuilt per call."""
     pp = mesh.shape["pp"]
     m, mb, t = tokens.shape
     specs = stage_specs(params)

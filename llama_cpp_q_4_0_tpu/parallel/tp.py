@@ -91,6 +91,11 @@ def prepare_tp_params(params: TransformerParams, mesh: Mesh,
 
     kv_sharded = cfg.kv_heads % mesh.shape["tp"] == 0 \
         and mesh.shape["tp"] <= cfg.kv_heads
+    # fused projections cannot column-shard (shards would straddle the
+    # q/k/v and gate/up boundaries): split them back first
+    from ..models.fuse import defuse_projections
+
+    params = defuse_projections(cfg, params)
 
     def place_block(blk: Block) -> Block:
         kw = {}
@@ -155,7 +160,11 @@ def tp_forward(
     last_only: bool = True,
 ):
     """Returns (logits, new_cache_k, new_cache_v) — numerically the regular
-    forward, communication written out explicitly."""
+    forward, communication written out explicitly.
+
+    NOTE: builds a fresh shard_map closure per call — wrap the call in one
+    jax.jit at your call site (as the tests/dryrun do) so the decode loop
+    reuses a single compiled executable."""
     tp = mesh.shape["tp"]
     assert cfg.n_head % tp == 0, (cfg.n_head, tp)
     kv_sharded = cfg.kv_heads % tp == 0 and tp <= cfg.kv_heads

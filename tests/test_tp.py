@@ -146,3 +146,26 @@ def test_repack_row_shards_lossless():
             np.testing.assert_array_equal(
                 np.asarray(local.dequantize()),
                 full[:, s * kl:(s + 1) * kl])
+
+
+def test_tp_forward_with_fused_input():
+    """prepare_tp_params must accept loader-fused params (defuse first)."""
+    from llama_cpp_q_4_0_tpu.models.fuse import fuse_projections
+
+    cfg, params = tiny_q_model(n_layer=1)
+    fused = fuse_projections(cfg, params)
+    assert fused.blocks[0].wqkv is not None
+    _run_pair(cfg, fused, tp=2)
+
+
+def test_defuse_roundtrip():
+    from llama_cpp_q_4_0_tpu.models.fuse import defuse_projections, fuse_projections
+
+    cfg, params = tiny_q_model(n_layer=1)
+    back = defuse_projections(cfg, fuse_projections(cfg, params))
+    assert back.blocks[0].wqkv is None and back.blocks[0].wq is not None
+    for name in ("wq", "wk", "wv", "w_gate", "w_up"):
+        a = getattr(params.blocks[0], name)
+        b = getattr(back.blocks[0], name)
+        np.testing.assert_array_equal(np.asarray(a.dequantize()),
+                                      np.asarray(b.dequantize()))
