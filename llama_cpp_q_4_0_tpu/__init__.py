@@ -20,3 +20,28 @@ Subpackage map (mirrors SURVEY.md §2 component inventory):
 """
 
 __version__ = "0.1.0"
+
+
+def load(model_path: str, *, n_ctx: int = 2048, arch: str | None = None,
+         cache_dtype=None):
+    """One-call bring-up: returns (context, tokenizer).
+
+    >>> ctx, tok = llama_cpp_q_4_0_tpu.load("7b-q4_0.bin")
+    >>> logits = ctx.eval([tok.tokenize("Hello", bos=True)])
+    """
+    import jax.numpy as jnp
+
+    from .formats.ggjt import detect_arch, read_ggjt
+    from .models.loading import config_from_ggjt, load_rwkv, load_transformer
+    from .runtime.context import Context, RwkvContext
+    from .runtime.tokenizer import Tokenizer, Vocab
+
+    arch = arch or detect_arch(model_path)
+    gf = read_ggjt(model_path, arch)
+    cfg = config_from_ggjt(gf, n_ctx=n_ctx)
+    tokenizer = Tokenizer(Vocab.from_ggjt(gf))
+    if arch == "rwkv":
+        return RwkvContext(cfg, load_rwkv(gf, cfg)), tokenizer
+    ctx = Context(cfg, load_transformer(gf, cfg), n_ctx=n_ctx,
+                  cache_dtype=cache_dtype or jnp.bfloat16)
+    return ctx, tokenizer

@@ -115,8 +115,12 @@ def load_model(args, *, logits_all: bool = False) -> LoadedModel:
         params = load_rwkv(gf, cfg)
         ctx = RwkvContext(cfg, params)
     else:
-        params = load_transformer(gf, cfg)
-        if getattr(args, "lora", None):
+        want_lora = bool(getattr(args, "lora", None))
+        # LoRA targets are named per projection: load unfused, merge, then
+        # fuse whatever remained fusable
+        params = load_transformer(gf, cfg, fuse=not want_lora)
+        if want_lora:
+            from ..models.fuse import fuse_projections
             from ..models.lora import apply_lora
 
             base_weights = None
@@ -125,6 +129,7 @@ def load_model(args, *, logits_all: bool = False) -> LoadedModel:
                 base_weights = {n: bgf.tensor_f32(n) for n in bgf.tensors}
             params = apply_lora(params, args.lora, base_weights=base_weights,
                                 merge=not getattr(args, 'lora_unmerged', False))
+            params = fuse_projections(cfg, params)
         ctx = Context(cfg, params, n_ctx=args.n_ctx, cache_dtype=cache_dtype)
     t_load = (time.perf_counter() - t0) * 1e3
     ctx.timings.t_load_ms = t_load

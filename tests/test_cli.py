@@ -169,3 +169,49 @@ def test_server_endpoints(model_path):
         assert '"stop": true' in raw
     finally:
         httpd.shutdown()
+
+
+def test_toplevel_load_api(model_path):
+    import llama_cpp_q_4_0_tpu as pkg
+
+    ctx, tok = pkg.load(model_path, n_ctx=64)
+    ids = tok.tokenize("hi", bos=True)
+    logits = ctx.eval(np.asarray([ids], np.int32))
+    assert np.isfinite(logits).all()
+
+
+def test_quantize_cli_kquant(tmp_path):
+    """k-quant ftype through the CLI exercises the layer-type rules
+    (output.weight -> Q6_K etc., llama.cpp:2404-2440)."""
+    from llama_cpp_q_4_0_tpu.cli import quantize as quantize_cli
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt as mk
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+
+    f32 = str(tmp_path / "f32.bin")
+    mk(f32, n_vocab=256, n_embd=256, n_mult=256, n_head=4, n_layer=2,
+       qtype=GGMLType.F32)
+    out = str(tmp_path / "q4k.bin")
+    assert quantize_cli.main([f32, out, "q4_k_m"]) == 0
+    gf = read_ggjt(out, "llama")
+    assert gf.tensors["output.weight"].qtype == GGMLType.Q6_K
+    assert gf.tensors["layers.0.attention.wq.weight"].qtype == GGMLType.Q4_K
+
+
+def test_main_cli_with_lora(model_path, tmp_path):
+    """--lora end to end (merge) and --lora-unmerged."""
+    import llama_cpp_q_4_0_tpu.cli.main as main_cli
+    from llama_cpp_q_4_0_tpu.formats.ggla import write_ggla
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "layers.0.attention.wq.weight.loraA":
+            rng.standard_normal((64, 4)).astype(np.float32) * 0.02,
+        "layers.0.attention.wq.weight.loraB":
+            rng.standard_normal((64, 4)).astype(np.float32) * 0.02,
+    }
+    ad = str(tmp_path / "a.ggla")
+    write_ggla(ad, r=4, alpha=8, tensors=tensors)
+    base = ["-m", model_path, "-p", "hi", "-n", "2", "-c", "64", "-s", "1",
+            "--lora", ad]
+    assert main_cli.main(base) == 0
+    assert main_cli.main(base + ["--lora-unmerged"]) == 0
