@@ -42,6 +42,13 @@ def build_parser(p: argparse.ArgumentParser | None = None):
                    help="sample on the TPU in chunked device loops "
                         "(temperature/top-k subset; amortizes host round "
                         "trips — measured 6x tok/s on tunneled devices)")
+    p.add_argument("--draft", type=int, default=0, metavar="K",
+                   help="speculative decoding: verify K drafted tokens per "
+                        "forward (prompt-lookup drafting; exact for greedy, "
+                        "unbiased for sampling)")
+    p.add_argument("--draft-model", default=None, metavar="PATH",
+                   help="small same-vocab model that drafts for --draft "
+                        "(default: model-free prompt-lookup drafting)")
     p.add_argument("--color", action="store_true")
     p.add_argument("--verbose-prompt", action="store_true")
     return p
@@ -114,6 +121,34 @@ def run(args) -> int:
 
     all_tokens = list(session_tokens) + list(prompt_tokens)
     print(prompt, end="", flush=True)
+    if args.draft > 0:
+        from ..runtime.device_sample import DeviceSampling
+        from ..runtime.speculative import (
+            DraftModelDrafter, SpecParams, SpecStats, generate_speculative,
+        )
+
+        drafter = None
+        if args.draft_model:
+            import copy
+
+            dargs = copy.copy(args)
+            dargs.model = args.draft_model
+            dargs.lora = None
+            drafter = DraftModelDrafter(load_model(dargs).ctx)
+        stats = SpecStats()
+        out = generate_speculative(
+            ctx, prompt_tokens, args.n_predict,
+            sampling=DeviceSampling(temp=args.temp, top_k=args.top_k),
+            spec=SpecParams(n_draft=args.draft), drafter=drafter,
+            seed=max(0, args.seed), ignore_eos=args.ignore_eos, stats=stats,
+        )
+        for t in out:
+            emit(t)
+        print(f"\nspeculative: {stats.tokens_per_step:.2f} tokens/step, "
+              f"{100 * stats.acceptance:.0f}% drafts accepted "
+              f"({stats.n_accepted}/{stats.n_drafted})", file=sys.stderr)
+        print(ctx.timings.report(), file=sys.stderr)
+        return 0
     if args.ondevice_sampling:
         from ..runtime.device_sample import DeviceSampling, generate_ondevice
 

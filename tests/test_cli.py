@@ -215,3 +215,25 @@ def test_main_cli_with_lora(model_path, tmp_path):
             "--lora", ad]
     assert main_cli.main(base) == 0
     assert main_cli.main(base + ["--lora-unmerged"]) == 0
+
+
+def test_main_cli_speculative(model_path, capsys):
+    import llama_cpp_q_4_0_tpu.cli.main as main_cli
+
+    rc = main_cli.main(["-m", model_path, "-p", "hello", "-n", "6",
+                        "-c", "64", "-s", "1", "--temp", "-1",
+                        "--draft", "4"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "speculative:" in err
+
+
+def test_main_cli_speculative_draft_model(model_path, capsys):
+    import llama_cpp_q_4_0_tpu.cli.main as main_cli
+
+    rc = main_cli.main(["-m", model_path, "-p", "hello", "-n", "6",
+                        "-c", "64", "-s", "1", "--temp", "-1",
+                        "--draft", "4", "--draft-model", model_path])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "100% drafts accepted" in err
