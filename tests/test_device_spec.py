@@ -1,0 +1,112 @@
+"""Device-resident speculative decoding: the on-device n-gram lookup must
+match the host drafter exactly, and the full scan loop must reproduce plain
+greedy decoding token-for-token."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_transformer
+from llama_cpp_q_4_0_tpu.runtime.context import Context
+from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+from llama_cpp_q_4_0_tpu.runtime.device_spec import (
+    _lookup_drafts,
+    generate_ondevice_spec,
+)
+from llama_cpp_q_4_0_tpu.runtime.generate import GenerateParams, generate
+from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
+from llama_cpp_q_4_0_tpu.runtime.speculative import (
+    PromptLookupDrafter,
+    SpecParams,
+    SpecStats,
+)
+
+GREEDY = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                        repeat_last_n=0)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dspec") / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+    gf = read_ggjt(path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=128)
+    return cfg, load_transformer(gf, cfg)
+
+
+def test_device_lookup_matches_host_drafter():
+    """Property: wherever the host drafter proposes, the device lookup
+    proposes the identical tokens; where it proposes nothing, zeros."""
+    rng = np.random.default_rng(0)
+    sp = SpecParams(n_draft=6, max_ngram=3, min_ngram=1)
+    host = PromptLookupDrafter(sp)
+    H = 64
+    fn = jax.jit(lambda b, m: _lookup_drafts(
+        b, m, k=sp.n_draft, max_ngram=sp.max_ngram, min_ngram=sp.min_ngram))
+    n_checked = 0
+    for trial in range(40):
+        m = int(rng.integers(2, H))
+        # small alphabet → plenty of repeats to match on
+        hist = rng.integers(0, 6, m).tolist()
+        buf = np.zeros(H, np.int32)
+        buf[:m] = hist
+        got = np.asarray(fn(jnp.asarray(buf), jnp.int32(m))).tolist()
+        want = host.draft(hist, sp.n_draft)
+        if want:
+            assert got == want, (trial, hist, got, want)
+            n_checked += 1
+        else:
+            assert got == [0] * sp.n_draft
+    assert n_checked >= 20  # the property actually got exercised
+
+
+def test_ondevice_spec_greedy_matches_plain(model):
+    cfg, params = model
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 250, 12).tolist()
+    ref_ctx = Context(cfg, params)
+    want = list(generate(ref_ctx, prompt, GenerateParams(
+        n_predict=24, sampling=GREEDY, ignore_eos=True), eos_token=-1))
+
+    ctx = Context(cfg, params)
+    stats = SpecStats()
+    got = generate_ondevice_spec(
+        ctx, prompt, 24, sampling=DeviceSampling(temp=-1.0),
+        spec=SpecParams(n_draft=5), n_steps=3, ignore_eos=True, stats=stats)
+    assert got == want
+    assert stats.n_verify >= 1
+
+
+def test_ondevice_spec_respects_eos(model):
+    cfg, params = model
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(3, 250, 8).tolist()
+    ref_ctx = Context(cfg, params)
+    want = list(generate(ref_ctx, prompt, GenerateParams(
+        n_predict=10, sampling=GREEDY, ignore_eos=True), eos_token=-1))
+    eos = want[4]
+    ctx = Context(cfg, params)
+    got = generate_ondevice_spec(
+        ctx, prompt, 10, sampling=DeviceSampling(temp=-1.0),
+        spec=SpecParams(n_draft=4), n_steps=3, eos_token=eos)
+    assert got == want[:want.index(eos)]
+
+
+def test_ondevice_spec_near_context_end(model):
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(3, 250, 100).tolist()  # n_ctx=128
+    ctx = Context(cfg, params)
+    got = generate_ondevice_spec(
+        ctx, prompt, 64, sampling=DeviceSampling(temp=-1.0),
+        spec=SpecParams(n_draft=4), n_steps=2, ignore_eos=True)
+    assert 0 < len(got) <= 64
+    assert ctx.n_past <= ctx.n_ctx
+    ref_ctx = Context(cfg, params)
+    want = list(generate(ref_ctx, prompt, GenerateParams(
+        n_predict=len(got), sampling=GREEDY, ignore_eos=True),
+        eos_token=-1))
+    assert got == want
