@@ -37,9 +37,11 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--memory-f32", action="store_true",
                    help="f32 KV cache (default bf16; reference default f16)")
     p.add_argument("--cache-type", default=None,
-                   choices=("bf16", "f32", "f16", "f8"),
-                   help="KV cache dtype; f8 (e4m3) halves KV memory — an "
-                        "option the reference lacks")
+                   choices=("bf16", "f32", "f16", "f8", "q8"),
+                   help="KV cache dtype; f8 (e4m3) halves KV memory, q8 "
+                        "(scaled int8, amax/127 per token-head vector) "
+                        "quarters it at higher fidelity than f8 — options "
+                        "the reference lacks")
     p.add_argument("-t", "--threads", type=int, default=0,
                    help="accepted for reference-CLI compatibility (XLA "
                         "manages device parallelism)")
@@ -106,7 +108,8 @@ def load_model(args, *, logits_all: bool = False) -> LoadedModel:
     cfg = config_from_ggjt(gf, n_ctx=args.n_ctx)
     tokenizer = Tokenizer(Vocab.from_ggjt(gf))
     cache_map = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-                 "f16": jnp.float16, "f8": jnp.float8_e4m3fn}
+                 "f16": jnp.float16, "f8": jnp.float8_e4m3fn,
+                 "q8": jnp.int8}
     if getattr(args, "cache_type", None):
         cache_dtype = cache_map[args.cache_type]
     else:

@@ -84,12 +84,24 @@ def q_matmul(
     if use_pallas and n % 128 == 0 and k % 256 == 0:
         # tile defaults validated at MODEL level on v5e (single-kernel
         # sweeps mislead: cross-op DMA overlap favors deeper k tiles)
-        block_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
+        import os
+
+        bn_env = int(os.environ.get("QMM_BLOCK_N", "0"))
+        block_n = bn_env or (512 if n % 512 == 0 else 256 if n % 256 == 0 else 128)
+        if n % block_n != 0:
+            block_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
         if w.packed:
             k2p = w.levels_t.shape[0]  # padded half-panel (multiple of 256)
-            block_k = max(bk for bk in (2048, 1024, 512, 256)
-                          if k2p % bk == 0 and bk % w.gsize == 0
-                          and (bk // w.gsize) % 8 == 0)
+            bk_env = int(os.environ.get("QMM_BLOCK_K", "0"))
+            cands = (bk_env,) if bk_env else (2048, 1024, 512, 256)
+            block_k = max((bk for bk in cands
+                           if k2p % bk == 0 and bk % w.gsize == 0
+                           and (bk // w.gsize) % 8 == 0),
+                          default=0)
+            if not block_k:
+                block_k = max(bk for bk in (2048, 1024, 512, 256)
+                              if k2p % bk == 0 and bk % w.gsize == 0
+                              and (bk // w.gsize) % 8 == 0)
             out = qmm_packed(
                 x2, w.levels_t, w.gscale_t, w.gbias_t,
                 gsize=w.gsize, zero=w.pack_zero,

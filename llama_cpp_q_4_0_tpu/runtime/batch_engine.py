@@ -133,24 +133,20 @@ class BatchEngine:
                     kv_window):
             """[1, T_pad] prefill against one slot's KV rows; returns the
             logits of the last *real* token."""
-            row_k = tuple(jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
-                          for c in cache_k)
-            row_v = tuple(jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
-                          for c in cache_v)
+            take_row = lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1,
+                                                              axis=0)
+            row_k = jax.tree.map(take_row, cache_k)
+            row_v = jax.tree.map(take_row, cache_v)
             logits, row_k, row_v = transformer.forward(
                 cfg, params, tokens, jnp.int32(0), row_k, row_v,
                 last_only=False, kv_window=kv_window,
             )
             logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1,
                                                   axis=1)
-            new_k = tuple(
-                jax.lax.dynamic_update_slice_in_dim(c, r.astype(c.dtype),
-                                                    slot, 0)
-                for c, r in zip(cache_k, row_k))
-            new_v = tuple(
-                jax.lax.dynamic_update_slice_in_dim(c, r.astype(c.dtype),
-                                                    slot, 0)
-                for c, r in zip(cache_v, row_v))
+            put_row = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
+                c, r.astype(c.dtype), slot, 0)
+            new_k = jax.tree.map(put_row, cache_k, row_k)
+            new_v = jax.tree.map(put_row, cache_v, row_v)
             return logits, new_k, new_v
 
         return prefill

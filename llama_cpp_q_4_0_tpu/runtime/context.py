@@ -93,8 +93,8 @@ class Context:
         self._logits = None  # last logits [B, T, V] (np)
 
     def reset(self):
-        self.cache_k = tuple(jnp.zeros_like(c) for c in self.cache_k)
-        self.cache_v = tuple(jnp.zeros_like(c) for c in self.cache_v)
+        self.cache_k = jax.tree.map(jnp.zeros_like, self.cache_k)
+        self.cache_v = jax.tree.map(jnp.zeros_like, self.cache_v)
         self.n_past = 0
 
     def eval(self, tokens, *, logits_all: bool = False) -> np.ndarray:

@@ -44,10 +44,18 @@ def get_state(ctx) -> dict:
     sampler's and is passed separately if needed)."""
     state = {"n_past": ctx.n_past}
     if hasattr(ctx, "cache_k"):
-        # bf16 upcast to f32: lossless, and npz has no bfloat16 support
+        # bf16 upcast to f32: lossless, and npz has no bfloat16 support.
+        # QuantKV caches store levels + scales verbatim (lossless, 1/4 the
+        # blob size).
+        from ..models.transformer import QuantKV
+
         for i, (k, v) in enumerate(zip(ctx.cache_k, ctx.cache_v)):
-            state[f"k{i}"] = np.asarray(k.astype(jnp.float32))
-            state[f"v{i}"] = np.asarray(v.astype(jnp.float32))
+            for name, c in ((f"k{i}", k), (f"v{i}", v)):
+                if isinstance(c, QuantKV):
+                    state[name] = np.asarray(c.data)
+                    state[name + "_s"] = np.asarray(c.scale)
+                else:
+                    state[name] = np.asarray(c.astype(jnp.float32))
     else:  # recurrent (rwkv)
         for name, arr in ctx.get_state().items():
             state["s_" + name] = np.asarray(arr)
@@ -59,13 +67,27 @@ def get_state(ctx) -> dict:
 def set_state(ctx, state: dict) -> None:
     ctx.n_past = int(state["n_past"])
     if hasattr(ctx, "cache_k"):
+        from ..models.transformer import QuantKV, quantize_kv
+
+        def restore(name, cur):
+            saved_q = name + "_s" in state
+            if isinstance(cur, QuantKV):
+                if saved_q:
+                    return QuantKV(jnp.asarray(state[name], jnp.int8),
+                                   jnp.asarray(state[name + "_s"], jnp.float32))
+                q, sc = quantize_kv(jnp.asarray(state[name], jnp.float32))
+                return QuantKV(q, sc)
+            if saved_q:  # q8 blob into a float cache: dequantize
+                deq = (jnp.asarray(state[name], jnp.float32)
+                       * jnp.asarray(state[name + "_s"])[..., None])
+                return deq.astype(cur.dtype)
+            return jnp.asarray(state[name], cur.dtype)
+
         n_layer = len(ctx.cache_k)
-        ctx.cache_k = tuple(
-            jnp.asarray(state[f"k{i}"], ctx.cache_k[i].dtype) for i in range(n_layer)
-        )
-        ctx.cache_v = tuple(
-            jnp.asarray(state[f"v{i}"], ctx.cache_v[i].dtype) for i in range(n_layer)
-        )
+        ctx.cache_k = tuple(restore(f"k{i}", ctx.cache_k[i])
+                            for i in range(n_layer))
+        ctx.cache_v = tuple(restore(f"v{i}", ctx.cache_v[i])
+                            for i in range(n_layer))
     else:
         ctx.set_state({k[2:]: v for k, v in state.items() if k.startswith("s_")})
     if "logits" in state:
@@ -134,6 +156,8 @@ def session_prefix_match(session_tokens: list[int], prompt: list[int]) -> int:
 @partial(jax.jit, static_argnames=("cfg", "n_keep", "n_discard"))
 def _shift_kv(cfg: ModelConfig, cache_k, cache_v, n_keep: int,
               n_discard: int):
+    from ..models.transformer import QuantKV, quantize_kv
+
     s = cache_k[0].shape[1]
     idx = jnp.arange(s)
     src = jnp.where(idx >= n_keep, idx + n_discard, idx)  # gather source
@@ -141,17 +165,25 @@ def _shift_kv(cfg: ModelConfig, cache_k, cache_v, n_keep: int,
     delta = jnp.full((s,), -n_discard, jnp.int32)
     new_k, new_v = [], []
     for k, v in zip(cache_k, cache_v):
-        k2 = jnp.take(k, src, axis=1)
-        v2 = jnp.take(v, src, axis=1)
+        is_q = isinstance(k, QuantKV)
+        kf = (jnp.take(k.data, src, axis=1).astype(jnp.float32)
+              * jnp.take(k.scale, src, axis=1)[..., None]) if is_q else (
+            jnp.take(k, src, axis=1))
         if cfg.n_rot > 0:
             # re-rotate moved K by -n_discard positions: rope(p1) then
             # rope(delta) == rope(p1+delta)
-            moved = rope(k2, jnp.broadcast_to(delta, k2.shape[:2]), cfg.n_rot,
+            moved = rope(kf, jnp.broadcast_to(delta, kf.shape[:2]), cfg.n_rot,
                          neox=cfg.rope_neox, base=cfg.rope_base)
             keep_mask = (idx < n_keep)[None, :, None, None]
-            k2 = jnp.where(keep_mask, k2, moved.astype(k2.dtype))
-        new_k.append(k2)
-        new_v.append(v2)
+            kf = jnp.where(keep_mask, kf, moved.astype(kf.dtype))
+        if is_q:
+            # requantize the shifted K (one extra rounding on moved rows)
+            new_k.append(QuantKV(*quantize_kv(kf)))
+            new_v.append(QuantKV(jnp.take(v.data, src, axis=1),
+                                 jnp.take(v.scale, src, axis=1)))
+        else:
+            new_k.append(kf.astype(k.dtype))
+            new_v.append(jnp.take(v, src, axis=1))
     return tuple(new_k), tuple(new_v)
 
 
