@@ -80,7 +80,7 @@ class BatchEngine:
     def __init__(self, cfg: ModelConfig, params: TransformerParams, *,
                  n_slots: int = 4, n_ctx: int | None = None,
                  cache_dtype=jnp.bfloat16, chunk: int = 1,
-                 device_sampling=None):
+                 device_sampling=None, pipeline_depth: int = 2):
         """chunk > 1 enables throughput mode: `chunk` tokens per engine tick
         are decoded and sampled ON DEVICE (runtime/device_sample.py) with
         one host round-trip per chunk — engine-wide uniform sampling
@@ -101,6 +101,11 @@ class BatchEngine:
         self.cache_k, self.cache_v = init_cache(cfg, n_slots, self.n_ctx,
                                                 cache_dtype)
         self.slots = [_Slot(i) for i in range(n_slots)]
+        # async pipeline (chunk > 1): ticks issued ahead of their harvest,
+        # with the sample->input feedback chained on device
+        self.pipeline_depth = max(1, pipeline_depth)
+        self._inflight: list[dict] = []
+        self._sched_n_past = [0] * n_slots
         self._ids = itertools.count()
         self._inbox: queue.Queue[Request | None] = queue.Queue()
         self._pending: list[Request] = []
@@ -236,31 +241,50 @@ class BatchEngine:
             slot.req = None
             slot.sampler = None
 
-    def _tick_chunked(self):
-        """Throughput tick: `chunk` tokens per slot decoded + sampled on
-        device, one host round-trip."""
+    def _issue_chunked(self):
+        """Issue one chunked decode tick WITHOUT waiting for its output.
+
+        The first tick of a window feeds host-known last tokens; subsequent
+        ticks feed the previous tick's device-resident last column — the
+        sample-to-input feedback never leaves the device, so the D2H
+        transfer of tick t overlaps the execution of tick t+1 (the tunnel
+        round-trip, ~3-4x the 7B forward, otherwise serializes every
+        tick)."""
         from .device_sample import decode_chunk
 
-        toks = np.zeros((self.n_slots,), np.int32)
-        n_past = np.zeros(self.n_slots, np.int32)
-        for s in self.slots:
-            if not s.free:
-                toks[s.idx] = s.last_tokens[-1]
-                n_past[s.idx] = s.n_past
+        if self._inflight:
+            tok_dev = self._inflight[-1]["out"][:, -1]
+        else:
+            toks = np.zeros((self.n_slots,), np.int32)
+            for s in self.slots:
+                if not s.free:
+                    toks[s.idx] = s.last_tokens[-1]
+            tok_dev = jnp.asarray(toks)
+        n_past = np.array(self._sched_n_past, np.int32)
         window = min(_bucket(int(n_past.max()) + self.chunk + 1), self.n_ctx)
         out, self.cache_k, self.cache_v, self._key = decode_chunk(
-            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(n_past),
+            self.cfg, self.params, tok_dev, jnp.asarray(n_past),
             self.cache_k, self.cache_v, self._key,
             n_steps=self.chunk, ds=self.device_sampling, kv_window=window,
         )
-        out = np.asarray(out)  # [N, chunk]
-        for s in self.slots:
-            if s.free:
+        snap = [(s.idx, s.req) for s in self.slots if not s.free]
+        self._inflight.append({"out": out, "snap": snap})
+        for i, _ in snap:
+            self._sched_n_past[i] += self.chunk
+
+    def _harvest_one(self):
+        """Block on the oldest in-flight tick and emit its tokens.  Slots
+        that finished at an earlier harvest are skipped (their later ticks
+        decoded throwaway tokens — the price of the pipeline)."""
+        t = self._inflight.pop(0)
+        out = np.asarray(t["out"])  # [N, chunk] — the only sync point
+        for idx, req in t["snap"]:
+            s = self.slots[idx]
+            if s.req is not req or req is None:
                 continue
-            req = s.req
             done = False
             for j in range(self.chunk):
-                tok = int(out[s.idx, j])
+                tok = int(out[idx, j])
                 s.n_past += 1
                 if tok == TOKEN_EOS:
                     done = True
@@ -282,6 +306,12 @@ class BatchEngine:
                 req.out.put(None)
                 s.req = None
                 s.sampler = None
+
+    def _flush_inflight(self):
+        while self._inflight:
+            self._harvest_one()
+        for s in self.slots:
+            self._sched_n_past[s.idx] = s.n_past
 
     def _tick(self):
         """One batched decode step over all active slots."""
@@ -305,15 +335,26 @@ class BatchEngine:
 
     def _run(self):
         while not self._stop.is_set():
-            self._drain_inbox(block=(self.n_active == 0 and not self._pending))
+            self._drain_inbox(block=(self.n_active == 0 and not self._pending
+                                     and not self._inflight))
             if self._stop.is_set():
                 break
-            self._admit()
+            if self._pending and any(s.free for s in self.slots):
+                # admission prefill mutates caches: drain the pipeline first
+                self._flush_inflight()
+                self._admit()
+                self._flush_inflight()  # resync _sched after admission
             if self.n_active:
                 if self.chunk > 1:
-                    self._tick_chunked()
+                    # two-in-flight: issue ahead, harvest one tick behind
+                    self._issue_chunked()
+                    if len(self._inflight) >= self.pipeline_depth:
+                        self._harvest_one()
                 else:
                     self._tick()
+            elif self._inflight:
+                self._flush_inflight()
+        self._flush_inflight()
         for s in self.slots:  # fail any open requests on shutdown
             if s.req is not None:
                 s.req.out.put(None)

@@ -208,3 +208,38 @@ def test_engine_chunked_matches_single_session(model):
         eng.stop()
     for ref, out in zip(refs, outs):
         assert ref == out, (ref, out)
+
+
+def test_engine_chunked_staggered_admission(model):
+    """A request submitted while the async pipeline has in-flight ticks
+    forces a flush+admit; outputs must still match single-session greedy."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params, _ = model
+
+    def single(prompt, n=8):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    p1, p2 = [3, 5, 7], [11, 13]
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64, chunk=2,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    try:
+        r1 = eng.submit(Request(p1, n_predict=8, sampling=GREEDY))
+        first = next(iter(r1.tokens()))  # r1 is mid-flight now
+        r2 = eng.submit(Request(p2, n_predict=8, sampling=GREEDY))
+        rest1 = list(r1.tokens())
+        out2 = list(r2.tokens())
+    finally:
+        eng.stop()
+    assert [first] + rest1 == single(p1)
+    assert out2 == single(p2)
