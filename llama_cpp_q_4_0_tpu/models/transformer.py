@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import QTensor, q_matmul
+from ..ops.kvcache import QuantKV, quantize_kv  # re-exported for users
 from ..ops.layers import attention, gelu, layer_norm, rms_norm, rope, silu
 from .config import ModelConfig
 
@@ -74,43 +75,11 @@ class Block:
     w_gateup: Param = None
 
 
-@partial(
-    jax.tree_util.register_dataclass,
-    data_fields=["data", "scale"],
-    meta_fields=[],
-)
-@dataclass
-class QuantKV:
-    """int8 KV-cache layer with per-(token, head) scales.
-
-    Quarter the HBM traffic of f32 / half of bf16 at higher fidelity than a
-    raw fp8 cast: each [D]-vector is scaled by amax/127 before rounding
-    (the k-quant idea applied to the cache; the reference only offers
-    f16/f32 KV, llama.cpp:733-776).  Dequantization fuses into the
-    attention matmuls."""
-
-    data: jax.Array  # int8 [B, S, H, D]
-    scale: jax.Array  # f32 [B, S, H]
-
-    @property
-    def shape(self):
-        return self.data.shape
-
-
-def quantize_kv(val: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[..., D] f32 -> (int8 levels, f32 scale[...]) with scale=amax/127."""
-    vf = val.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(vf), axis=-1)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(vf / scale[..., None]), -127, 127).astype(jnp.int8)
-    return q, scale
-
-
-def _kv_view(cache, w: int) -> jax.Array:
-    """First w cache slots as f32 [B, w, H, D]; dequantizes QuantKV (XLA
-    fuses the scale multiply into the attention einsum)."""
+def _kv_view(cache, w: int):
+    """First w cache slots; QuantKV stays quantized (ops/layers.py
+    attention folds its scales into the score/prob tensors)."""
     if isinstance(cache, QuantKV):
-        return cache.data[:, :w].astype(jnp.float32) * cache.scale[:, :w, :, None]
+        return QuantKV(cache.data[:, :w], cache.scale[:, :w])
     return cache[:, :w]
 
 

@@ -118,8 +118,8 @@ def alibi_bias(n_head: int, kv_len: int, n_head_log2_bias: float = 8.0) -> jax.A
 
 def attention(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    k_cache,
+    v_cache,
     q_positions: jax.Array,
     kv_mask: jax.Array,
     scale: float,
@@ -127,32 +127,52 @@ def attention(
     """Causal attention over a preallocated KV buffer.
 
     q:        [B, T, n_head, hd]
-    k_cache:  [B, S, n_kv_head, hd]   (S = max context, static)
-    v_cache:  [B, S, n_kv_head, hd]
+    k_cache:  [B, S, n_kv_head, hd]   (S = max context, static) — a float
+              array or a QuantKV (int8 levels + per-token-head scales)
+    v_cache:  [B, S, n_kv_head, hd]   (same)
     q_positions: [B, T] absolute positions of the query tokens
     kv_mask:  [B, S] bool — True where the cache slot holds a valid token
     returns [B, T, n_head, hd] float32 — the KQ->mask->softmax->KQV chain of
     llama_eval_internal (llama.cpp:1396-1445) with masking replacing ggml's
     dynamic views.
+
+    QuantKV scales are folded into the small [B,H,T,S] tensors, never the
+    [B,S,H,D] cache: K's scale multiplies the scores, V's multiplies the
+    softmax probabilities — so only int8 streams from HBM.
     """
+    from .kvcache import QuantKV
+
+    def split(c):
+        if isinstance(c, QuantKV):
+            return c.data, c.scale  # int8 [B,S,Hkv,D], f32 [B,S,Hkv]
+        return c, None
+
+    kd, ks = split(k_cache)
+    vd, vs = split(v_cache)
     b, t, n_head, hd = q.shape
-    s = k_cache.shape[1]
-    n_kv = k_cache.shape[2]
+    s = kd.shape[1]
+    n_kv = kd.shape[2]
     if n_kv != n_head:
         assert n_head % n_kv == 0
         rep = n_head // n_kv
-        k_cache = jnp.repeat(k_cache, rep, axis=2)
-        v_cache = jnp.repeat(v_cache, rep, axis=2)
+        kd = jnp.repeat(kd, rep, axis=2)
+        vd = jnp.repeat(vd, rep, axis=2)
+        ks = jnp.repeat(ks, rep, axis=2) if ks is not None else None
+        vs = jnp.repeat(vs, rep, axis=2) if vs is not None else None
 
     qf = q.astype(jnp.float32)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    kf = kd.astype(jnp.float32)
+    vf = vd.astype(jnp.float32)
     # [B, H, T, S]
     scores = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+    if ks is not None:
+        scores = scores * ks.transpose(0, 2, 1)[:, :, None, :]
     kv_pos = jnp.arange(s)[None, None, None, :]  # static slot index = position
     causal = kv_pos <= q_positions[:, None, :, None]
     valid = kv_mask[:, None, None, :] & causal
     scores = jnp.where(valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(valid, probs, 0.0)
+    if vs is not None:
+        probs = probs * vs.transpose(0, 2, 1)[:, :, None, :]
     return jnp.einsum("bhts,bshd->bthd", probs, vf)
