@@ -73,6 +73,39 @@ def _bucket(n: int) -> int:
     return ((n + 2047) // 2048) * 2048
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+                   donate_argnames=("cache_k", "cache_v"))
+def _engine_decode(cfg, params, tokens, n_past_v, cache_k, cache_v,
+                   kv_window):
+    """Module-level jit: one compile per (cfg, bucket) serves every engine
+    instance (a per-instance closure would recompile per engine)."""
+    return transformer.forward(
+        cfg, params, tokens, n_past_v, cache_k, cache_v,
+        last_only=True, kv_window=kv_window,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+                   donate_argnames=("cache_k", "cache_v"))
+def _engine_prefill(cfg, params, tokens, slot, n_real, cache_k, cache_v,
+                    kv_window):
+    """[1, T_pad] prefill against one slot's KV rows; returns the logits
+    of the last *real* token."""
+    take_row = lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
+    row_k = jax.tree.map(take_row, cache_k)
+    row_v = jax.tree.map(take_row, cache_v)
+    logits, row_k, row_v = transformer.forward(
+        cfg, params, tokens, jnp.int32(0), row_k, row_v,
+        last_only=False, kv_window=kv_window,
+    )
+    logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1, axis=1)
+    put_row = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
+        c, r.astype(c.dtype), slot, 0)
+    new_k = jax.tree.map(put_row, cache_k, row_k)
+    new_v = jax.tree.map(put_row, cache_v, row_v)
+    return logits, new_k, new_v
+
+
 class BatchEngine:
     """One engine thread owns the device state; callers submit() Requests
     and read their token queues."""
@@ -111,50 +144,16 @@ class BatchEngine:
         self._pending: list[Request] = []
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
-        self._jit_decode = self._make_decode()
-        self._jit_prefill = self._make_prefill()
 
-    # ------------------------------------------------------------- device
-
-    def _make_decode(self):
-        cfg = self.cfg
-
-        @functools.partial(jax.jit, static_argnames=("kv_window",),
-                           donate_argnames=("cache_k", "cache_v"))
-        def decode(params, tokens, n_past_v, cache_k, cache_v, kv_window):
-            return transformer.forward(
-                cfg, params, tokens, n_past_v, cache_k, cache_v,
-                last_only=True, kv_window=kv_window,
-            )
-
-        return decode
-
-    def _make_prefill(self):
-        cfg = self.cfg
-
-        @functools.partial(jax.jit, static_argnames=("kv_window",),
-                           donate_argnames=("cache_k", "cache_v"))
-        def prefill(params, tokens, slot, n_real, cache_k, cache_v,
+    def _jit_decode(self, params, tokens, n_past_v, cache_k, cache_v, *,
                     kv_window):
-            """[1, T_pad] prefill against one slot's KV rows; returns the
-            logits of the last *real* token."""
-            take_row = lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1,
-                                                              axis=0)
-            row_k = jax.tree.map(take_row, cache_k)
-            row_v = jax.tree.map(take_row, cache_v)
-            logits, row_k, row_v = transformer.forward(
-                cfg, params, tokens, jnp.int32(0), row_k, row_v,
-                last_only=False, kv_window=kv_window,
-            )
-            logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1,
-                                                  axis=1)
-            put_row = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
-                c, r.astype(c.dtype), slot, 0)
-            new_k = jax.tree.map(put_row, cache_k, row_k)
-            new_v = jax.tree.map(put_row, cache_v, row_v)
-            return logits, new_k, new_v
+        return _engine_decode(self.cfg, params, tokens, n_past_v,
+                              cache_k, cache_v, kv_window=kv_window)
 
-        return prefill
+    def _jit_prefill(self, params, tokens, slot, n_real, cache_k, cache_v,
+                     *, kv_window):
+        return _engine_prefill(self.cfg, params, tokens, slot, n_real,
+                               cache_k, cache_v, kv_window=kv_window)
 
     # -------------------------------------------------------------- public
 
