@@ -114,7 +114,13 @@ def perplexity_ondevice(
     n_chunk = len(tokens) // n_ctx
     lo = min(512, n_ctx // 2)
     nll, count, chunk_ppls = 0.0, 0, []
-    cache_k, cache_v = transformer.init_cache(cfg, 1, n_ctx)
+    # honor the context's KV dtype (--cache-type) so q8/f8 quality is
+    # measurable through the ppl gate
+    from ..ops.kvcache import QuantKV
+
+    cdt = (jnp.int8 if isinstance(ctx.cache_k[0], QuantKV)
+           else ctx.cache_k[0].dtype)
+    cache_k, cache_v = transformer.init_cache(cfg, 1, n_ctx, dtype=cdt)
     for i in range(n_chunk):
         chunk = tokens[i * n_ctx : (i + 1) * n_ctx].copy()
         chunk[0] = TOKEN_BOS

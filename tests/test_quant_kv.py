@@ -173,3 +173,19 @@ def test_batch_engine_q8(model):
     want = list(generate(ctx, [5, 9, 23], GenerateParams(
         n_predict=6, sampling=GREEDY), eos_token=-1))[:len(outs[0])]
     assert outs[0] == want
+
+
+def test_perplexity_ondevice_q8(model):
+    """On-device ppl honors the context's q8 cache and stays close to the
+    f32-cache ppl on the tiny fixture."""
+    from llama_cpp_q_4_0_tpu.runtime.perplexity import perplexity_ondevice
+
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    toks = rng.integers(3, 250, 3 * 32).tolist()
+
+    r_f = perplexity_ondevice(Context(cfg, params, cache_dtype=jnp.float32),
+                              toks, n_ctx=32)
+    r_q = perplexity_ondevice(Context(cfg, params, cache_dtype=jnp.int8),
+                              toks, n_ctx=32)
+    assert abs(r_q.ppl - r_f.ppl) / r_f.ppl < 0.02, (r_q.ppl, r_f.ppl)
