@@ -113,24 +113,40 @@ class BatchEngine:
     def __init__(self, cfg: ModelConfig, params: TransformerParams, *,
                  n_slots: int = 4, n_ctx: int | None = None,
                  cache_dtype=jnp.bfloat16, chunk: int = 1,
-                 device_sampling=None, pipeline_depth: int = 2):
+                 device_sampling=None, pipeline_depth: int = 2,
+                 spec_draft: int = 0):
         """chunk > 1 enables throughput mode: `chunk` tokens per engine tick
         are decoded and sampled ON DEVICE (runtime/device_sample.py) with
         one host round-trip per chunk — engine-wide uniform sampling
         (device_sampling: DeviceSampling) replaces per-request sampler
         chains, and finished slots waste at most chunk-1 steps.  Only the
         FIRST token of each request (sampled at admission) uses the
-        request's own host sampling params."""
+        request's own host sampling params.
+
+        spec_draft > 0 enables SPECULATIVE continuous batching: every tick
+        runs `chunk` device-resident draft-verify rounds for all slots at
+        once (runtime/device_spec.py spec_chunk), emitting 1..spec_draft+1
+        tokens per slot per round.  Same uniform-sampling tradeoff as
+        chunked mode; exact for greedy.  Aggregate throughput multiplies
+        by the per-slot acceptance rate on repetitive workloads."""
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
         self.n_ctx = n_ctx or cfg.n_ctx
         self.chunk = chunk
-        if chunk > 1:
+        self.spec_draft = spec_draft
+        if chunk > 1 or spec_draft > 0:
             from .device_sample import DeviceSampling
 
             self.device_sampling = device_sampling or DeviceSampling()
             self._key = jax.random.key(0)
+        if spec_draft > 0:
+            from .speculative import SpecParams
+
+            self.spec = SpecParams(n_draft=spec_draft)
+            self._hist = jnp.zeros((n_slots, self.n_ctx), jnp.int32)
+            self._n_hist = jnp.zeros((n_slots,), jnp.int32)
+            self._done = jnp.ones((n_slots,), bool)  # frozen until admitted
         self.cache_k, self.cache_v = init_cache(cfg, n_slots, self.n_ctx,
                                                 cache_dtype)
         self.slots = [_Slot(i) for i in range(n_slots)]
@@ -215,6 +231,14 @@ class BatchEngine:
             slot.produced = 0
             slot.n_past = len(prompt)
             self._emit(slot, np.asarray(logits)[0, -1])
+            if self.spec_draft > 0 and slot.req is not None:
+                # seed the device-side history row for draft lookups
+                row = np.zeros((self.n_ctx,), np.int32)
+                row[: len(slot.last_tokens)] = slot.last_tokens
+                self._hist = self._hist.at[slot.idx].set(jnp.asarray(row))
+                self._n_hist = self._n_hist.at[slot.idx].set(
+                    len(slot.last_tokens))
+                self._done = self._done.at[slot.idx].set(False)
 
     def _emit(self, slot: _Slot, row_logits: np.ndarray):
         """Sample one token for the slot; handle finish conditions."""
@@ -312,6 +336,62 @@ class BatchEngine:
         for s in self.slots:
             self._sched_n_past[s.idx] = s.n_past
 
+    def _tick_spec(self):
+        """Speculative tick: `chunk` draft-verify rounds for ALL slots in
+        one device call (runtime/device_spec.py).  Each active slot emits
+        1..spec_draft+1 tokens per round; EOS and context-end freeze rows
+        on device, n_predict/stop-sequences are enforced at harvest."""
+        from .device_spec import spec_chunk
+
+        k = self.spec_draft
+        start = max(len(s.last_tokens) for s in self.slots if not s.free)
+        window = min(_bucket(start - 1 + self.chunk * (k + 1) + 1),
+                     self.n_ctx)
+        (self._hist, self._n_hist, self.cache_k, self.cache_v, self._key,
+         self._done, emit_toks, emit_ns) = spec_chunk(
+            self.cfg, self.params, self._hist, self._n_hist,
+            self.cache_k, self.cache_v, self._key, self._done,
+            k=k, n_steps=self.chunk, ds=self.device_sampling,
+            kv_window=window, max_ngram=self.spec.max_ngram,
+            min_ngram=self.spec.min_ngram, eos=TOKEN_EOS, ignore_eos=False,
+        )
+        toks_h = np.asarray(emit_toks)  # [n_steps, B, k+1]
+        ns_h = np.asarray(emit_ns)  # [n_steps, B]
+        n_hist_h = np.asarray(self._n_hist)
+        done_h = np.asarray(self._done)
+        freeze = []
+        for s in self.slots:
+            if s.free:
+                continue
+            req = s.req
+            finished = False
+            for step in range(ns_h.shape[0]):
+                for tok in toks_h[step, s.idx, : int(ns_h[step, s.idx])].tolist():
+                    s.last_tokens.append(tok)
+                    s.produced += 1
+                    req.out.put(tok)
+                    if req.stop_sequences and any(
+                        tuple(s.last_tokens[-len(ss):]) == ss
+                        for ss in req.stop_sequences if ss
+                    ):
+                        finished = True
+                        break
+                    if s.produced >= req.n_predict:
+                        finished = True
+                        break
+                if finished:
+                    break
+            s.n_past = int(n_hist_h[s.idx]) - 1
+            if not finished and done_h[s.idx]:
+                finished = True  # device froze the row (EOS / context end)
+            if finished:
+                req.out.put(None)
+                s.req = None
+                s.sampler = None
+                freeze.append(s.idx)
+        if freeze:
+            self._done = self._done.at[jnp.asarray(freeze)].set(True)
+
     def _tick(self):
         """One batched decode step over all active slots."""
         toks = np.zeros((self.n_slots, 1), np.int32)
@@ -344,7 +424,9 @@ class BatchEngine:
                 self._admit()
                 self._flush_inflight()  # resync _sched after admission
             if self.n_active:
-                if self.chunk > 1:
+                if self.spec_draft > 0:
+                    self._tick_spec()
+                elif self.chunk > 1:
                     # two-in-flight: issue ahead, harvest one tick behind
                     self._issue_chunked()
                     if len(self._inflight) >= self.pipeline_depth:

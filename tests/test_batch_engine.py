@@ -243,3 +243,77 @@ def test_engine_chunked_staggered_admission(model):
         eng.stop()
     assert [first] + rest1 == single(p1)
     assert out2 == single(p2)
+
+
+def test_engine_speculative_matches_single_session(model):
+    """Speculative continuous batching (spec_draft>0) == host greedy,
+    token for token, including staggered admission."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params, _ = model
+
+    def single(prompt, n=10):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    prompts = [[3, 5, 7, 3, 5], [11, 13, 11, 13], [9, 4]]
+    refs = [single(p) for p in prompts]
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64, spec_draft=3,
+                      chunk=2, device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    try:
+        # 3 requests through 2 slots: the third admits after a free-up
+        reqs = [eng.submit(Request(p, n_predict=10, sampling=GREEDY))
+                for p in prompts]
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    for ref, out, p in zip(refs, outs, prompts):
+        assert ref == out, (p, ref, out)
+
+
+def test_server_parallel_draft_endpoint(model, tmp_path_factory):
+    """--parallel --parallel-draft speculative serving end-to-end."""
+    from http.server import ThreadingHTTPServer
+
+    from llama_cpp_q_4_0_tpu.cli.common import load_model
+    from llama_cpp_q_4_0_tpu.cli.server import ServerState, make_handler
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    path = str(tmp_path_factory.mktemp("bespec") / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+
+    class A:
+        model, arch, n_ctx, n_batch = path, None, 64, 64
+        lora = lora_base = None
+        memory_f32 = False
+
+    lm = load_model(A())
+    eng = BatchEngine(lm.cfg, lm.ctx.params, n_slots=2, n_ctx=64,
+                      spec_draft=3,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(ServerState(lm, eng)))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/completion",
+                     json.dumps({"prompt": "hello hello", "n_predict": 6}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        body = json.loads(r.read())
+        assert 0 < body["tokens_predicted"] <= 6
+    finally:
+        httpd.shutdown()
+        eng.stop()
