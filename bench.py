@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from llama_cpp_q_4_0_tpu.utils.compile_cache import enable as _enable_cache
+_enable_cache()
 from llama_cpp_q_4_0_tpu.models import transformer
 from llama_cpp_q_4_0_tpu.models.config import ModelConfig
 from llama_cpp_q_4_0_tpu.models.transformer import Block, TransformerParams

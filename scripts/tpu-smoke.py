@@ -8,6 +8,8 @@ import os, sys, tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
+from llama_cpp_q_4_0_tpu.utils.compile_cache import enable as _enable_cache
+_enable_cache()
 from llama_cpp_q_4_0_tpu.formats import fixtures
 from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
 from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_transformer, load_rwkv
