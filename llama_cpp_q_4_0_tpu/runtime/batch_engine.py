@@ -106,6 +106,32 @@ def _engine_prefill(cfg, params, tokens, slot, n_real, cache_k, cache_v,
     return logits, new_k, new_v
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+                   donate_argnames=("cache_k", "cache_v"))
+def _engine_prefill_multi(cfg, params, tokens, slots, n_reals,
+                          cache_k, cache_v, kv_window):
+    """Batched admission: [M, T_pad] prompts prefill M slots in ONE
+    forward (the per-slot loop costs a full weight stream each).  Rows
+    padded with slot index >= n_slots scatter with mode='drop'.
+
+    Returns per-row last-real-token logits [M, V] and updated caches."""
+    m = tokens.shape[0]
+    take_rows = lambda c: jnp.take(c, jnp.clip(slots, 0, c.shape[0] - 1),
+                                   axis=0)
+    row_k = jax.tree.map(take_rows, cache_k)
+    row_v = jax.tree.map(take_rows, cache_v)
+    logits, row_k, row_v = transformer.forward(
+        cfg, params, tokens, jnp.int32(0), row_k, row_v,
+        last_only=False, kv_window=kv_window,
+    )
+    logits = jnp.take_along_axis(
+        logits, (n_reals - 1)[:, None, None], axis=1)[:, 0]  # [M, V]
+    put_rows = lambda c, r: c.at[slots].set(r.astype(c.dtype), mode="drop")
+    new_k = jax.tree.map(put_rows, cache_k, row_k)
+    new_v = jax.tree.map(put_rows, cache_v, row_v)
+    return logits, new_k, new_v
+
+
 class BatchEngine:
     """One engine thread owns the device state; callers submit() Requests
     and read their token queues."""
@@ -210,35 +236,69 @@ class BatchEngine:
             pass
 
     def _admit(self):
-        for slot in self.slots:
-            if not self._pending:
-                return
-            if not slot.free:
-                continue
-            req = self._pending.pop(0)
-            prompt = req.prompt_tokens[: self.n_ctx - 1] or [1]
-            pad = min(_bucket(len(prompt)), self.n_ctx)
-            toks = np.zeros((1, pad), np.int32)
-            toks[0, : len(prompt)] = prompt
-            logits, self.cache_k, self.cache_v = self._jit_prefill(
-                self.params, jnp.asarray(toks), jnp.int32(slot.idx),
-                jnp.int32(len(prompt)), self.cache_k, self.cache_v,
-                kv_window=pad,
-            )
-            slot.req = req
-            slot.sampler = Sampler(req.sampling, self.cfg.n_vocab, req.seed)
-            slot.last_tokens = list(prompt)
-            slot.produced = 0
-            slot.n_past = len(prompt)
-            self._emit(slot, np.asarray(logits)[0, -1])
-            if self.spec_draft > 0 and slot.req is not None:
-                # seed the device-side history row for draft lookups
-                row = np.zeros((self.n_ctx,), np.int32)
-                row[: len(slot.last_tokens)] = slot.last_tokens
-                self._hist = self._hist.at[slot.idx].set(jnp.asarray(row))
-                self._n_hist = self._n_hist.at[slot.idx].set(
-                    len(slot.last_tokens))
-                self._done = self._done.at[slot.idx].set(False)
+        free = [s for s in self.slots if s.free]
+        batch = []
+        while self._pending and len(batch) < len(free):
+            batch.append((free[len(batch)], self._pending.pop(0)))
+        if not batch:
+            return
+        if len(batch) > 1:
+            self._admit_batched(batch)
+            return
+        slot, req = batch[0]
+        prompt = req.prompt_tokens[: self.n_ctx - 1] or [1]
+        pad = min(_bucket(len(prompt)), self.n_ctx)
+        toks = np.zeros((1, pad), np.int32)
+        toks[0, : len(prompt)] = prompt
+        logits, self.cache_k, self.cache_v = self._jit_prefill(
+            self.params, jnp.asarray(toks), jnp.int32(slot.idx),
+            jnp.int32(len(prompt)), self.cache_k, self.cache_v,
+            kv_window=pad,
+        )
+        self._activate(slot, req, prompt, np.asarray(logits)[0, -1])
+
+    def _admit_batched(self, batch):
+        """All waiting requests prefill in one [M_pad, T_pad] forward; M is
+        bucketed to powers of two with dropped dummy rows so a handful of
+        compiles serve any burst."""
+        prompts = [req.prompt_tokens[: self.n_ctx - 1] or [1]
+                   for _, req in batch]
+        pad = min(max(_bucket(len(p)) for p in prompts), self.n_ctx)
+        m = len(batch)
+        mp = 1
+        while mp < m:
+            mp *= 2
+        toks = np.zeros((mp, pad), np.int32)
+        slots = np.full((mp,), self.n_slots, np.int32)  # default: dropped
+        n_reals = np.ones((mp,), np.int32)
+        for i, ((slot, _), p) in enumerate(zip(batch, prompts)):
+            toks[i, : len(p)] = p
+            slots[i] = slot.idx
+            n_reals[i] = len(p)
+        logits, self.cache_k, self.cache_v = _engine_prefill_multi(
+            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
+            jnp.asarray(n_reals), self.cache_k, self.cache_v,
+            kv_window=pad,
+        )
+        logits = np.asarray(logits)
+        for i, ((slot, req), p) in enumerate(zip(batch, prompts)):
+            self._activate(slot, req, p, logits[i])
+
+    def _activate(self, slot, req, prompt, row_logits):
+        slot.req = req
+        slot.sampler = Sampler(req.sampling, self.cfg.n_vocab, req.seed)
+        slot.last_tokens = list(prompt)
+        slot.produced = 0
+        slot.n_past = len(prompt)
+        self._emit(slot, row_logits)
+        if self.spec_draft > 0 and slot.req is not None:
+            # seed the device-side history row for draft lookups
+            row = np.zeros((self.n_ctx,), np.int32)
+            row[: len(slot.last_tokens)] = slot.last_tokens
+            self._hist = self._hist.at[slot.idx].set(jnp.asarray(row))
+            self._n_hist = self._n_hist.at[slot.idx].set(
+                len(slot.last_tokens))
+            self._done = self._done.at[slot.idx].set(False)
 
     def _emit(self, slot: _Slot, row_logits: np.ndarray):
         """Sample one token for the slot; handle finish conditions."""
