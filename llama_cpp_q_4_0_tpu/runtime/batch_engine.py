@@ -140,7 +140,7 @@ class BatchEngine:
                  n_slots: int = 4, n_ctx: int | None = None,
                  cache_dtype=jnp.bfloat16, chunk: int = 1,
                  device_sampling=None, pipeline_depth: int = 2,
-                 spec_draft: int = 0):
+                 spec_draft: int = 0, spec_max_active: int = 8):
         """chunk > 1 enables throughput mode: `chunk` tokens per engine tick
         are decoded and sampled ON DEVICE (runtime/device_sample.py) with
         one host round-trip per chunk — engine-wide uniform sampling
@@ -154,13 +154,22 @@ class BatchEngine:
         once (runtime/device_spec.py spec_chunk), emitting 1..spec_draft+1
         tokens per slot per round.  Same uniform-sampling tradeoff as
         chunked mode; exact for greedy.  Aggregate throughput multiplies
-        by the per-slot acceptance rate on repetitive workloads."""
+        by the per-slot acceptance rate on repetitive workloads.
+
+        Speculation pays only while weight streaming dominates — at high
+        occupancy the weights are already amortized across slots and the
+        k+1-wide verify just multiplies compute (measured crossover ~8
+        slots on v5e).  When n_active > spec_max_active the engine
+        auto-falls back to plain chunked ticks, resyncing the device-side
+        history when occupancy drops again."""
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
         self.n_ctx = n_ctx or cfg.n_ctx
         self.chunk = chunk
         self.spec_draft = spec_draft
+        self.spec_max_active = spec_max_active
+        self._mode = None  # "spec" | "chunked" | None (adaptive switch)
         if chunk > 1 or spec_draft > 0:
             from .device_sample import DeviceSampling
 
@@ -396,6 +405,24 @@ class BatchEngine:
         for s in self.slots:
             self._sched_n_past[s.idx] = s.n_past
 
+    def _resync_spec_state(self):
+        """Rebuild the device-side history from host slot state after a
+        stretch of plain chunked ticks (which do not maintain it)."""
+        hist = np.zeros((self.n_slots, self.n_ctx), np.int32)
+        n_hist = np.zeros((self.n_slots,), np.int32)
+        done = np.ones((self.n_slots,), bool)
+        for s in self.slots:
+            if s.free:
+                continue
+            lt = s.last_tokens
+            assert len(lt) == s.n_past + 1 <= self.n_ctx, (len(lt), s.n_past)
+            hist[s.idx, : len(lt)] = lt
+            n_hist[s.idx] = len(lt)
+            done[s.idx] = False
+        self._hist = jnp.asarray(hist)
+        self._n_hist = jnp.asarray(n_hist)
+        self._done = jnp.asarray(done)
+
     def _tick_spec(self):
         """Speculative tick: `chunk` draft-verify rounds for ALL slots in
         one device call (runtime/device_spec.py).  Each active slot emits
@@ -484,9 +511,19 @@ class BatchEngine:
                 self._admit()
                 self._flush_inflight()  # resync _sched after admission
             if self.n_active:
-                if self.spec_draft > 0:
+                use_spec = (self.spec_draft > 0
+                            and self.n_active <= self.spec_max_active)
+                if use_spec:
+                    if self._mode != "spec":
+                        self._flush_inflight()
+                        self._resync_spec_state()
+                        self._mode = "spec"
                     self._tick_spec()
-                elif self.chunk > 1:
+                elif self.chunk > 1 or self.spec_draft > 0:
+                    if self._mode != "chunked":
+                        for s in self.slots:
+                            self._sched_n_past[s.idx] = s.n_past
+                        self._mode = "chunked"
                     # two-in-flight: issue ahead, harvest one tick behind
                     self._issue_chunked()
                     if len(self._inflight) >= self.pipeline_depth:

@@ -317,3 +317,41 @@ def test_server_parallel_draft_endpoint(model, tmp_path_factory):
     finally:
         httpd.shutdown()
         eng.stop()
+
+
+def test_engine_adaptive_spec_fallback(model):
+    """spec_max_active forces plain chunked ticks at high occupancy and
+    switches back to speculative (with history resync) as slots free —
+    greedy outputs stay exact across both transitions."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params, _ = model
+
+    def single(prompt, n):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    # staggered n_predict so occupancy drops 3 -> 2 -> 1 mid-run
+    prompts = [[3, 5, 7, 3, 5], [11, 13, 11], [9, 4, 9, 4]]
+    n_preds = [4, 8, 14]
+    refs = [single(p, n) for p, n in zip(prompts, n_preds)]
+    eng = BatchEngine(cfg, params, n_slots=3, n_ctx=64, spec_draft=3,
+                      chunk=2, spec_max_active=1,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    try:
+        reqs = [eng.submit(Request(p, n_predict=n, sampling=GREEDY))
+                for p, n in zip(prompts, n_preds)]
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    for ref, out, p in zip(refs, outs, prompts):
+        assert ref == out, (p, ref, out)

@@ -189,3 +189,26 @@ def test_perplexity_ondevice_q8(model):
     r_q = perplexity_ondevice(Context(cfg, params, cache_dtype=jnp.int8),
                               toks, n_ctx=32)
     assert abs(r_q.ppl - r_f.ppl) / r_f.ppl < 0.02, (r_q.ppl, r_f.ppl)
+
+
+def test_q8_cache_with_mqa(tmp_path):
+    """QuantKV through the MQA repeat path (Falcon-style n_kv_head=1)."""
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_falcon_like_ggjt
+
+    path = str(tmp_path / "falcon.bin")
+    make_falcon_like_ggjt(path, "falcon", n_vocab=256, n_embd=64, n_head=4,
+                          n_layer=2)
+    gf = read_ggjt(path, "falcon")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    params = load_transformer(gf, cfg)
+    assert cfg.kv_heads == 1
+
+    rng = np.random.default_rng(9)
+    toks = jnp.asarray(rng.integers(3, 250, (1, 12)), jnp.int32)
+    ck, cv = transformer.init_cache(cfg, 1, 64, dtype=jnp.float32)
+    ref, _, _ = transformer.forward(cfg, params, toks, jnp.int32(0), ck, cv)
+    qk, qv = transformer.init_cache(cfg, 1, 64, dtype=jnp.int8)
+    got, _, _ = transformer.forward(cfg, params, toks, jnp.int32(0), qk, qv)
+    err = np.abs(np.asarray(got - ref)).max()
+    spread = np.asarray(ref).max() - np.asarray(ref).min()
+    assert err < 0.02 * spread, (err, spread)
