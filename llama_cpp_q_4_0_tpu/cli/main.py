@@ -140,6 +140,21 @@ def run(args) -> int:
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
             )
+        elif args.ondevice_sampling and args.draft_model:
+            # both models inside one device scan
+            import copy
+
+            from ..runtime.device_spec import generate_ondevice_spec_draft
+
+            dargs = copy.copy(args)
+            dargs.model = args.draft_model
+            dargs.lora = None
+            out = generate_ondevice_spec_draft(
+                ctx, load_model(dargs).ctx, prompt_tokens, args.n_predict,
+                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k),
+                n_draft=args.draft, seed=max(0, args.seed),
+                ignore_eos=args.ignore_eos, stats=stats,
+            )
         else:
             drafter = None
             if args.draft_model:

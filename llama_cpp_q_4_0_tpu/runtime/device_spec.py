@@ -38,6 +38,72 @@ from .speculative import SpecParams, SpecStats
 from .tokenizer import TOKEN_EOS
 
 
+def generate_ondevice_spec_draft(
+    ctx: Context,
+    draft_ctx: Context,
+    prompt_tokens: list[int],
+    n_predict: int,
+    *,
+    sampling: DeviceSampling | None = None,
+    n_draft: int = 7,
+    n_steps: int = 8,
+    seed: int = 0,
+    eos_token: int = TOKEN_EOS,
+    ignore_eos: bool = False,
+    stats: SpecStats | None = None,
+) -> list[int]:
+    """Draft-model speculation with the whole loop on device: prefill both
+    models, then `n_steps` (draft k+1 greedy small-model steps -> one
+    target T=k+1 verify) rounds per host round-trip.  Models must share a
+    vocabulary; outputs are exact for greedy, unbiased for sampling."""
+    ds = sampling or DeviceSampling(temp=-1.0)
+    k = n_draft
+    stats = stats if stats is not None else SpecStats()
+
+    logits = ctx.eval(np.asarray([prompt_tokens], np.int32))
+    draft_ctx.eval(np.asarray([prompt_tokens], np.int32))
+    assert ctx.n_past == draft_ctx.n_past
+    key = jax.random.key(seed)
+    key, sub = jax.random.split(key)
+    first = int(_sample_logits(jnp.asarray(logits[0, -1]), sub, ds))
+    if first == eos_token and not ignore_eos:
+        return []
+    out = [first]
+    stats.n_tokens += 1
+
+    cap = min(ctx.n_ctx, draft_ctx.n_ctx)
+    tok = jnp.asarray([first], jnp.int32)
+    n_past = jnp.asarray([ctx.n_past], jnp.int32)
+    done = jnp.zeros((1,), bool)
+
+    while len(out) < n_predict:
+        start = int(np.asarray(n_past)[0]) + 1
+        if start + k + 1 > cap:
+            break
+        window = min(_bucket(start - 1 + n_steps * (k + 1) + 1), cap)
+        (tok, n_past, ctx.cache_k, ctx.cache_v, draft_ctx.cache_k,
+         draft_ctx.cache_v, key, done, emit_toks, emit_ns) = draft_spec_chunk(
+            ctx.cfg, ctx.params, draft_ctx.cfg, draft_ctx.params,
+            tok, n_past, ctx.cache_k, ctx.cache_v,
+            draft_ctx.cache_k, draft_ctx.cache_v, key, done,
+            k=k, n_steps=n_steps, ds=ds, kv_window=window,
+            eos=eos_token, ignore_eos=ignore_eos,
+        )
+        toks_h = np.asarray(emit_toks)[:, 0]
+        ns_h = np.asarray(emit_ns)[:, 0]
+        ctx.n_past = draft_ctx.n_past = int(np.asarray(n_past)[0])
+        for s in range(len(ns_h)):
+            n = int(ns_h[s])
+            stats.n_verify += 1
+            stats.n_drafted += k
+            stats.n_accepted += max(0, n - 1)
+            stats.n_tokens += n
+            out.extend(toks_h[s, :n].tolist())
+        if bool(np.asarray(done)[0]):
+            break
+    return out[:n_predict]
+
+
 def _lookup_drafts(buf, m, *, k: int, max_ngram: int, min_ngram: int):
     """Vectorized prompt-lookup over one history row.
 
@@ -132,6 +198,87 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
         jax.lax.scan(body, (hist, n_hist, cache_k, cache_v, key, done),
                      None, length=n_steps))
     return hist, n_hist, cache_k, cache_v, key, done, emit_toks, emit_ns
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg_t", "cfg_d", "k", "n_steps", "ds", "kv_window",
+                     "eos", "ignore_eos"),
+    donate_argnames=("ck_t", "cv_t", "ck_d", "cv_d"),
+)
+def draft_spec_chunk(cfg_t: ModelConfig, params_t, cfg_d: ModelConfig,
+                     params_d, tok, n_past, ck_t, cv_t, ck_d, cv_d,
+                     key, done, *, k: int, n_steps: int,
+                     ds: DeviceSampling, kv_window: int, eos: int,
+                     ignore_eos: bool):
+    """Draft-MODEL speculation, fully on device: each round runs k+1
+    greedy draft-model steps (inner scan) then ONE T=k+1 target verify.
+
+    Both models' caches live in the scan carry and share ONE frontier
+    n_past — each inserts `tok` at the same absolute position, and
+    rollback is the shared masked-KV trick (un-accepted slots re-written
+    next round).  The k+1st draft step exists so every PROPOSED token is
+    resident in the draft cache on full acceptance (see
+    speculative.DraftModelDrafter).
+
+    tok/n_past/done: [B].  Returns updated state plus
+    emit_toks [n_steps, B, k+1] / emit_ns [n_steps, B]."""
+    B = tok.shape[0]
+    rows = jnp.arange(B)
+    tpos = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    greedy = DeviceSampling(temp=-1.0)
+    cap = min(ck_t[0].shape[1], ck_d[0].shape[1])
+
+    def round_body(carry, _):
+        tok, n_p, ck_t, cv_t, ck_d, cv_d, key, done = carry
+        pre_done = done
+
+        def draft_step(c, _):
+            dtok, ck, cv, np_ = c
+            logits, ck, cv = transformer.forward(
+                cfg_d, params_d, dtok[:, None], np_, ck, cv,
+                last_only=True, kv_window=kv_window)
+            nxt = _sample_logits(logits[:, -1], key, greedy)
+            return (nxt, ck, cv, np_ + 1), nxt
+
+        (_, ck_d, cv_d, _), drafts_all = jax.lax.scan(
+            draft_step, (tok, ck_d, cv_d, n_p), None, length=k + 1)
+        drafts = drafts_all[:k].T  # [B, k]
+
+        toks = jnp.concatenate([tok[:, None], drafts], axis=1)
+        logits, ck_t, cv_t = transformer.forward(
+            cfg_t, params_t, toks, n_p, ck_t, cv_t,
+            last_only=False, kv_window=kv_window)
+        key, sub = jax.random.split(key)
+        ids = _sample_logits(logits, sub, ds)
+        acc = jnp.cumprod((ids[:, :k] == drafts).astype(jnp.int32), axis=1)
+        a = jnp.sum(acc, axis=1)
+        bonus = ids[rows, a]
+        drafts_ext = jnp.concatenate(
+            [drafts, jnp.zeros((B, 1), drafts.dtype)], axis=1)
+        emit = jnp.where(tpos < a[:, None], drafts_ext,
+                         jnp.where(tpos == a[:, None], bonus[:, None], 0))
+        if ignore_eos:
+            emit_n = a + 1
+        else:
+            hit = (emit == eos) & (tpos <= a[:, None])
+            emit_n = jnp.where(jnp.any(hit, axis=1),
+                               jnp.argmax(hit, axis=1).astype(jnp.int32),
+                               a + 1)
+            done = done | jnp.any(hit, axis=1)
+        emit_n = jnp.where(pre_done, 0, emit_n)
+        # next input `tok` (bonus) goes to slot n_p + a + 1 for BOTH models
+        n_p = n_p + jnp.where(pre_done, 0, a + 1)
+        done = done | (n_p + k + 2 > cap)  # out of cache capacity
+        tok = jnp.where(pre_done, tok, bonus)
+        return (tok, n_p, ck_t, cv_t, ck_d, cv_d, key, done), (emit, emit_n)
+
+    (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done), (emit_toks, emit_ns) = \
+        jax.lax.scan(
+            round_body, (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done),
+            None, length=n_steps)
+    return (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done,
+            emit_toks, emit_ns)
 
 
 def generate_ondevice_spec(

@@ -247,3 +247,14 @@ def test_main_cli_speculative_ondevice(model_path, capsys):
                         "--draft", "4", "--ondevice-sampling"])
     assert rc == 0
     assert "speculative:" in capsys.readouterr().err
+
+
+def test_main_cli_speculative_draft_model_ondevice(model_path, capsys):
+    import llama_cpp_q_4_0_tpu.cli.main as main_cli
+
+    rc = main_cli.main(["-m", model_path, "-p", "hello", "-n", "6",
+                        "-c", "64", "-s", "1", "--temp", "-1",
+                        "--draft", "3", "--draft-model", model_path,
+                        "--ondevice-sampling"])
+    assert rc == 0
+    assert "speculative:" in capsys.readouterr().err

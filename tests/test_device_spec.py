@@ -110,3 +110,59 @@ def test_ondevice_spec_near_context_end(model):
         n_predict=len(got), sampling=GREEDY, ignore_eos=True),
         eos_token=-1))
     assert got == want
+
+
+def test_ondevice_draft_model_self_matches_plain(model):
+    """Device-resident draft-model speculation, self-draft: 100%
+    acceptance and exact greedy output."""
+    from llama_cpp_q_4_0_tpu.runtime.device_spec import (
+        generate_ondevice_spec_draft,
+    )
+
+    cfg, params = model
+    rng = np.random.default_rng(21)
+    prompt = rng.integers(3, 250, 10).tolist()
+    ref_ctx = Context(cfg, params)
+    want = list(generate(ref_ctx, prompt, GenerateParams(
+        n_predict=20, sampling=GREEDY, ignore_eos=True), eos_token=-1))
+
+    ctx = Context(cfg, params)
+    dctx = Context(cfg, params)
+    stats = SpecStats()
+    got = generate_ondevice_spec_draft(
+        ctx, dctx, prompt, 20, sampling=DeviceSampling(temp=-1.0),
+        n_draft=4, n_steps=3, ignore_eos=True, stats=stats)
+    assert got == want
+    assert stats.n_accepted == stats.n_drafted > 0
+
+
+def test_ondevice_draft_model_weak_draft_still_exact(model, tmp_path):
+    """A DIFFERENT (weak) draft model: low acceptance, but verification
+    keeps the output exactly greedy."""
+    from llama_cpp_q_4_0_tpu.runtime.device_spec import (
+        generate_ondevice_spec_draft,
+    )
+
+    cfg, params = model
+    # different random weights, same vocab
+    path = str(tmp_path / "weak.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=32, n_head=2, n_layer=1,
+                    seed=99)
+    gfw = read_ggjt(path, "llama")
+    cfgw = config_from_ggjt(gfw, n_ctx=128)
+    paramsw = load_transformer(gfw, cfgw)
+
+    rng = np.random.default_rng(23)
+    prompt = rng.integers(3, 250, 10).tolist()
+    ref_ctx = Context(cfg, params)
+    want = list(generate(ref_ctx, prompt, GenerateParams(
+        n_predict=16, sampling=GREEDY, ignore_eos=True), eos_token=-1))
+
+    ctx = Context(cfg, params)
+    dctx = Context(cfgw, paramsw)
+    stats = SpecStats()
+    got = generate_ondevice_spec_draft(
+        ctx, dctx, prompt, 16, sampling=DeviceSampling(temp=-1.0),
+        n_draft=3, n_steps=2, ignore_eos=True, stats=stats)
+    assert got == want
+    assert stats.acceptance < 1.0
