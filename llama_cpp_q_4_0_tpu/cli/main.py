@@ -135,7 +135,7 @@ def run(args) -> int:
 
             out = generate_ondevice_spec(
                 ctx, prompt_tokens, args.n_predict,
-                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k),
+                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k, top_p=args.top_p),
                 spec=SpecParams(n_draft=args.draft),
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
@@ -151,7 +151,7 @@ def run(args) -> int:
             dargs.lora = None
             out = generate_ondevice_spec_draft(
                 ctx, load_model(dargs).ctx, prompt_tokens, args.n_predict,
-                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k),
+                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k, top_p=args.top_p),
                 n_draft=args.draft, seed=max(0, args.seed),
                 ignore_eos=args.ignore_eos, stats=stats,
             )
@@ -166,7 +166,7 @@ def run(args) -> int:
                 drafter = DraftModelDrafter(load_model(dargs).ctx)
             out = generate_speculative(
                 ctx, prompt_tokens, args.n_predict,
-                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k),
+                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k, top_p=args.top_p),
                 spec=SpecParams(n_draft=args.draft), drafter=drafter,
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
@@ -183,7 +183,7 @@ def run(args) -> int:
 
         out = generate_ondevice(
             ctx, prompt_tokens, args.n_predict,
-            sampling=DeviceSampling(temp=args.temp, top_k=args.top_k),
+            sampling=DeviceSampling(temp=args.temp, top_k=args.top_k, top_p=args.top_p),
             seed=max(0, args.seed),
         )
         for t in out:

@@ -40,6 +40,7 @@ def build_parser(p: argparse.ArgumentParser | None = None):
                         "replaces per-request chains)")
     p.add_argument("--parallel-temp", type=float, default=0.8)
     p.add_argument("--parallel-top-k", type=int, default=40)
+    p.add_argument("--parallel-top-p", type=float, default=1.0)
     p.add_argument("--parallel-draft", type=int, default=0,
                    help=">0: speculative continuous batching — every tick "
                         "verifies K prompt-lookup drafts per slot on "
@@ -243,7 +244,8 @@ def run(args) -> int:
             kw = dict(chunk=args.parallel_chunk,
                       spec_draft=getattr(args, "parallel_draft", 0),
                       device_sampling=DeviceSampling(
-                          temp=args.parallel_temp, top_k=args.parallel_top_k))
+                          temp=args.parallel_temp, top_k=args.parallel_top_k,
+                          top_p=getattr(args, "parallel_top_p", 1.0)))
         engine = BatchEngine(lm.cfg, lm.ctx.params, n_slots=args.parallel,
                              n_ctx=args.n_ctx, **kw)
         engine.start()

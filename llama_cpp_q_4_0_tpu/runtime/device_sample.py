@@ -30,16 +30,33 @@ from ..models.config import ModelConfig
 class DeviceSampling:
     temp: float = 0.8
     top_k: int = 40  # 0 = off; temp <= 0 = greedy
+    top_p: float = 1.0  # nucleus over the top-k candidates (1.0 = off)
+
+
+def _top_p_mask(vals: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filter over DESCENDING-sorted logits [..., K]: keep the
+    smallest prefix whose probability mass reaches top_p (always >= 1
+    token) — llama_sample_top_p semantics (llama.cpp:1875-1905)."""
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # token i stays if the mass BEFORE it is < top_p
+    keep = (cum - probs) < top_p
+    return jnp.where(keep, vals, -jnp.inf)
 
 
 def _sample_logits(logits, key, ds: DeviceSampling):
     if ds.temp <= 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if ds.top_k > 0:
-        vals, idx = jax.lax.top_k(logits, ds.top_k)
-        choice = jax.random.categorical(key, vals / ds.temp, axis=-1)
-        return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
-    return jax.random.categorical(key, logits / ds.temp, axis=-1).astype(jnp.int32)
+    if ds.top_k <= 0 and ds.top_p >= 1.0:
+        return jax.random.categorical(key, logits / ds.temp, axis=-1).astype(jnp.int32)
+    # top-p without top-k uses a 256-candidate support (the tail beyond is
+    # negligible mass for any realistic top_p)
+    k = ds.top_k if ds.top_k > 0 else min(logits.shape[-1], 256)
+    vals, idx = jax.lax.top_k(logits, k)  # sorted descending
+    if ds.top_p < 1.0:
+        vals = _top_p_mask(vals, ds.top_p)
+    choice = jax.random.categorical(key, vals / ds.temp, axis=-1)
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
 
 
 @functools.partial(

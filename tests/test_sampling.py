@@ -128,3 +128,27 @@ def test_sampler_chain_greedy():
     logits = np.zeros(16, dtype=np.float32)
     logits[7] = 5.0
     assert s.sample(logits, last_tokens=[]) == 7
+
+
+def test_device_top_p_mask_matches_host_support():
+    """The device nucleus filter keeps exactly the host sample_top_p set
+    (tokens whose exclusive prefix mass < p, crossing token included)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import _top_p_mask
+    from llama_cpp_q_4_0_tpu.runtime.sampling import (
+        Candidates, sample_softmax, sample_top_p,
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        logits = np.sort(rng.normal(0, 3, 32).astype(np.float32))[::-1].copy()
+        p = float(rng.uniform(0.2, 0.99))
+        c = Candidates.from_logits(logits)
+        sample_softmax(c)  # sorts descending (already sorted)
+        sample_top_p(c, p, 1)
+        host_kept = set(c.ids.tolist())
+
+        masked = np.asarray(_top_p_mask(jnp.asarray(logits), p))
+        dev_kept = {i for i, v in enumerate(masked) if np.isfinite(v)}
+        assert dev_kept == host_kept, (trial, p, dev_kept, host_kept)
