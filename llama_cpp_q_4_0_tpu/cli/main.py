@@ -40,8 +40,9 @@ def build_parser(p: argparse.ArgumentParser | None = None):
                         "<|assistant|> tokens (main-oasst.cpp:155-265)")
     p.add_argument("--ondevice-sampling", action="store_true",
                    help="sample on the TPU in chunked device loops "
-                        "(temperature/top-k subset; amortizes host round "
-                        "trips — measured 6x tok/s on tunneled devices)")
+                        "(temp/top-k/top-p + repetition penalties; "
+                        "amortizes host round trips — measured 6x tok/s "
+                        "on tunneled devices)")
     p.add_argument("--draft", type=int, default=0, metavar="K",
                    help="speculative decoding: verify K drafted tokens per "
                         "forward (prompt-lookup drafting; exact for greedy, "
@@ -135,7 +136,12 @@ def run(args) -> int:
 
             out = generate_ondevice_spec(
                 ctx, prompt_tokens, args.n_predict,
-                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k, top_p=args.top_p),
+                sampling=DeviceSampling(
+                    temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+                    repeat_penalty=args.repeat_penalty,
+                    repeat_last_n=args.repeat_last_n,
+                    frequency_penalty=args.frequency_penalty,
+                    presence_penalty=args.presence_penalty),
                 spec=SpecParams(n_draft=args.draft),
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
@@ -151,7 +157,12 @@ def run(args) -> int:
             dargs.lora = None
             out = generate_ondevice_spec_draft(
                 ctx, load_model(dargs).ctx, prompt_tokens, args.n_predict,
-                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k, top_p=args.top_p),
+                sampling=DeviceSampling(
+                    temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+                    repeat_penalty=args.repeat_penalty,
+                    repeat_last_n=args.repeat_last_n,
+                    frequency_penalty=args.frequency_penalty,
+                    presence_penalty=args.presence_penalty),
                 n_draft=args.draft, seed=max(0, args.seed),
                 ignore_eos=args.ignore_eos, stats=stats,
             )
@@ -166,7 +177,12 @@ def run(args) -> int:
                 drafter = DraftModelDrafter(load_model(dargs).ctx)
             out = generate_speculative(
                 ctx, prompt_tokens, args.n_predict,
-                sampling=DeviceSampling(temp=args.temp, top_k=args.top_k, top_p=args.top_p),
+                sampling=DeviceSampling(
+                    temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+                    repeat_penalty=args.repeat_penalty,
+                    repeat_last_n=args.repeat_last_n,
+                    frequency_penalty=args.frequency_penalty,
+                    presence_penalty=args.presence_penalty),
                 spec=SpecParams(n_draft=args.draft), drafter=drafter,
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
@@ -183,7 +199,12 @@ def run(args) -> int:
 
         out = generate_ondevice(
             ctx, prompt_tokens, args.n_predict,
-            sampling=DeviceSampling(temp=args.temp, top_k=args.top_k, top_p=args.top_p),
+            sampling=DeviceSampling(
+                    temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+                    repeat_penalty=args.repeat_penalty,
+                    repeat_last_n=args.repeat_last_n,
+                    frequency_penalty=args.frequency_penalty,
+                    presence_penalty=args.presence_penalty),
             seed=max(0, args.seed),
         )
         for t in out:

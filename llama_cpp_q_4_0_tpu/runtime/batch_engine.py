@@ -188,6 +188,7 @@ class BatchEngine:
         # async pipeline (chunk > 1): ticks issued ahead of their harvest,
         # with the sample->input feedback chained on device
         self.pipeline_depth = max(1, pipeline_depth)
+        self._recent = None  # device penalty window, chained across ticks
         self._inflight: list[dict] = []
         self._sched_n_past = [0] * n_slots
         self._ids = itertools.count()
@@ -352,13 +353,26 @@ class BatchEngine:
                 if not s.free:
                     toks[s.idx] = s.last_tokens[-1]
             tok_dev = jnp.asarray(toks)
+            # host state is authoritative at pipeline start: rebuild the
+            # penalty window (chained on device between ticks otherwise)
+            from .device_sample import make_recent
+
+            self._recent = (
+                make_recent([s.last_tokens if not s.free else []
+                             for s in self.slots],
+                            self.device_sampling.repeat_last_n,
+                            self.cfg.n_vocab)
+                if self.device_sampling.penalized
+                else jnp.zeros((self.n_slots, 1), jnp.int32))
         n_past = np.array(self._sched_n_past, np.int32)
         window = min(_bucket(int(n_past.max()) + self.chunk + 1), self.n_ctx)
-        out, self.cache_k, self.cache_v, self._key = decode_chunk(
-            self.cfg, self.params, tok_dev, jnp.asarray(n_past),
-            self.cache_k, self.cache_v, self._key,
-            n_steps=self.chunk, ds=self.device_sampling, kv_window=window,
-        )
+        out, self.cache_k, self.cache_v, self._key, self._recent = \
+            decode_chunk(
+                self.cfg, self.params, tok_dev, jnp.asarray(n_past),
+                self.cache_k, self.cache_v, self._key,
+                n_steps=self.chunk, ds=self.device_sampling,
+                kv_window=window, recent=self._recent,
+            )
         snap = [(s.idx, s.req) for s in self.slots if not s.free]
         self._inflight.append({"out": out, "snap": snap})
         for i, _ in snap:

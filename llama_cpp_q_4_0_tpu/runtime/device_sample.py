@@ -8,10 +8,10 @@ per round-trip vs 10 ms of device work).  This path keeps the whole
 decode-sample-feedback loop in one lax.scan on device and transfers only
 the sampled ids every `chunk` tokens.
 
-Supports the distribution-affecting core of the sampler chain (temperature,
-top-k, greedy); the full host chain (penalties, tfs/typical, mirostat)
-remains runtime/sampling.py — use it when those knobs matter more than
-throughput."""
+Supports temperature / top-k / top-p / greedy plus repetition, frequency
+and presence penalties (exact llama.cpp:1804-1905 semantics, computed on
+device over a carried recent-token window).  The host chain
+(runtime/sampling.py) remains for tfs/typical/mirostat/logit-bias."""
 
 from __future__ import annotations
 
@@ -31,6 +31,64 @@ class DeviceSampling:
     temp: float = 0.8
     top_k: int = 40  # 0 = off; temp <= 0 = greedy
     top_p: float = 1.0  # nucleus over the top-k candidates (1.0 = off)
+    # repetition penalties over the last repeat_last_n tokens, identical
+    # semantics to the host chain (llama.cpp:1804-1860); greedy+penalties
+    # is deterministic, so parity with the host loop is exact
+    repeat_penalty: float = 1.0
+    repeat_last_n: int = 64
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+
+    @property
+    def penalized(self) -> bool:
+        return (self.repeat_penalty != 1.0 or self.frequency_penalty != 0.0
+                or self.presence_penalty != 0.0)
+
+
+def _apply_penalties(logits: jax.Array, recent: jax.Array,
+                     ds: DeviceSampling) -> jax.Array:
+    """logits [B, V], recent [B, N] token ids (pad slots hold V, dropped).
+
+    llama_sample_repetition_penalty (divide positive / multiply negative
+    logits of seen tokens) + frequency/presence penalties
+    (llama.cpp:1804-1860), fully on device."""
+    b, v = logits.shape
+    counts = jnp.zeros((b, v), jnp.float32).at[
+        jnp.arange(b)[:, None], recent].add(1.0, mode="drop")
+    present = counts > 0
+    if ds.repeat_penalty != 1.0:
+        scaled = jnp.where(logits > 0, logits / ds.repeat_penalty,
+                           logits * ds.repeat_penalty)
+        logits = jnp.where(present, scaled, logits)
+    return (logits - counts * ds.frequency_penalty
+            - present * ds.presence_penalty)
+
+
+def _recent_push(recent: jax.Array, tok: jax.Array) -> jax.Array:
+    """Shift the [B, N] recent-token window left and append tok [B]."""
+    return jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
+
+
+def make_recent(last_tokens_rows, n: int, n_vocab: int) -> jnp.ndarray:
+    """Host-side: build the [B, N] recent window (pad = n_vocab)."""
+    b = len(last_tokens_rows)
+    out = np.full((b, n), n_vocab, np.int32)
+    for i, lt in enumerate(last_tokens_rows):
+        tail = lt[-n:]
+        if tail:
+            out[i, -len(tail):] = tail
+    return jnp.asarray(out)
+
+
+def first_sample(logits_row, history, ds: DeviceSampling, key,
+                 n_vocab: int) -> int:
+    """Sample the first post-prefill token with the same penalty window
+    the device loop will use (host loops penalize every sample)."""
+    l = jnp.asarray(logits_row)[None, :]
+    if ds.penalized:
+        rec = make_recent([history], ds.repeat_last_n, n_vocab)
+        l = _apply_penalties(l, rec, ds)
+    return int(_sample_logits(l[0], key, ds))
 
 
 def _top_p_mask(vals: jax.Array, top_p: float) -> jax.Array:
@@ -66,24 +124,38 @@ def _sample_logits(logits, key, ds: DeviceSampling):
 )
 def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
                  key, *, n_steps: int, ds: DeviceSampling,
-                 kv_window: int | None = None):
+                 kv_window: int | None = None, recent=None):
     """From last token [B] and caches, generate n_steps tokens on device.
 
-    Returns (tokens [B, n_steps], new_k, new_v, key)."""
+    recent [B, N] (required when ds.penalized): sliding window of the
+    last tokens INCLUDING tok, maintained in the scan carry so penalties
+    see within-chunk samples exactly like the host loop.
+
+    Returns (tokens [B, n_steps], new_k, new_v, key, recent)."""
+    if ds.penalized and recent is None:
+        raise ValueError("ds has penalties: pass `recent` (make_recent)")
 
     def body(carry, _):
-        tok, ck, cv, n_past, key = carry
+        tok, ck, cv, n_past, key, rec = carry
         logits, ck, cv = transformer.forward(
             cfg, params, tok[:, None], n_past, ck, cv,
             last_only=True, kv_window=kv_window,
         )
+        row = logits[:, -1]
+        if ds.penalized:
+            row = _apply_penalties(row, rec, ds)
         key, sub = jax.random.split(key)
-        nxt = _sample_logits(logits[:, -1], sub, ds)
-        return (nxt, ck, cv, n_past + 1, key), nxt
+        nxt = _sample_logits(row, sub, ds)
+        if ds.penalized:
+            rec = _recent_push(rec, nxt)
+        return (nxt, ck, cv, n_past + 1, key, rec), nxt
 
-    (tok, cache_k, cache_v, n_past, key), toks = jax.lax.scan(
-        body, (tok, cache_k, cache_v, n_past, key), None, length=n_steps)
-    return toks.T, cache_k, cache_v, key
+    if recent is None:
+        recent = jnp.zeros((tok.shape[0], 1), jnp.int32)  # unused
+    (tok, cache_k, cache_v, n_past, key, recent), toks = jax.lax.scan(
+        body, (tok, cache_k, cache_v, n_past, key, recent), None,
+        length=n_steps)
+    return toks.T, cache_k, cache_v, key, recent
 
 
 def generate_ondevice(ctx, prompt_tokens: list[int], n_predict: int, *,
@@ -97,20 +169,24 @@ def generate_ondevice(ctx, prompt_tokens: list[int], n_predict: int, *,
     logits = ctx.eval(np.asarray([prompt_tokens], np.int32))
     key = jax.random.key(seed)
     key, sub = jax.random.split(key)
-    first = int(_sample_logits(jnp.asarray(logits[:, -1]), sub, ds)[0])
+    first = first_sample(logits[0, -1], list(prompt_tokens), ds, sub,
+                         ctx.cfg.n_vocab)
     out = [first]
     if first == eos_token:
         return []
     tok = jnp.asarray([first], jnp.int32)
+    recent = (make_recent([list(prompt_tokens) + [first]],
+                          ds.repeat_last_n, ctx.cfg.n_vocab)
+              if ds.penalized else jnp.zeros((1, 1), jnp.int32))
     while len(out) < n_predict and ctx.n_past + chunk < ctx.n_ctx:
         # always run a FULL chunk (truncate at the end): a partial n_steps
         # is a fresh compile, which costs far more than the wasted steps
         n = chunk
         window = min(_bucket(ctx.n_past + n + 1), ctx.n_ctx)
-        toks, ctx.cache_k, ctx.cache_v, key = decode_chunk(
+        toks, ctx.cache_k, ctx.cache_v, key, recent = decode_chunk(
             ctx.cfg, ctx.params, tok, jnp.int32(ctx.n_past),
             ctx.cache_k, ctx.cache_v, key, n_steps=n, ds=ds,
-            kv_window=window,
+            kv_window=window, recent=recent,
         )
         ctx.n_past += n
         ids = np.asarray(toks)[0].tolist()

@@ -33,7 +33,14 @@ import numpy as np
 from ..models import transformer
 from ..models.config import ModelConfig
 from .context import Context, _bucket
-from .device_sample import DeviceSampling, _sample_logits
+from .device_sample import (
+    DeviceSampling,
+    _apply_penalties,
+    _recent_push,
+    _sample_logits,
+    first_sample,
+    make_recent,
+)
 from .speculative import SpecParams, SpecStats
 from .tokenizer import TOKEN_EOS
 
@@ -65,7 +72,8 @@ def generate_ondevice_spec_draft(
     assert ctx.n_past == draft_ctx.n_past
     key = jax.random.key(seed)
     key, sub = jax.random.split(key)
-    first = int(_sample_logits(jnp.asarray(logits[0, -1]), sub, ds))
+    first = first_sample(logits[0, -1], list(prompt_tokens), ds, sub,
+                         ctx.cfg.n_vocab)
     if first == eos_token and not ignore_eos:
         return []
     out = [first]
@@ -75,6 +83,9 @@ def generate_ondevice_spec_draft(
     tok = jnp.asarray([first], jnp.int32)
     n_past = jnp.asarray([ctx.n_past], jnp.int32)
     done = jnp.zeros((1,), bool)
+    recent = (make_recent([prompt_tokens + [first]], ds.repeat_last_n,
+                          ctx.cfg.n_vocab)
+              if ds.penalized else jnp.zeros((1, 1), jnp.int32))
 
     while len(out) < n_predict:
         start = int(np.asarray(n_past)[0]) + 1
@@ -82,13 +93,14 @@ def generate_ondevice_spec_draft(
             break
         window = min(_bucket(start - 1 + n_steps * (k + 1) + 1), cap)
         (tok, n_past, ctx.cache_k, ctx.cache_v, draft_ctx.cache_k,
-         draft_ctx.cache_v, key, done, emit_toks, emit_ns) = draft_spec_chunk(
-            ctx.cfg, ctx.params, draft_ctx.cfg, draft_ctx.params,
-            tok, n_past, ctx.cache_k, ctx.cache_v,
-            draft_ctx.cache_k, draft_ctx.cache_v, key, done,
-            k=k, n_steps=n_steps, ds=ds, kv_window=window,
-            eos=eos_token, ignore_eos=ignore_eos,
-        )
+         draft_ctx.cache_v, key, done, recent, emit_toks, emit_ns) = \
+            draft_spec_chunk(
+                ctx.cfg, ctx.params, draft_ctx.cfg, draft_ctx.params,
+                tok, n_past, ctx.cache_k, ctx.cache_v,
+                draft_ctx.cache_k, draft_ctx.cache_v, key, done, recent,
+                k=k, n_steps=n_steps, ds=ds, kv_window=window,
+                eos=eos_token, ignore_eos=ignore_eos,
+            )
         toks_h = np.asarray(emit_toks)[:, 0]
         ns_h = np.asarray(emit_ns)[:, 0]
         ctx.n_past = draft_ctx.n_past = int(np.asarray(n_past)[0])
@@ -102,6 +114,24 @@ def generate_ondevice_spec_draft(
         if bool(np.asarray(done)[0]):
             break
     return out[:n_predict]
+
+
+def _verify_sample(logits, toks, sub, ds: DeviceSampling, rec):
+    """Sample every verify position of logits [B, k+1, V].  With
+    penalties, position j's recent window is `rec` pushed with the drafts
+    before it — identical to the host loop's sequential window updates on
+    the accepted prefix (discarded positions don't matter)."""
+    if not ds.penalized:
+        return _sample_logits(logits, sub, ds)
+    kp1 = logits.shape[1]
+    subs = jax.random.split(sub, kp1)
+    ids = []
+    for j in range(kp1):
+        pen = _apply_penalties(logits[:, j], rec, ds)
+        ids.append(_sample_logits(pen, subs[j], ds))
+        if j < kp1 - 1:
+            rec = _recent_push(rec, toks[:, j + 1])
+    return jnp.stack(ids, axis=1)
 
 
 def _lookup_drafts(buf, m, *, k: int, max_ngram: int, min_ngram: int):
@@ -169,7 +199,15 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
             last_only=False, kv_window=kv_window,
         )
         key, sub = jax.random.split(key)
-        ids = _sample_logits(logits, sub, ds)  # [B, k+1]
+        rec = None
+        if ds.penalized:
+            # recent window = last repeat_last_n of hist (incl. `last`)
+            offs = jnp.arange(ds.repeat_last_n, dtype=jnp.int32) - ds.repeat_last_n
+            idx = m[:, None] + offs[None, :]
+            rec = jnp.where(idx >= 0,
+                            hist[rows[:, None], jnp.clip(idx, 0, H - 1)],
+                            jnp.int32(cfg.n_vocab))
+        ids = _verify_sample(logits, toks, sub, ds, rec)  # [B, k+1]
         acc = jnp.cumprod((ids[:, :k] == drafts).astype(jnp.int32), axis=1)
         a = jnp.sum(acc, axis=1)  # [B] accepted drafts, 0..k
         bonus = ids[rows, a]
@@ -208,7 +246,7 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
 )
 def draft_spec_chunk(cfg_t: ModelConfig, params_t, cfg_d: ModelConfig,
                      params_d, tok, n_past, ck_t, cv_t, ck_d, cv_d,
-                     key, done, *, k: int, n_steps: int,
+                     key, done, recent, *, k: int, n_steps: int,
                      ds: DeviceSampling, kv_window: int, eos: int,
                      ignore_eos: bool):
     """Draft-MODEL speculation, fully on device: each round runs k+1
@@ -221,7 +259,8 @@ def draft_spec_chunk(cfg_t: ModelConfig, params_t, cfg_d: ModelConfig,
     resident in the draft cache on full acceptance (see
     speculative.DraftModelDrafter).
 
-    tok/n_past/done: [B].  Returns updated state plus
+    tok/n_past/done: [B]; recent: [B, N] penalty window incl. tok (any
+    [B, 1] dummy when ds has no penalties).  Returns updated state plus
     emit_toks [n_steps, B, k+1] / emit_ns [n_steps, B]."""
     B = tok.shape[0]
     rows = jnp.arange(B)
@@ -230,7 +269,7 @@ def draft_spec_chunk(cfg_t: ModelConfig, params_t, cfg_d: ModelConfig,
     cap = min(ck_t[0].shape[1], ck_d[0].shape[1])
 
     def round_body(carry, _):
-        tok, n_p, ck_t, cv_t, ck_d, cv_d, key, done = carry
+        tok, n_p, ck_t, cv_t, ck_d, cv_d, key, done, rec = carry
         pre_done = done
 
         def draft_step(c, _):
@@ -250,7 +289,7 @@ def draft_spec_chunk(cfg_t: ModelConfig, params_t, cfg_d: ModelConfig,
             cfg_t, params_t, toks, n_p, ck_t, cv_t,
             last_only=False, kv_window=kv_window)
         key, sub = jax.random.split(key)
-        ids = _sample_logits(logits, sub, ds)
+        ids = _verify_sample(logits, toks, sub, ds, rec)
         acc = jnp.cumprod((ids[:, :k] == drafts).astype(jnp.int32), axis=1)
         a = jnp.sum(acc, axis=1)
         bonus = ids[rows, a]
@@ -267,17 +306,24 @@ def draft_spec_chunk(cfg_t: ModelConfig, params_t, cfg_d: ModelConfig,
                                a + 1)
             done = done | jnp.any(hit, axis=1)
         emit_n = jnp.where(pre_done, 0, emit_n)
+        if ds.penalized:
+            # push the round's ACCEPTED tokens into the penalty window
+            for j in range(k + 1):
+                ok = (jnp.int32(j) < emit_n)[:, None]
+                rec = jnp.where(ok, _recent_push(rec, emit[:, j]), rec)
         # next input `tok` (bonus) goes to slot n_p + a + 1 for BOTH models
         n_p = n_p + jnp.where(pre_done, 0, a + 1)
         done = done | (n_p + k + 2 > cap)  # out of cache capacity
         tok = jnp.where(pre_done, tok, bonus)
-        return (tok, n_p, ck_t, cv_t, ck_d, cv_d, key, done), (emit, emit_n)
+        return (tok, n_p, ck_t, cv_t, ck_d, cv_d, key, done, rec), \
+            (emit, emit_n)
 
-    (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done), (emit_toks, emit_ns) = \
-        jax.lax.scan(
-            round_body, (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done),
+    (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done, recent), \
+        (emit_toks, emit_ns) = jax.lax.scan(
+            round_body,
+            (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done, recent),
             None, length=n_steps)
-    return (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done,
+    return (tok, n_past, ck_t, cv_t, ck_d, cv_d, key, done, recent,
             emit_toks, emit_ns)
 
 
