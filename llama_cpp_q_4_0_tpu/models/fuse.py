@@ -14,11 +14,10 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.qtensor import QTensor
 from .config import ModelConfig
-from .transformer import Block, TransformerParams
+from .transformer import TransformerParams
 
 
 def _concat_n(ws: list) -> object | None:

@@ -32,7 +32,7 @@ un-accepted slots are simply re-written by the next verify step.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
