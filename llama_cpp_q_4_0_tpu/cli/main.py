@@ -141,7 +141,8 @@ def run(args) -> int:
                     repeat_penalty=args.repeat_penalty,
                     repeat_last_n=args.repeat_last_n,
                     frequency_penalty=args.frequency_penalty,
-                    presence_penalty=args.presence_penalty),
+                    presence_penalty=args.presence_penalty,
+                    tfs_z=args.tfs, typical_p=args.typical),
                 spec=SpecParams(n_draft=args.draft),
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
@@ -162,7 +163,8 @@ def run(args) -> int:
                     repeat_penalty=args.repeat_penalty,
                     repeat_last_n=args.repeat_last_n,
                     frequency_penalty=args.frequency_penalty,
-                    presence_penalty=args.presence_penalty),
+                    presence_penalty=args.presence_penalty,
+                    tfs_z=args.tfs, typical_p=args.typical),
                 n_draft=args.draft, seed=max(0, args.seed),
                 ignore_eos=args.ignore_eos, stats=stats,
             )
@@ -182,7 +184,8 @@ def run(args) -> int:
                     repeat_penalty=args.repeat_penalty,
                     repeat_last_n=args.repeat_last_n,
                     frequency_penalty=args.frequency_penalty,
-                    presence_penalty=args.presence_penalty),
+                    presence_penalty=args.presence_penalty,
+                    tfs_z=args.tfs, typical_p=args.typical),
                 spec=SpecParams(n_draft=args.draft), drafter=drafter,
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
@@ -204,7 +207,8 @@ def run(args) -> int:
                     repeat_penalty=args.repeat_penalty,
                     repeat_last_n=args.repeat_last_n,
                     frequency_penalty=args.frequency_penalty,
-                    presence_penalty=args.presence_penalty),
+                    presence_penalty=args.presence_penalty,
+                    tfs_z=args.tfs, typical_p=args.typical),
             seed=max(0, args.seed),
         )
         for t in out:

@@ -31,6 +31,8 @@ class DeviceSampling:
     temp: float = 0.8
     top_k: int = 40  # 0 = off; temp <= 0 = greedy
     top_p: float = 1.0  # nucleus over the top-k candidates (1.0 = off)
+    tfs_z: float = 1.0  # tail-free sampling (1.0 = off)
+    typical_p: float = 1.0  # locally-typical sampling (1.0 = off)
     # repetition penalties over the last repeat_last_n tokens, identical
     # semantics to the host chain (llama.cpp:1804-1860); greedy+penalties
     # is deterministic, so parity with the host loop is exact
@@ -91,6 +93,48 @@ def first_sample(logits_row, history, ds: DeviceSampling, key,
     return int(_sample_logits(l[0], key, ds))
 
 
+def _tfs_mask(vals: jax.Array, z: float) -> jax.Array:
+    """Tail-free filter over DESCENDING-sorted logits [..., K]: normalized
+    |second derivative| of the sorted probability curve, cumsum'd; drop
+    the tail where it exceeds z (llama_sample_tail_free,
+    llama.cpp:1907-1959; min_keep=1)."""
+    kk = vals.shape[-1]
+    if kk <= 2:
+        return vals
+    probs = jax.nn.softmax(vals, axis=-1)
+    first = probs[..., :-1] - probs[..., 1:]
+    second = jnp.abs(first[..., :-1] - first[..., 1:])  # [..., K-2]
+    second = second / jnp.maximum(
+        jnp.sum(second, axis=-1, keepdims=True), 1e-20)
+    cum = jnp.cumsum(second, axis=-1)
+    hits = (cum > z) & (jnp.arange(kk - 2) >= 1)
+    last = jnp.where(jnp.any(hits, axis=-1),
+                     jnp.argmax(hits, axis=-1), kk)  # keep i < last
+    keep = jnp.arange(kk) < last[..., None]
+    return jnp.where(keep, vals, -jnp.inf)
+
+
+def _typical_mask(vals: jax.Array, p: float) -> jax.Array:
+    """Locally-typical filter [..., K]: keep the lowest-|surprise - H|
+    candidates until their mass exceeds p (llama_sample_typical,
+    llama.cpp:1961-2007; min_keep=1).  -inf entries (filtered upstream)
+    carry infinite shift and are never re-admitted."""
+    kk = vals.shape[-1]
+    probs = jax.nn.softmax(vals, axis=-1)
+    logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)), -jnp.inf)
+    ent = -jnp.sum(jnp.where(probs > 0, probs * logp, 0.0), axis=-1,
+                   keepdims=True)
+    shifted = jnp.where(probs > 0, jnp.abs(-logp - ent), jnp.inf)
+    order = jnp.argsort(shifted, axis=-1, stable=True)
+    cum = jnp.cumsum(jnp.take_along_axis(probs, order, axis=-1), axis=-1)
+    hits = cum > p
+    last = jnp.where(jnp.any(hits, axis=-1),
+                     jnp.argmax(hits, axis=-1) + 1, kk)
+    inv = jnp.argsort(order, axis=-1)  # rank of each candidate
+    keep = inv < last[..., None]
+    return jnp.where(keep, vals, -jnp.inf)
+
+
 def _top_p_mask(vals: jax.Array, top_p: float) -> jax.Array:
     """Nucleus filter over DESCENDING-sorted logits [..., K]: keep the
     smallest prefix whose probability mass reaches top_p (always >= 1
@@ -105,12 +149,18 @@ def _top_p_mask(vals: jax.Array, top_p: float) -> jax.Array:
 def _sample_logits(logits, key, ds: DeviceSampling):
     if ds.temp <= 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if ds.top_k <= 0 and ds.top_p >= 1.0:
+    filtered = ds.top_p < 1.0 or ds.tfs_z < 1.0 or ds.typical_p < 1.0
+    if ds.top_k <= 0 and not filtered:
         return jax.random.categorical(key, logits / ds.temp, axis=-1).astype(jnp.int32)
-    # top-p without top-k uses a 256-candidate support (the tail beyond is
-    # negligible mass for any realistic top_p)
+    # filters without top-k use a 256-candidate support (the tail beyond
+    # is negligible mass for any realistic p/z)
     k = ds.top_k if ds.top_k > 0 else min(logits.shape[-1], 256)
     vals, idx = jax.lax.top_k(logits, k)  # sorted descending
+    # host chain order: top_k -> tfs -> typical -> top_p -> temp
+    if ds.tfs_z < 1.0:
+        vals = _tfs_mask(vals, ds.tfs_z)
+    if ds.typical_p < 1.0:
+        vals = _typical_mask(vals, ds.typical_p)
     if ds.top_p < 1.0:
         vals = _top_p_mask(vals, ds.top_p)
     choice = jax.random.categorical(key, vals / ds.temp, axis=-1)

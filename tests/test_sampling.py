@@ -152,3 +152,46 @@ def test_device_top_p_mask_matches_host_support():
         masked = np.asarray(_top_p_mask(jnp.asarray(logits), p))
         dev_kept = {i for i, v in enumerate(masked) if np.isfinite(v)}
         assert dev_kept == host_kept, (trial, p, dev_kept, host_kept)
+
+
+def test_device_tfs_typical_support_matches_host():
+    """Device top_k->tfs->typical->top_p filter chain keeps exactly the
+    host chain's candidate set, across random logits and parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import (
+        _tfs_mask, _top_p_mask, _typical_mask,
+    )
+    from llama_cpp_q_4_0_tpu.runtime.sampling import (
+        Candidates, sample_tail_free, sample_top_k, sample_top_p,
+        sample_typical,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        v = 48
+        logits = rng.normal(0, 2.5, v).astype(np.float32)
+        top_k = int(rng.integers(8, v))
+        tfs_z = float(rng.uniform(0.6, 0.999)) if trial % 2 else 1.0
+        typ_p = float(rng.uniform(0.5, 0.999)) if trial % 3 else 1.0
+        top_p = float(rng.uniform(0.5, 0.999))
+
+        c = Candidates.from_logits(logits)
+        sample_top_k(c, top_k, 1)
+        sample_tail_free(c, tfs_z, 1)
+        sample_typical(c, typ_p, 1)
+        sample_top_p(c, top_p, 1)
+        host_kept = set(c.ids.tolist())
+
+        vals, idx = jax.lax.top_k(jnp.asarray(logits), top_k)
+        if tfs_z < 1.0:
+            vals = _tfs_mask(vals, tfs_z)
+        if typ_p < 1.0:
+            vals = _typical_mask(vals, typ_p)
+        vals = _top_p_mask(vals, top_p)
+        m = np.asarray(vals)
+        dev_kept = {int(np.asarray(idx)[j]) for j in range(top_k)
+                    if np.isfinite(m[j])}
+        assert dev_kept == host_kept, (trial, top_k, tfs_z, typ_p, top_p,
+                                       dev_kept ^ host_kept)
