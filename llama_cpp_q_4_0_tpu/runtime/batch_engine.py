@@ -189,6 +189,7 @@ class BatchEngine:
         # with the sample->input feedback chained on device
         self.pipeline_depth = max(1, pipeline_depth)
         self._recent = None  # device penalty window, chained across ticks
+        self._mu = None  # device mirostat-v2 state, chained across ticks
         self._inflight: list[dict] = []
         self._sched_n_past = [0] * n_slots
         self._ids = itertools.count()
@@ -364,14 +365,18 @@ class BatchEngine:
                             self.cfg.n_vocab)
                 if self.device_sampling.penalized
                 else jnp.zeros((self.n_slots, 1), jnp.int32))
+            if self._mu is None:
+                self._mu = jnp.full(
+                    (self.n_slots,),
+                    2.0 * self.device_sampling.mirostat_tau, jnp.float32)
         n_past = np.array(self._sched_n_past, np.int32)
         window = min(_bucket(int(n_past.max()) + self.chunk + 1), self.n_ctx)
-        out, self.cache_k, self.cache_v, self._key, self._recent = \
-            decode_chunk(
+        out, self.cache_k, self.cache_v, self._key, self._recent, \
+            self._mu = decode_chunk(
                 self.cfg, self.params, tok_dev, jnp.asarray(n_past),
                 self.cache_k, self.cache_v, self._key,
                 n_steps=self.chunk, ds=self.device_sampling,
-                kv_window=window, recent=self._recent,
+                kv_window=window, recent=self._recent, mu=self._mu,
             )
         snap = [(s.idx, s.req) for s in self.slots if not s.free]
         self._inflight.append({"out": out, "snap": snap})

@@ -8,10 +8,11 @@ per round-trip vs 10 ms of device work).  This path keeps the whole
 decode-sample-feedback loop in one lax.scan on device and transfers only
 the sampled ids every `chunk` tokens.
 
-Supports temperature / top-k / top-p / greedy plus repetition, frequency
-and presence penalties (exact llama.cpp:1804-1905 semantics, computed on
-device over a carried recent-token window).  The host chain
-(runtime/sampling.py) remains for tfs/typical/mirostat/logit-bias."""
+Supports the full distribution-affecting chain on device: temperature /
+top-k / top-p / tail-free / typical / greedy, repetition-frequency-
+presence penalties (over a carried recent-token window) and mirostat v2
+(carried mu) — all with exact llama.cpp:1804-2090 semantics.  The host
+chain (runtime/sampling.py) remains for mirostat v1 and logit-bias."""
 
 from __future__ import annotations
 
@@ -40,6 +41,13 @@ class DeviceSampling:
     repeat_last_n: int = 64
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
+    # mirostat v2 (llama_sample_token_mirostat_v2, llama.cpp:2065-2090):
+    # adaptive surprise-target truncation with carried mu state.  Supported
+    # by the chunked decode loops (decode_chunk / engine chunked ticks);
+    # the speculative verifiers use the stateless chain above.
+    mirostat: int = 0  # 0 = off, 2 = mirostat v2
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
 
     @property
     def penalized(self) -> bool:
@@ -146,6 +154,27 @@ def _top_p_mask(vals: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(keep, vals, -jnp.inf)
 
 
+def _mirostat2_sample(logits, key, ds: DeviceSampling, mu):
+    """One mirostat-v2 step over a 256-candidate support: truncate
+    candidates with surprise > mu (always keeping the top one), sample,
+    then mu -= eta * (observed_surprise - tau).  logits [B, V], mu [B];
+    returns (tok [B], mu' [B]).  Temperature is applied first, matching
+    the host chain order."""
+    k = min(logits.shape[-1], 256)
+    vals, idx = jax.lax.top_k(logits / jnp.maximum(ds.temp, 1e-6), k)
+    logp = jax.nn.log_softmax(vals, axis=-1)
+    surprise = -logp / jnp.log(2.0)
+    keep = (surprise <= mu[:, None]) | (jnp.arange(k) == 0)
+    vals_m = jnp.where(keep, vals, -jnp.inf)
+    choice = jax.random.categorical(key, vals_m, axis=-1)
+    tok = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    logp2 = jax.nn.log_softmax(vals_m, axis=-1)
+    observed = -jnp.take_along_axis(logp2, choice[:, None], axis=-1)[:, 0] \
+        / jnp.log(2.0)
+    mu = mu - ds.mirostat_eta * (observed - ds.mirostat_tau)
+    return tok.astype(jnp.int32), mu
+
+
 def _sample_logits(logits, key, ds: DeviceSampling):
     if ds.temp <= 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -174,19 +203,22 @@ def _sample_logits(logits, key, ds: DeviceSampling):
 )
 def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
                  key, *, n_steps: int, ds: DeviceSampling,
-                 kv_window: int | None = None, recent=None):
+                 kv_window: int | None = None, recent=None, mu=None):
     """From last token [B] and caches, generate n_steps tokens on device.
 
     recent [B, N] (required when ds.penalized): sliding window of the
     last tokens INCLUDING tok, maintained in the scan carry so penalties
     see within-chunk samples exactly like the host loop.
 
-    Returns (tokens [B, n_steps], new_k, new_v, key, recent)."""
+    mu [B] (mirostat 2): carried adaptive state; pass the previous
+    return value (init 2*tau).
+
+    Returns (tokens [B, n_steps], new_k, new_v, key, recent, mu)."""
     if ds.penalized and recent is None:
         raise ValueError("ds has penalties: pass `recent` (make_recent)")
 
     def body(carry, _):
-        tok, ck, cv, n_past, key, rec = carry
+        tok, ck, cv, n_past, key, rec, mu = carry
         logits, ck, cv = transformer.forward(
             cfg, params, tok[:, None], n_past, ck, cv,
             last_only=True, kv_window=kv_window,
@@ -195,17 +227,22 @@ def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
         if ds.penalized:
             row = _apply_penalties(row, rec, ds)
         key, sub = jax.random.split(key)
-        nxt = _sample_logits(row, sub, ds)
+        if ds.mirostat == 2 and ds.temp > 0:
+            nxt, mu = _mirostat2_sample(row, sub, ds, mu)
+        else:
+            nxt = _sample_logits(row, sub, ds)
         if ds.penalized:
             rec = _recent_push(rec, nxt)
-        return (nxt, ck, cv, n_past + 1, key, rec), nxt
+        return (nxt, ck, cv, n_past + 1, key, rec, mu), nxt
 
     if recent is None:
         recent = jnp.zeros((tok.shape[0], 1), jnp.int32)  # unused
-    (tok, cache_k, cache_v, n_past, key, recent), toks = jax.lax.scan(
-        body, (tok, cache_k, cache_v, n_past, key, recent), None,
+    if mu is None:
+        mu = jnp.full((tok.shape[0],), 2.0 * ds.mirostat_tau, jnp.float32)
+    (tok, cache_k, cache_v, n_past, key, recent, mu), toks = jax.lax.scan(
+        body, (tok, cache_k, cache_v, n_past, key, recent, mu), None,
         length=n_steps)
-    return toks.T, cache_k, cache_v, key, recent
+    return toks.T, cache_k, cache_v, key, recent, mu
 
 
 def generate_ondevice(ctx, prompt_tokens: list[int], n_predict: int, *,
@@ -228,15 +265,16 @@ def generate_ondevice(ctx, prompt_tokens: list[int], n_predict: int, *,
     recent = (make_recent([list(prompt_tokens) + [first]],
                           ds.repeat_last_n, ctx.cfg.n_vocab)
               if ds.penalized else jnp.zeros((1, 1), jnp.int32))
+    mu = jnp.full((1,), 2.0 * ds.mirostat_tau, jnp.float32)
     while len(out) < n_predict and ctx.n_past + chunk < ctx.n_ctx:
         # always run a FULL chunk (truncate at the end): a partial n_steps
         # is a fresh compile, which costs far more than the wasted steps
         n = chunk
         window = min(_bucket(ctx.n_past + n + 1), ctx.n_ctx)
-        toks, ctx.cache_k, ctx.cache_v, key, recent = decode_chunk(
+        toks, ctx.cache_k, ctx.cache_v, key, recent, mu = decode_chunk(
             ctx.cfg, ctx.params, tok, jnp.int32(ctx.n_past),
             ctx.cache_k, ctx.cache_v, key, n_steps=n, ds=ds,
-            kv_window=window, recent=recent,
+            kv_window=window, recent=recent, mu=mu,
         )
         ctx.n_past += n
         ids = np.asarray(toks)[0].tolist()

@@ -125,7 +125,7 @@ class DraftModelDrafter:
         # (With only k steps, full acceptance would leave d_k's slot
         # unwritten yet visible under the rolled-forward n_past.)
         window = min(_bucket(ctx.n_past + k + 2), ctx.n_ctx)
-        toks, ctx.cache_k, ctx.cache_v, _, _ = decode_chunk(
+        toks, ctx.cache_k, ctx.cache_v, _, _, _ = decode_chunk(
             ctx.cfg, ctx.params,
             jnp.asarray([last], jnp.int32), jnp.int32(ctx.n_past),
             ctx.cache_k, ctx.cache_v, jax.random.key(0),

@@ -195,3 +195,59 @@ def test_device_tfs_typical_support_matches_host():
                     if np.isfinite(m[j])}
         assert dev_kept == host_kept, (trial, top_k, tfs_z, typ_p, top_p,
                                        dev_kept ^ host_kept)
+
+
+def test_device_mirostat2_semantics():
+    """Low mu forces the argmax and mu tracks -eta*(surprise - tau);
+    generous mu leaves the distribution untruncated."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import (
+        DeviceSampling, _mirostat2_sample,
+    )
+
+    ds = DeviceSampling(temp=1.0, mirostat=2, mirostat_tau=5.0,
+                        mirostat_eta=0.1)
+    logits = jnp.asarray([[4.0, 2.0, 1.0, -1.0]])
+    key = jax.random.key(0)
+
+    # mu below every non-top surprise -> argmax deterministic
+    tok, mu2 = _mirostat2_sample(logits, key, ds, jnp.asarray([0.01]))
+    assert int(tok[0]) == 0
+    # truncated support = {0}: observed surprise = 0 bits
+    np.testing.assert_allclose(np.asarray(mu2),
+                               [0.01 - 0.1 * (0.0 - 5.0)], rtol=1e-5)
+
+    # huge mu: nothing truncated; over many keys the empirical dist
+    # matches softmax
+    p = np.exp(np.asarray(logits[0])); p /= p.sum()
+    counts = np.zeros(4)
+    for i in range(400):
+        tok, _ = _mirostat2_sample(logits, jax.random.key(i), ds,
+                                   jnp.asarray([100.0]))
+        counts[int(tok[0])] += 1
+    assert np.abs(counts / 400 - p).max() < 0.07
+
+
+def test_device_mirostat2_generation_runs(tmp_path):
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import (
+        DeviceSampling, generate_ondevice,
+    )
+
+    path = str(tmp_path / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+    gf = read_ggjt(path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    ctx = Context(cfg, load_transformer(gf, cfg))
+    out = generate_ondevice(
+        ctx, [5, 9, 23], 16,
+        sampling=DeviceSampling(temp=0.9, mirostat=2), chunk=4,
+        eos_token=-1)
+    assert len(out) == 16 and all(0 <= t < 256 for t in out)
