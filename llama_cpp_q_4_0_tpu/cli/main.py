@@ -122,6 +122,7 @@ def run(args) -> int:
 
     all_tokens = list(session_tokens) + list(prompt_tokens)
     print(prompt, end="", flush=True)
+    device_bias = tuple(sorted(gp.sampling.logit_bias.items()))
     if args.draft > 0:
         from ..runtime.device_sample import DeviceSampling
         from ..runtime.speculative import (
@@ -142,7 +143,8 @@ def run(args) -> int:
                     repeat_last_n=args.repeat_last_n,
                     frequency_penalty=args.frequency_penalty,
                     presence_penalty=args.presence_penalty,
-                    tfs_z=args.tfs, typical_p=args.typical),
+                    tfs_z=args.tfs, typical_p=args.typical,
+                    logit_bias=device_bias),
                 spec=SpecParams(n_draft=args.draft),
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
@@ -164,7 +166,8 @@ def run(args) -> int:
                     repeat_last_n=args.repeat_last_n,
                     frequency_penalty=args.frequency_penalty,
                     presence_penalty=args.presence_penalty,
-                    tfs_z=args.tfs, typical_p=args.typical),
+                    tfs_z=args.tfs, typical_p=args.typical,
+                    logit_bias=device_bias),
                 n_draft=args.draft, seed=max(0, args.seed),
                 ignore_eos=args.ignore_eos, stats=stats,
             )
@@ -185,7 +188,8 @@ def run(args) -> int:
                     repeat_last_n=args.repeat_last_n,
                     frequency_penalty=args.frequency_penalty,
                     presence_penalty=args.presence_penalty,
-                    tfs_z=args.tfs, typical_p=args.typical),
+                    tfs_z=args.tfs, typical_p=args.typical,
+                    logit_bias=device_bias),
                 spec=SpecParams(n_draft=args.draft), drafter=drafter,
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
                 stats=stats,
@@ -208,7 +212,8 @@ def run(args) -> int:
                     repeat_last_n=args.repeat_last_n,
                     frequency_penalty=args.frequency_penalty,
                     presence_penalty=args.presence_penalty,
-                    tfs_z=args.tfs, typical_p=args.typical),
+                    tfs_z=args.tfs, typical_p=args.typical,
+                    logit_bias=device_bias),
             seed=max(0, args.seed),
         )
         for t in out:

@@ -48,11 +48,23 @@ class DeviceSampling:
     mirostat: int = 0  # 0 = off, 2 = mirostat v2
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
+    # static ((token_id, bias), ...) applied before penalties (host order,
+    # main.cpp:440s); bias=-inf bans a token — how --ignore-eos works
+    logit_bias: tuple = ()
 
     @property
     def penalized(self) -> bool:
         return (self.repeat_penalty != 1.0 or self.frequency_penalty != 0.0
                 or self.presence_penalty != 0.0)
+
+
+def _apply_logit_bias(logits: jax.Array, ds: DeviceSampling) -> jax.Array:
+    """logits [..., V] + static sparse bias (llama_sample_logit_bias)."""
+    if not ds.logit_bias:
+        return logits
+    ids = jnp.asarray([i for i, _ in ds.logit_bias], jnp.int32)
+    vals = jnp.asarray([v for _, v in ds.logit_bias], jnp.float32)
+    return logits.at[..., ids].add(vals)
 
 
 def _apply_penalties(logits: jax.Array, recent: jax.Array,
@@ -94,7 +106,7 @@ def first_sample(logits_row, history, ds: DeviceSampling, key,
                  n_vocab: int) -> int:
     """Sample the first post-prefill token with the same penalty window
     the device loop will use (host loops penalize every sample)."""
-    l = jnp.asarray(logits_row)[None, :]
+    l = _apply_logit_bias(jnp.asarray(logits_row)[None, :], ds)
     if ds.penalized:
         rec = make_recent([history], ds.repeat_last_n, n_vocab)
         l = _apply_penalties(l, rec, ds)
@@ -223,7 +235,7 @@ def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
             cfg, params, tok[:, None], n_past, ck, cv,
             last_only=True, kv_window=kv_window,
         )
-        row = logits[:, -1]
+        row = _apply_logit_bias(logits[:, -1], ds)
         if ds.penalized:
             row = _apply_penalties(row, rec, ds)
         key, sub = jax.random.split(key)

@@ -35,6 +35,7 @@ from ..models.config import ModelConfig
 from .context import Context, _bucket
 from .device_sample import (
     DeviceSampling,
+    _apply_logit_bias,
     _apply_penalties,
     _recent_push,
     _sample_logits,
@@ -121,6 +122,7 @@ def _verify_sample(logits, toks, sub, ds: DeviceSampling, rec):
     penalties, position j's recent window is `rec` pushed with the drafts
     before it — identical to the host loop's sequential window updates on
     the accepted prefix (discarded positions don't matter)."""
+    logits = _apply_logit_bias(logits, ds)
     if not ds.penalized:
         return _sample_logits(logits, sub, ds)
     kp1 = logits.shape[1]
@@ -350,7 +352,8 @@ def generate_ondevice_spec(
     logits = ctx.eval(np.asarray([prompt_tokens], np.int32))
     key = jax.random.key(seed)
     key, sub = jax.random.split(key)
-    first = int(_sample_logits(jnp.asarray(logits[0, -1]), sub, ds))
+    first = first_sample(logits[0, -1], list(prompt_tokens), ds, sub,
+                         ctx.cfg.n_vocab)
     if first == eos_token and not ignore_eos:
         return []
     out = [first]

@@ -41,7 +41,9 @@ import numpy as np
 from ..models import transformer
 from ..models.config import ModelConfig
 from .context import Context, _bucket
-from .device_sample import DeviceSampling, _sample_logits, decode_chunk
+from .device_sample import (
+    DeviceSampling, _sample_logits, decode_chunk, first_sample,
+)
 from .tokenizer import TOKEN_EOS
 
 
@@ -166,7 +168,9 @@ def _verify(cfg: ModelConfig, params, tokens, n_past, cache_k, cache_v,
         last_only=False, kv_window=kv_window,
     )
     key, sub = jax.random.split(key)
-    ids = _sample_logits(logits, sub, ds)
+    from .device_sample import _apply_logit_bias
+
+    ids = _sample_logits(_apply_logit_bias(logits, ds), sub, ds)
     return ids, cache_k, cache_v, key
 
 
@@ -214,7 +218,8 @@ def generate_speculative(
     logits = ctx.eval(np.asarray([prompt_tokens], np.int32))
     key = jax.random.key(seed)
     key, sub = jax.random.split(key)
-    last = int(_sample_logits(jnp.asarray(logits[0, -1]), sub, ds))
+    last = first_sample(logits[0, -1], list(prompt_tokens), ds, sub,
+                        ctx.cfg.n_vocab)
     out: list[int] = []
     if last == eos_token and not ignore_eos:
         return out

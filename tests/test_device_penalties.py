@@ -145,3 +145,39 @@ def test_engine_spec_penalized_matches_host(model):
     for ref, out in zip(refs, outs):
         want = ref[:ref.index(2)] if 2 in ref else ref
         assert out == want, (ref, out)
+
+
+def test_device_logit_bias_bans_token(model):
+    """A -inf bias on the greedy winner forces the runner-up, exactly
+    like the host chain; applied in every device loop."""
+    from llama_cpp_q_4_0_tpu.runtime.device_spec import generate_ondevice_spec
+    from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
+    from llama_cpp_q_4_0_tpu.runtime.speculative import SpecParams
+
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(3, 250, 10).tolist()
+    base = _host(cfg, params, prompt, 1)
+    ban = base[0]
+
+    host = SamplingParams(temp=-1.0, top_k=0, **PEN,
+                          logit_bias={ban: float("-inf")})
+    ctx = Context(cfg, params)
+    want = list(generate(ctx, prompt, GenerateParams(
+        n_predict=12, sampling=host, ignore_eos=True), eos_token=-1))
+    assert want[0] != ban
+
+    dev = DeviceSampling(temp=-1.0, **PEN,
+                         logit_bias=((ban, float("-inf")),))
+    ctx2 = Context(cfg, params)
+    got = generate_ondevice(ctx2, prompt, 12, sampling=dev, chunk=4,
+                            eos_token=-1)
+    assert got == want[:len(got)] and len(got) >= 8
+    assert ban not in got
+
+    ctx3 = Context(cfg, params)
+    got_spec = generate_ondevice_spec(
+        ctx3, prompt, 12, sampling=dev, spec=SpecParams(n_draft=3),
+        n_steps=2, ignore_eos=True)
+    assert got_spec == want[:12]
+    assert ban not in got_spec
