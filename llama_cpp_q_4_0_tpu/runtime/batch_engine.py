@@ -388,6 +388,9 @@ class BatchEngine:
         that finished at an earlier harvest are skipped (their later ticks
         decoded throwaway tokens — the price of the pipeline)."""
         t = self._inflight.pop(0)
+        if t.get("kind") == "spec":
+            self._harvest_spec(t)
+            return
         out = np.asarray(t["out"])  # [N, chunk] — the only sync point
         for idx, req in t["snap"]:
             s = self.slots[idx]
@@ -442,15 +445,19 @@ class BatchEngine:
         self._n_hist = jnp.asarray(n_hist)
         self._done = jnp.asarray(done)
 
-    def _tick_spec(self):
-        """Speculative tick: `chunk` draft-verify rounds for ALL slots in
-        one device call (runtime/device_spec.py).  Each active slot emits
-        1..spec_draft+1 tokens per round; EOS and context-end freeze rows
-        on device, n_predict/stop-sequences are enforced at harvest."""
+    def _issue_spec(self):
+        """Issue one speculative tick without waiting: the whole state
+        (history, caches, done) is device-resident, so consecutive ticks
+        chain with no host involvement and the D2H of tick t overlaps
+        tick t+1's execution.  Host-side finish conditions lag one tick
+        (their slots' extra tokens are discarded at harvest)."""
         from .device_spec import spec_chunk
 
         k = self.spec_draft
         start = max(len(s.last_tokens) for s in self.slots if not s.free)
+        # in-flight ticks may each have advanced the frontier by up to
+        # chunk*(k+1): widen the window bound accordingly
+        start += len(self._inflight) * self.chunk * (k + 1)
         window = min(_bucket(start - 1 + self.chunk * (k + 1) + 1),
                      self.n_ctx)
         (self._hist, self._n_hist, self.cache_k, self.cache_v, self._key,
@@ -461,15 +468,24 @@ class BatchEngine:
             kv_window=window, max_ngram=self.spec.max_ngram,
             min_ngram=self.spec.min_ngram, eos=TOKEN_EOS, ignore_eos=False,
         )
-        toks_h = np.asarray(emit_toks)  # [n_steps, B, k+1]
-        ns_h = np.asarray(emit_ns)  # [n_steps, B]
-        n_hist_h = np.asarray(self._n_hist)
-        done_h = np.asarray(self._done)
+        self._inflight.append({
+            "kind": "spec",
+            "emit_toks": emit_toks, "emit_ns": emit_ns,
+            "n_hist": self._n_hist, "done": self._done,
+            "snap": [(s.idx, s.req) for s in self.slots if not s.free],
+        })
+
+    def _harvest_spec(self, t):
+        toks_h = np.asarray(t["emit_toks"])  # [n_steps, B, k+1]
+        ns_h = np.asarray(t["emit_ns"])  # [n_steps, B]
+        n_hist_h = np.asarray(t["n_hist"])
+        done_h = np.asarray(t["done"])
+        snap = dict(t["snap"])
         freeze = []
         for s in self.slots:
-            if s.free:
-                continue
-            req = s.req
+            req = snap.get(s.idx)
+            if req is None or s.req is not req:
+                continue  # freed at an earlier harvest (stale tick)
             finished = False
             for step in range(ns_h.shape[0]):
                 for tok in toks_h[step, s.idx, : int(ns_h[step, s.idx])].tolist():
@@ -537,7 +553,9 @@ class BatchEngine:
                         self._flush_inflight()
                         self._resync_spec_state()
                         self._mode = "spec"
-                    self._tick_spec()
+                    self._issue_spec()
+                    if len(self._inflight) >= self.pipeline_depth:
+                        self._harvest_one()
                 elif self.chunk > 1 or self.spec_draft > 0:
                     if self._mode != "chunked":
                         for s in self.slots:
