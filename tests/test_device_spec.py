@@ -166,3 +166,70 @@ def test_ondevice_draft_model_weak_draft_still_exact(model, tmp_path):
         n_draft=3, n_steps=2, ignore_eos=True, stats=stats)
     assert got == want
     assert stats.acceptance < 1.0
+
+
+def test_ondevice_spec_with_gspmd_sharded_params(model):
+    """Distributed speculative decoding: the whole draft-verify scan
+    partitions under GSPMD with tp-sharded weights (XLA inserts the
+    collectives) and stays token-for-token exact vs unsharded greedy."""
+    from llama_cpp_q_4_0_tpu.parallel import make_mesh, shard_transformer
+    from llama_cpp_q_4_0_tpu.runtime.speculative import SpecStats
+
+    cfg, params = model
+    rng = np.random.default_rng(31)
+    prompt = rng.integers(3, 250, 12).tolist()
+    ctx_ref = Context(cfg, params)
+    want = generate_ondevice_spec(
+        ctx_ref, prompt, 20, sampling=DeviceSampling(temp=-1.0),
+        spec=SpecParams(n_draft=4), n_steps=3, ignore_eos=True)
+
+    mesh = make_mesh(dp=1, sp=1, tp=4)
+    with mesh:
+        sp_params = shard_transformer(params, mesh)
+        ctx = Context(cfg, sp_params)
+        stats = SpecStats()
+        got = generate_ondevice_spec(
+            ctx, prompt, 20, sampling=DeviceSampling(temp=-1.0),
+            spec=SpecParams(n_draft=4), n_steps=3, ignore_eos=True,
+            stats=stats)
+    assert got == want
+    assert stats.n_verify >= 1
+
+
+def test_batch_engine_with_gspmd_sharded_params(model):
+    """The continuous-batching engine serves from tp-sharded weights
+    (NamedShardings carry the mesh; the engine thread needs no mesh
+    context) with exact greedy parity."""
+    from llama_cpp_q_4_0_tpu.parallel import make_mesh, shard_transformer
+    from llama_cpp_q_4_0_tpu.runtime.batch_engine import BatchEngine, Request
+
+    cfg, params = model
+    prompts = [[3, 5, 7, 3, 5], [11, 13]]
+
+    def single(prompt, n=8):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    refs = [single(p) for p in prompts]
+    mesh = make_mesh(dp=1, sp=1, tp=4)
+    sp_params = shard_transformer(params, mesh)
+    eng = BatchEngine(cfg, sp_params, n_slots=2, n_ctx=64, spec_draft=3,
+                      chunk=2, device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    try:
+        reqs = [eng.submit(Request(p, n_predict=8, sampling=SamplingParams(
+            temp=-1.0, top_k=0, repeat_penalty=1.0, repeat_last_n=0)))
+                for p in prompts]
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    for ref, out in zip(refs, outs):
+        assert out == ref, (ref, out)
