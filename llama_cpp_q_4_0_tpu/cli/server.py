@@ -41,6 +41,10 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--parallel-temp", type=float, default=0.8)
     p.add_argument("--parallel-top-k", type=int, default=40)
     p.add_argument("--parallel-top-p", type=float, default=1.0)
+    p.add_argument("--system-prompt", default=None,
+                   help="shared prompt prefix prefilled ONCE and KV-cached; "
+                        "requests starting with it skip its prefill "
+                        "(vLLM-style prefix caching; --parallel mode)")
     p.add_argument("--parallel-draft", type=int, default=0,
                    help=">0: speculative continuous batching — every tick "
                         "verifies K prompt-lookup drafts per slot on "
@@ -248,6 +252,9 @@ def run(args) -> int:
                           top_p=getattr(args, "parallel_top_p", 1.0)))
         engine = BatchEngine(lm.cfg, lm.ctx.params, n_slots=args.parallel,
                              n_ctx=args.n_ctx, **kw)
+        if getattr(args, "system_prompt", None):
+            engine.register_prefix(
+                lm.tokenizer.tokenize(args.system_prompt, bos=True))
         engine.start()
         print(f"continuous batching: {args.parallel} slots"
               + (f", chunk {args.parallel_chunk}" if kw else ""),

@@ -88,14 +88,15 @@ def _engine_decode(cfg, params, tokens, n_past_v, cache_k, cache_v,
 @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
                    donate_argnames=("cache_k", "cache_v"))
 def _engine_prefill(cfg, params, tokens, slot, n_real, cache_k, cache_v,
-                    kv_window):
+                    kv_window, n_past=0):
     """[1, T_pad] prefill against one slot's KV rows; returns the logits
-    of the last *real* token."""
+    of the last *real* token.  n_past > 0 continues after a cached
+    prefix already resident in the slot's rows."""
     take_row = lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
     row_k = jax.tree.map(take_row, cache_k)
     row_v = jax.tree.map(take_row, cache_v)
     logits, row_k, row_v = transformer.forward(
-        cfg, params, tokens, jnp.int32(0), row_k, row_v,
+        cfg, params, tokens, jnp.int32(n_past), row_k, row_v,
         last_only=False, kv_window=kv_window,
     )
     logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1, axis=1)
@@ -130,6 +131,17 @@ def _engine_prefill_multi(cfg, params, tokens, slots, n_reals,
     new_k = jax.tree.map(put_rows, cache_k, row_k)
     new_v = jax.tree.map(put_rows, cache_v, row_v)
     return logits, new_k, new_v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+                   donate_argnames=("cache_k", "cache_v"))
+def _prefix_prefill(cfg, params, tokens, cache_k, cache_v, kv_window):
+    """Prefill a standalone [1, S] row cache with a shared prefix."""
+    _, cache_k, cache_v = transformer.forward(
+        cfg, params, tokens, jnp.int32(0), cache_k, cache_v,
+        last_only=True, kv_window=kv_window,
+    )
+    return None, cache_k, cache_v
 
 
 class BatchEngine:
@@ -190,6 +202,7 @@ class BatchEngine:
         self.pipeline_depth = max(1, pipeline_depth)
         self._recent = None  # device penalty window, chained across ticks
         self._mu = None  # device mirostat-v2 state, chained across ticks
+        self._prefix = None  # (tokens, row_k, row_v) from register_prefix
         self._inflight: list[dict] = []
         self._sched_n_past = [0] * n_slots
         self._ids = itertools.count()
@@ -204,11 +217,33 @@ class BatchEngine:
                               cache_k, cache_v, kv_window=kv_window)
 
     def _jit_prefill(self, params, tokens, slot, n_real, cache_k, cache_v,
-                     *, kv_window):
+                     *, kv_window, n_past=0):
         return _engine_prefill(self.cfg, params, tokens, slot, n_real,
-                               cache_k, cache_v, kv_window=kv_window)
+                               cache_k, cache_v, kv_window=kv_window,
+                               n_past=n_past)
 
     # -------------------------------------------------------------- public
+
+    def register_prefix(self, tokens: list[int]) -> None:
+        """Prefill a shared prompt prefix ONCE (e.g. a system prompt);
+        later requests starting with it copy the cached KV rows instead of
+        re-running the prefill forward (vLLM-style prefix caching — the
+        serving analogue of main's --prompt-cache, main.cpp:157-230).
+        Costs one extra [1, S] row cache of device memory."""
+        tokens = list(tokens)
+        assert 0 < len(tokens) < self.n_ctx - 2
+        from ..ops.kvcache import QuantKV
+
+        cdt = (jnp.int8 if isinstance(self.cache_k[0], QuantKV)
+               else self.cache_k[0].dtype)
+        row_k, row_v = init_cache(self.cfg, 1, self.n_ctx, cdt)
+        pad = min(_bucket(len(tokens)), self.n_ctx)
+        toks = np.zeros((1, pad), np.int32)
+        toks[0, : len(tokens)] = tokens
+        _, row_k, row_v = _prefix_prefill(
+            self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
+            kv_window=pad)
+        self._prefix = (tokens, row_k, row_v)
 
     def submit(self, req: Request) -> Request:
         req.id = next(self._ids)
@@ -253,19 +288,53 @@ class BatchEngine:
             batch.append((free[len(batch)], self._pending.pop(0)))
         if not batch:
             return
+        if self._prefix is not None:
+            plen = len(self._prefix[0])
+            rest = []
+            for slot, req in batch:
+                p = req.prompt_tokens
+                if len(p) > plen and p[:plen] == self._prefix[0]:
+                    self._admit_one(slot, req)  # cached-prefix fast path
+                else:
+                    rest.append((slot, req))
+            batch = rest
+        if not batch:
+            return
         if len(batch) > 1:
             self._admit_batched(batch)
-            return
-        slot, req = batch[0]
+        else:
+            self._admit_one(*batch[0])
+
+    def _admit_one(self, slot, req):
         prompt = req.prompt_tokens[: self.n_ctx - 1] or [1]
-        pad = min(_bucket(len(prompt)), self.n_ctx)
-        toks = np.zeros((1, pad), np.int32)
-        toks[0, : len(prompt)] = prompt
-        logits, self.cache_k, self.cache_v = self._jit_prefill(
-            self.params, jnp.asarray(toks), jnp.int32(slot.idx),
-            jnp.int32(len(prompt)), self.cache_k, self.cache_v,
-            kv_window=pad,
-        )
+        pre = self._prefix
+        if (pre is not None and len(prompt) > len(pre[0])
+                and prompt[: len(pre[0])] == pre[0]):
+            # copy the cached prefix rows, then prefill only the remainder
+            ptoks, row_k, row_v = pre
+            put = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
+                c, r.astype(c.dtype), slot.idx, 0)
+            self.cache_k = jax.tree.map(put, self.cache_k, row_k)
+            self.cache_v = jax.tree.map(put, self.cache_v, row_v)
+            rem = prompt[len(ptoks):]
+            pad = min(_bucket(len(rem)), self.n_ctx - len(ptoks))
+            toks = np.zeros((1, pad), np.int32)
+            toks[0, : len(rem)] = rem
+            logits, self.cache_k, self.cache_v = self._jit_prefill(
+                self.params, jnp.asarray(toks), jnp.int32(slot.idx),
+                jnp.int32(len(rem)), self.cache_k, self.cache_v,
+                kv_window=min(_bucket(len(ptoks) + pad), self.n_ctx),
+                n_past=jnp.int32(len(ptoks)),
+            )
+        else:
+            pad = min(_bucket(len(prompt)), self.n_ctx)
+            toks = np.zeros((1, pad), np.int32)
+            toks[0, : len(prompt)] = prompt
+            logits, self.cache_k, self.cache_v = self._jit_prefill(
+                self.params, jnp.asarray(toks), jnp.int32(slot.idx),
+                jnp.int32(len(prompt)), self.cache_k, self.cache_v,
+                kv_window=pad,
+            )
         self._activate(slot, req, prompt, np.asarray(logits)[0, -1])
 
     def _admit_batched(self, batch):
@@ -535,6 +604,21 @@ class BatchEngine:
             self._emit(s, logits[s.idx, -1])
 
     def _run(self):
+        try:
+            self._run_loop()
+        finally:
+            # never leave clients blocked on their queues — close every
+            # open request even if the engine thread died on an exception
+            self._inflight.clear()
+            for s in self.slots:
+                if s.req is not None:
+                    s.req.out.put(None)
+                    s.req = None
+            for r in self._pending:
+                r.out.put(None)
+            self._pending.clear()
+
+    def _run_loop(self):
         while not self._stop.is_set():
             self._drain_inbox(block=(self.n_active == 0 and not self._pending
                                      and not self._inflight))

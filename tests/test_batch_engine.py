@@ -355,3 +355,72 @@ def test_engine_adaptive_spec_fallback(model):
         eng.stop()
     for ref, out, p in zip(refs, outs, prompts):
         assert ref == out, (p, ref, out)
+
+
+def test_engine_prefix_cache_exact(model):
+    """register_prefix: admissions that share the prefix copy cached KV
+    rows + prefill only the remainder — greedy output identical to full
+    prefill, for both matching and non-matching prompts."""
+    cfg, params, _ = model
+    sys_prefix = [7, 11, 13, 17, 19]
+    prompts = [sys_prefix + [23, 29], sys_prefix + [31],
+               [3, 5, 9]]  # last one does NOT match
+
+    def single(prompt, n=6):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    refs = [single(p) for p in prompts]
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64)
+    eng.register_prefix(sys_prefix)
+    eng.start()
+    try:
+        reqs = [eng.submit(Request(p, n_predict=6, sampling=GREEDY))
+                for p in prompts]
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    for ref, out, p in zip(refs, outs, prompts):
+        assert out == ref, (p, ref, out)
+
+
+def test_engine_prefix_cache_q8_and_spec(model):
+    """Prefix caching composes with the q8 cache and speculative ticks."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params, _ = model
+    sys_prefix = [7, 11, 13, 17]
+    prompt = sys_prefix + [23, 29]
+
+    def single(prompt, n=6):
+        ctx = Context(cfg, params, n_ctx=64, cache_dtype=jnp.int8)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    ref = single(prompt)
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64, spec_draft=3,
+                      chunk=2, cache_dtype=jnp.int8,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.register_prefix(sys_prefix)
+    eng.start()
+    try:
+        out = list(eng.submit(Request(prompt, n_predict=6,
+                                      sampling=GREEDY)).tokens())
+    finally:
+        eng.stop()
+    assert out == ref, (ref, out)
