@@ -147,7 +147,7 @@ def run(args) -> int:
                     logit_bias=device_bias),
                 spec=SpecParams(n_draft=args.draft),
                 seed=max(0, args.seed), ignore_eos=args.ignore_eos,
-                stats=stats,
+                stats=stats, n_keep=args.n_keep,
             )
         elif args.ondevice_sampling and args.draft_model:
             # both models inside one device scan

@@ -530,7 +530,7 @@ class BatchEngine:
         window = min(_bucket(start - 1 + self.chunk * (k + 1) + 1),
                      self.n_ctx)
         (self._hist, self._n_hist, self.cache_k, self.cache_v, self._key,
-         self._done, emit_toks, emit_ns) = spec_chunk(
+         self._done, _eosed, emit_toks, emit_ns) = spec_chunk(
             self.cfg, self.params, self._hist, self._n_hist,
             self.cache_k, self.cache_v, self._key, self._done,
             k=k, n_steps=self.chunk, ds=self.device_sampling,

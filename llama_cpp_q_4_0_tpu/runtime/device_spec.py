@@ -182,14 +182,17 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
 
     hist: [B, H] token history (prompt + generated, last token NOT yet in
     the KV cache); n_hist: [B] valid lengths; done: [B] frozen rows.
-    Returns (hist, n_hist, cache_k, cache_v, key, done,
-             emit_toks [n_steps, B, k+1], emit_ns [n_steps, B])."""
+    Returns (hist, n_hist, cache_k, cache_v, key, done, eosed,
+             emit_toks [n_steps, B, k+1], emit_ns [n_steps, B]) — eosed
+    distinguishes an EOS freeze from a context-capacity freeze (the host
+    may context-swap and continue after the latter)."""
     B, H = hist.shape
     rows = jnp.arange(B)
     tpos = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    eosed0 = jnp.zeros((B,), bool)
 
     def body(carry, _):
-        hist, m, ck, cv, key, done = carry
+        hist, m, ck, cv, key, done, eosed = carry
         last = hist[rows, m - 1]
         drafts = jax.vmap(
             functools.partial(_lookup_drafts, k=k, max_ngram=max_ngram,
@@ -224,6 +227,7 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
             emit_n = jnp.where(jnp.any(hit, axis=1),
                                jnp.argmax(hit, axis=1).astype(jnp.int32),
                                a + 1)
+            eosed = eosed | (jnp.any(hit, axis=1) & ~carry[5])
             done = done | jnp.any(hit, axis=1)
         emit_n = jnp.where(carry[5], 0, emit_n)  # frozen rows emit nothing
         # write emitted tokens at the history frontier; done rows write
@@ -232,12 +236,14 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
         hist = hist.at[rows[:, None], widx].set(emit, mode="drop")
         m = m + emit_n
         done = done | (m + k + 1 > H)  # no room for another verify
-        return (hist, m, ck, cv, key, done), (emit, emit_n)
+        return (hist, m, ck, cv, key, done, eosed), (emit, emit_n)
 
-    (hist, n_hist, cache_k, cache_v, key, done), (emit_toks, emit_ns) = (
-        jax.lax.scan(body, (hist, n_hist, cache_k, cache_v, key, done),
-                     None, length=n_steps))
-    return hist, n_hist, cache_k, cache_v, key, done, emit_toks, emit_ns
+    (hist, n_hist, cache_k, cache_v, key, done, eosed), \
+        (emit_toks, emit_ns) = jax.lax.scan(
+            body, (hist, n_hist, cache_k, cache_v, key, done, eosed0),
+            None, length=n_steps)
+    return (hist, n_hist, cache_k, cache_v, key, done, eosed,
+            emit_toks, emit_ns)
 
 
 @functools.partial(
@@ -341,9 +347,14 @@ def generate_ondevice_spec(
     eos_token: int = TOKEN_EOS,
     ignore_eos: bool = False,
     stats: SpecStats | None = None,
+    n_keep: int | None = None,
 ) -> list[int]:
     """Prefill on the Context, then decode with device-resident
-    draft-verify rounds, `n_steps` rounds per host round-trip."""
+    draft-verify rounds, `n_steps` rounds per host round-trip.
+
+    n_keep (not None) enables the infinite-text context swap at context
+    end (keep n_keep prompt tokens, re-feed the newest half of the rest —
+    main.cpp:366-389); None stops at the context boundary."""
     ds = sampling or DeviceSampling(temp=-1.0)
     sp = spec or SpecParams()
     k = sp.n_draft
@@ -370,9 +381,24 @@ def generate_ondevice_spec(
     while len(out) < n_predict:
         start = int(np.asarray(n_hist)[0])
         if start + k + 1 > H:
-            break
+            if n_keep is None:
+                break
+            # context swap (main.cpp:366-389): keep n_keep prompt tokens,
+            # re-feed the newest half of everything after them
+            keep = len(prompt_tokens) if n_keep < 0 else n_keep
+            all_toks = list(prompt_tokens) + out
+            n_left = start - keep
+            refeed = list(prompt_tokens[:keep]) + all_toks[-(n_left // 2):]
+            ctx.reset()
+            ctx.eval(np.asarray([refeed[:-1]], np.int32))
+            hist_np = np.zeros((1, H), np.int32)
+            hist_np[0, : len(refeed)] = refeed
+            hist = jnp.asarray(hist_np)
+            n_hist = jnp.asarray([len(refeed)], jnp.int32)
+            done = jnp.zeros((1,), bool)
+            start = len(refeed)
         window = min(_bucket(start - 1 + n_steps * (k + 1) + 1), H)
-        (hist, n_hist, ctx.cache_k, ctx.cache_v, key, done,
+        (hist, n_hist, ctx.cache_k, ctx.cache_v, key, done, eosed,
          emit_toks, emit_ns) = spec_chunk(
             ctx.cfg, ctx.params, hist, n_hist, ctx.cache_k, ctx.cache_v,
             key, done, k=k, n_steps=n_steps, ds=ds, kv_window=window,
@@ -389,6 +415,8 @@ def generate_ondevice_spec(
             stats.n_accepted += max(0, n - 1)
             stats.n_tokens += n
             out.extend(toks_h[s, :n].tolist())
-        if bool(np.asarray(done)[0]):
+        if bool(np.asarray(eosed)[0]):
             break
+        if bool(np.asarray(done)[0]) and n_keep is None:
+            break  # context end without swap enabled
     return out[:n_predict]

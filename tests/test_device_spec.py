@@ -233,3 +233,25 @@ def test_batch_engine_with_gspmd_sharded_params(model):
         eng.stop()
     for ref, out in zip(refs, outs):
         assert out == ref, (ref, out)
+
+
+def test_ondevice_spec_context_swap(model):
+    """n_keep enables the infinite-text swap: generation continues past
+    the context boundary instead of stopping."""
+    cfg, params = model  # n_ctx = 128
+    rng = np.random.default_rng(41)
+    prompt = rng.integers(3, 250, 100).tolist()
+    ctx = Context(cfg, params)
+    got = generate_ondevice_spec(
+        ctx, prompt, 120, sampling=DeviceSampling(temp=-1.0),
+        spec=SpecParams(n_draft=4), n_steps=2, ignore_eos=True, n_keep=4)
+    assert len(got) == 120  # well past the 128-token window
+    assert all(0 <= t < cfg.n_vocab for t in got)
+    # without swap it stops early
+    ctx2 = Context(cfg, params)
+    stopped = generate_ondevice_spec(
+        ctx2, prompt, 120, sampling=DeviceSampling(temp=-1.0),
+        spec=SpecParams(n_draft=4), n_steps=2, ignore_eos=True)
+    assert len(stopped) < 120
+    # pre-swap prefixes agree
+    assert got[: len(stopped) - 8][:8] == stopped[:8]
