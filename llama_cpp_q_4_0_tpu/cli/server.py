@@ -213,13 +213,21 @@ def make_handler(state: ServerState):
                     self.wfile.write(hex(len(data))[2:].encode() + b"\r\n"
                                      + data + b"\r\n")
 
-                for t in req.tokens():
-                    produced.append(t)
-                    chunk({"content": lm.tokenizer.token_text(t)
-                           .decode("utf-8", errors="replace"), "stop": False})
-                chunk({"content": "", "stop": True,
-                       "tokens_predicted": len(produced)})
-                self.wfile.write(b"0\r\n\r\n")
+                try:
+                    for t in req.tokens():
+                        produced.append(t)
+                        chunk({"content": lm.tokenizer.token_text(t)
+                               .decode("utf-8", errors="replace"),
+                               "stop": False})
+                    chunk({"content": "", "stop": True,
+                           "tokens_predicted": len(produced)})
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    # client went away: free the slot instead of decoding
+                    # the rest of n_predict into the void
+                    req.cancel()
+                    for _ in req.tokens():
+                        pass
             else:
                 produced = list(req.tokens())
                 self._json(200, {

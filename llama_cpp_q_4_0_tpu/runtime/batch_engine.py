@@ -40,6 +40,12 @@ class Request:
     # filled by the engine:
     id: int = -1
     out: "queue.Queue[int | None]" = field(default_factory=queue.Queue)
+    cancelled: bool = False
+
+    def cancel(self) -> None:
+        """Ask the engine to stop this request (client disconnect); the
+        slot frees at the next tick boundary."""
+        self.cancelled = True
 
     def tokens(self):
         """Iterate generated ids until completion (blocking)."""
@@ -380,9 +386,23 @@ class BatchEngine:
                 len(slot.last_tokens))
             self._done = self._done.at[slot.idx].set(False)
 
+    def _reap_cancelled(self) -> None:
+        for s in self.slots:
+            if s.req is not None and s.req.cancelled:
+                s.req.out.put(None)
+                s.req = None
+                s.sampler = None
+                if self.spec_draft > 0:
+                    self._done = self._done.at[s.idx].set(True)
+
     def _emit(self, slot: _Slot, row_logits: np.ndarray):
         """Sample one token for the slot; handle finish conditions."""
         req = slot.req
+        if req.cancelled:
+            req.out.put(None)
+            slot.req = None
+            slot.sampler = None
+            return
         tok = slot.sampler.sample(row_logits, slot.last_tokens)
         done = False
         if tok == TOKEN_EOS:
@@ -629,6 +649,7 @@ class BatchEngine:
                 self._flush_inflight()
                 self._admit()
                 self._flush_inflight()  # resync _sched after admission
+            self._reap_cancelled()
             if self.n_active:
                 use_spec = (self.spec_draft > 0
                             and self.n_active <= self.spec_max_active)

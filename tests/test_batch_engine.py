@@ -424,3 +424,24 @@ def test_engine_prefix_cache_q8_and_spec(model):
     finally:
         eng.stop()
     assert out == ref, (ref, out)
+
+
+def test_request_cancellation(model):
+    """cancel() frees the slot at the next tick; the token queue closes."""
+    import time as _t
+
+    cfg, params, _ = model
+    eng = BatchEngine(cfg, params, n_slots=1, n_ctx=64)
+    eng.start()
+    try:
+        r1 = eng.submit(Request([5, 9], n_predict=1 << 20, sampling=GREEDY))
+        it = r1.tokens()
+        next(it)  # streaming
+        r1.cancel()
+        toks = list(it)  # must terminate promptly
+        assert len(toks) < 64
+        # the freed slot serves the next request
+        r2 = eng.submit(Request([7, 3], n_predict=4, sampling=GREEDY))
+        assert 0 < len(list(r2.tokens())) <= 4
+    finally:
+        eng.stop()
