@@ -48,10 +48,83 @@ def load_state_dict(model_dir: str) -> dict[str, np.ndarray]:
 
         for f in pt_files:
             shard = torch.load(str(f), map_location="cpu", weights_only=True)
-            sd.update({k: v.float().numpy() for k, v in shard.items()})
+            # keep integer dtypes intact (GPTQ qweight/qzeros are int32)
+            sd.update({k: (v.float().numpy() if v.is_floating_point()
+                           else v.numpy())
+                       for k, v in shard.items()})
     else:
         raise FileNotFoundError(f"no weights found in {model_dir}")
-    return {k: np.asarray(v) for k, v in sd.items()}
+    return resolve_gptq({k: np.asarray(v) for k, v in sd.items()})
+
+
+# ------------------------------------------------------------------- GPTQ
+
+def _gptq_nibbles(packed: np.ndarray) -> np.ndarray:
+    """int32 [R, C] -> uint8 [R, C*8]; packed value j sits at bits 4j."""
+    u8 = np.ascontiguousarray(packed).view(np.uint8)  # little-endian bytes
+    out = np.empty((u8.shape[0], u8.shape[1] * 2), np.uint8)
+    out[:, 0::2] = u8 & 0xF
+    out[:, 1::2] = u8 >> 4
+    return out
+
+
+def gptq_dense(qweight: np.ndarray, scales: np.ndarray,
+               qzeros: np.ndarray | None = None,
+               zeros: np.ndarray | None = None,
+               g_idx: np.ndarray | None = None) -> np.ndarray:
+    """GPTQ-for-LLaMa tensors -> dense f32 [out, in]
+    (GPTQForLLaMaQuantizedTensor semantics, convert.py:277-508):
+
+      qweight int32 [in/8, out] packed along the input dim
+      scales  f32 [groups, out] (new style) or [out, 1] (old style)
+      qzeros  int32 [groups, out/8] — zero points stored MINUS ONE, so
+              zero = (nibble + 1) * scale; or `zeros` already-float
+      g_idx   optional int32 [in]: per-input-column group index
+
+      weight[o, i] = nib(qweight)[o, i] * scale[o, g(i)] - zero[o, g(i)]
+    """
+    qv = _gptq_nibbles(qweight.T).astype(np.float32)  # [out, in]
+    scales = np.asarray(scales, np.float32)
+    if zeros is None:
+        assert qzeros is not None
+        zn = _gptq_nibbles(qzeros).astype(np.float32)  # [groups, out]
+        zeros = (zn + 1.0) * scales  # the GPTQ minus-one storage quirk
+    else:
+        zeros = np.asarray(zeros, np.float32)
+    if scales.shape[1] != 1:  # new style: transpose to [out, groups]
+        scales = scales.T
+        zeros = zeros.T
+    out_dim, in_dim = qv.shape
+    if g_idx is not None:
+        s = scales[:, g_idx]  # [out, in]
+        z = zeros[:, g_idx]
+    else:
+        groups = scales.shape[1]
+        rep = in_dim // groups
+        s = np.repeat(scales, rep, axis=1)
+        z = np.repeat(zeros, rep, axis=1)
+    return qv * s - z
+
+
+def resolve_gptq(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Replace GPTQ-quantized tensor groups ({base}.qweight/qzeros/scales
+    [/g_idx/zeros/bias]) with dense {base}.weight so the per-arch
+    converters see an ordinary state dict (the lazy-repack path of the
+    reference is replaced by dequantize-then-requantize — the quantize
+    tool re-packs to any ggml ftype afterwards)."""
+    bases = [k[: -len(".qweight")] for k in list(sd) if k.endswith(".qweight")]
+    for b in bases:
+        qweight = sd.pop(b + ".qweight")
+        scales = sd.pop(b + ".scales")
+        qzeros = sd.pop(b + ".qzeros", None)
+        zeros = sd.pop(b + ".zeros", None)
+        g_idx = sd.pop(b + ".g_idx", None)
+        bias = sd.pop(b + ".bias", None)
+        if bias is not None:
+            assert not np.any(bias), f"{b}: ggml formats carry no bias"
+        sd[b + ".weight"] = gptq_dense(qweight, scales, qzeros=qzeros,
+                                       zeros=zeros, g_idx=g_idx)
+    return sd
 
 
 def load_config(model_dir: str) -> dict:

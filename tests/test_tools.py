@@ -167,3 +167,55 @@ def test_benchmark_matmult_cli(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "GFLOPS" in out and "speedup" in out
+
+
+def test_gptq_dense_roundtrip():
+    """gptq_dense inverts a synthetic GPTQ packing exactly
+    (GPTQForLLaMaQuantizedTensor semantics, convert.py:277-508)."""
+    from llama_cpp_q_4_0_tpu.formats.convert_hf import gptq_dense, resolve_gptq
+
+    rng = np.random.default_rng(0)
+    out_d, in_d, gs = 8, 64, 32
+    groups = in_d // gs
+    q = rng.integers(0, 16, (out_d, in_d)).astype(np.uint8)
+    scales = rng.uniform(0.01, 0.1, (groups, out_d)).astype(np.float32)
+    qz = rng.integers(0, 15, (groups, out_d)).astype(np.uint8)
+
+    want = np.empty((out_d, in_d), np.float32)
+    for o in range(out_d):
+        for i in range(in_d):
+            g = i // gs
+            want[o, i] = (q[o, i] * scales[g, o]
+                          - (qz[g, o] + 1.0) * scales[g, o])
+
+    def pack(nibs):  # [R, C] nibbles -> int32 [R, C/8], value j at bits 4j
+        r, c = nibs.shape
+        u32 = np.zeros((r, c // 8), np.uint32)
+        for j in range(8):
+            u32 |= nibs[:, j::8].astype(np.uint32) << (4 * j)
+        return u32.view(np.int32)
+
+    # qweight packs along the INPUT dim -> [in/8, out]; qzeros along the
+    # OUTPUT dim -> [groups, out/8]
+    qweight = pack(q).T.copy()
+    qzeros = pack(qz)
+
+    got = gptq_dense(qweight, scales, qzeros=qzeros)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # g_idx variant (acts like the contiguous grouping here)
+    g_idx = np.repeat(np.arange(groups, dtype=np.int32), gs)
+    got2 = gptq_dense(qweight, scales, qzeros=qzeros, g_idx=g_idx)
+    np.testing.assert_allclose(got2, want, rtol=1e-6, atol=1e-6)
+
+    # resolve_gptq rewrites the group into a dense .weight
+    sd = {"model.layers.0.self_attn.q_proj.qweight": qweight,
+          "model.layers.0.self_attn.q_proj.qzeros": qzeros,
+          "model.layers.0.self_attn.q_proj.scales": scales,
+          "model.layers.0.self_attn.q_proj.bias": np.zeros(out_d, np.float32),
+          "other.weight": np.ones((2, 2), np.float32)}
+    sd = resolve_gptq(sd)
+    assert set(sd) == {"model.layers.0.self_attn.q_proj.weight",
+                       "other.weight"}
+    np.testing.assert_allclose(
+        sd["model.layers.0.self_attn.q_proj.weight"], want, atol=1e-6)
