@@ -122,6 +122,13 @@ def make_handler(state: ServerState):
             n = int(self.headers.get("Content-Length", 0))
             return json.loads(self.rfile.read(n) or b"{}")
 
+        def do_GET(self):  # noqa: N802
+            if self.path == "/stats" and state.engine is not None:
+                return self._json(200, state.engine.stats())
+            if self.path in ("/", "/health"):
+                return self._json(200, {"status": "ok"})
+            return self._json(404, {"error": "not found"})
+
         def do_POST(self):  # noqa: N802
             try:
                 body = self._body()

@@ -212,6 +212,13 @@ class BatchEngine:
         self._inflight: list[dict] = []
         self._sched_n_past = [0] * n_slots
         self._ids = itertools.count()
+        # observability counters (engine.stats() / server /stats)
+        self.n_ticks = 0
+        self.n_tokens_out = 0
+        self.n_requests_done = 0
+        self.n_spec_rounds = 0
+        self.n_spec_accepted = 0
+        self.n_spec_drafted = 0
         self._inbox: queue.Queue[Request | None] = queue.Queue()
         self._pending: list[Request] = []
         self._thread: threading.Thread | None = None
@@ -268,6 +275,24 @@ class BatchEngine:
         if self._thread:
             self._thread.join()
             self._thread = None
+
+    def stats(self) -> dict:
+        """Aggregate serving counters (tokens emitted, ticks, speculative
+        acceptance, occupancy) — the observability surface the reference's
+        stderr logs never had."""
+        return {
+            "n_active": self.n_active,
+            "n_pending": len(self._pending),
+            "n_ticks": self.n_ticks,
+            "n_tokens_out": self.n_tokens_out,
+            "n_requests_done": self.n_requests_done,
+            "mode": self._mode or ("chunked" if self.chunk > 1 else "host"),
+            "spec_rounds": self.n_spec_rounds,
+            "spec_drafted": self.n_spec_drafted,
+            "spec_accepted": self.n_spec_accepted,
+            "spec_acceptance": (self.n_spec_accepted
+                                / max(1, self.n_spec_drafted)),
+        }
 
     @property
     def n_active(self) -> int:
@@ -410,6 +435,7 @@ class BatchEngine:
         else:
             slot.last_tokens.append(tok)
             slot.produced += 1
+            self.n_tokens_out += 1
             req.out.put(tok)
             if req.stop_sequences and any(
                 tuple(slot.last_tokens[-len(ss):]) == ss
@@ -421,6 +447,7 @@ class BatchEngine:
             done = True
         if done:
             req.out.put(None)
+            self.n_requests_done += 1
             slot.req = None
             slot.sampler = None
 
@@ -468,6 +495,7 @@ class BatchEngine:
                 kv_window=window, recent=self._recent, mu=self._mu,
             )
         snap = [(s.idx, s.req) for s in self.slots if not s.free]
+        self.n_ticks += 1
         self._inflight.append({"out": out, "snap": snap})
         for i, _ in snap:
             self._sched_n_past[i] += self.chunk
@@ -494,6 +522,7 @@ class BatchEngine:
                     break
                 s.last_tokens.append(tok)
                 s.produced += 1
+                self.n_tokens_out += 1
                 req.out.put(tok)
                 if req.stop_sequences and any(
                     tuple(s.last_tokens[-len(ss):]) == ss
@@ -507,6 +536,7 @@ class BatchEngine:
                     break
             if done:
                 req.out.put(None)
+                self.n_requests_done += 1
                 s.req = None
                 s.sampler = None
 
@@ -557,6 +587,7 @@ class BatchEngine:
             kv_window=window, max_ngram=self.spec.max_ngram,
             min_ngram=self.spec.min_ngram, eos=TOKEN_EOS, ignore_eos=False,
         )
+        self.n_ticks += 1
         self._inflight.append({
             "kind": "spec",
             "emit_toks": emit_toks, "emit_ns": emit_ns,
@@ -577,9 +608,14 @@ class BatchEngine:
                 continue  # freed at an earlier harvest (stale tick)
             finished = False
             for step in range(ns_h.shape[0]):
+                self.n_spec_rounds += 1
+                self.n_spec_drafted += self.spec_draft
+                self.n_spec_accepted += max(
+                    0, int(ns_h[step, s.idx]) - 1)
                 for tok in toks_h[step, s.idx, : int(ns_h[step, s.idx])].tolist():
                     s.last_tokens.append(tok)
                     s.produced += 1
+                    self.n_tokens_out += 1
                     req.out.put(tok)
                     if req.stop_sequences and any(
                         tuple(s.last_tokens[-len(ss):]) == ss
@@ -597,6 +633,7 @@ class BatchEngine:
                 finished = True  # device froze the row (EOS / context end)
             if finished:
                 req.out.put(None)
+                self.n_requests_done += 1
                 s.req = None
                 s.sampler = None
                 freeze.append(s.idx)
@@ -605,6 +642,7 @@ class BatchEngine:
 
     def _tick(self):
         """One batched decode step over all active slots."""
+        self.n_ticks += 1
         toks = np.zeros((self.n_slots, 1), np.int32)
         n_past = np.zeros(self.n_slots, np.int32)
         for s in self.slots:

@@ -445,3 +445,19 @@ def test_request_cancellation(model):
         assert 0 < len(list(r2.tokens())) <= 4
     finally:
         eng.stop()
+
+
+def test_engine_stats_counters(model):
+    cfg, params, _ = model
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64)
+    eng.start()
+    try:
+        r = eng.submit(Request([5, 9, 23], n_predict=5, sampling=GREEDY))
+        out = list(r.tokens())
+    finally:
+        eng.stop()
+    st = eng.stats()
+    assert st["n_tokens_out"] == len(out)
+    assert st["n_requests_done"] == 1
+    assert st["n_ticks"] >= len(out) - 1
+    assert st["n_active"] == 0
