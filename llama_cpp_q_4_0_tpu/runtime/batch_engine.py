@@ -64,10 +64,15 @@ class _Slot:
         self.last_tokens: list[int] = []
         self.produced = 0
         self.n_past = 0
+        self.ready = True  # False while a chunked prefill is in flight
 
     @property
     def free(self) -> bool:
         return self.req is None
+
+    @property
+    def active(self) -> bool:
+        return self.req is not None and self.ready
 
 
 def _bucket(n: int) -> int:
@@ -209,6 +214,8 @@ class BatchEngine:
         self._recent = None  # device penalty window, chained across ticks
         self._mu = None  # device mirostat-v2 state, chained across ticks
         self._prefix = None  # (tokens, row_k, row_v) from register_prefix
+        self.prefill_chunk = 512  # chunked-prefill granularity (tokens)
+        self._prefill_state: dict | None = None
         self._inflight: list[dict] = []
         self._sched_n_past = [0] * n_slots
         self._ids = itertools.count()
@@ -336,8 +343,61 @@ class BatchEngine:
         else:
             self._admit_one(*batch[0])
 
+    def _start_prefill(self, slot, req, prompt):
+        """Begin a CHUNKED prefill into a detached row cache so decode
+        ticks for other slots keep flowing (vLLM-style chunked prefill);
+        the row scatters into the slot atomically at completion."""
+        from ..ops.kvcache import QuantKV
+
+        cdt = (jnp.int8 if isinstance(self.cache_k[0], QuantKV)
+               else self.cache_k[0].dtype)
+        row_k, row_v = init_cache(self.cfg, 1, self.n_ctx, cdt)
+        slot.req = req
+        slot.ready = False
+        self._prefill_state = {"slot": slot, "req": req, "prompt": prompt,
+                               "pos": 0, "row_k": row_k, "row_v": row_v,
+                               "logits": None}
+
+    def _continue_prefill(self):
+        """Advance the in-flight chunked prefill by one chunk."""
+        st = self._prefill_state
+        slot, req, prompt = st["slot"], st["req"], st["prompt"]
+        if req.cancelled:
+            req.out.put(None)
+            slot.req = None
+            slot.ready = True
+            self._prefill_state = None
+            return
+        pos = st["pos"]
+        piece = prompt[pos: pos + self.prefill_chunk]
+        pad = min(_bucket(len(piece)), self.n_ctx - pos)
+        toks = np.zeros((1, pad), np.int32)
+        toks[0, : len(piece)] = piece
+        logits, st["row_k"], st["row_v"] = _engine_prefill(
+            self.cfg, self.params, jnp.asarray(toks), jnp.int32(0),
+            jnp.int32(len(piece)), st["row_k"], st["row_v"],
+            kv_window=min(_bucket(pos + pad), self.n_ctx),
+            n_past=jnp.int32(pos),
+        )
+        st["pos"] = pos + len(piece)
+        if st["pos"] >= len(prompt):
+            self._flush_inflight()  # scatter + activation change tick state
+            put = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
+                c, r.astype(c.dtype), slot.idx, 0)
+            self.cache_k = jax.tree.map(put, self.cache_k, st["row_k"])
+            self.cache_v = jax.tree.map(put, self.cache_v, st["row_v"])
+            self._prefill_state = None
+            slot.req = None  # _activate re-sets it
+            slot.ready = True
+            self._activate(slot, req, prompt, np.asarray(logits)[0, -1])
+            self._sched_n_past[slot.idx] = slot.n_past
+
     def _admit_one(self, slot, req):
         prompt = req.prompt_tokens[: self.n_ctx - 1] or [1]
+        if (len(prompt) > self.prefill_chunk and self._prefill_state is None
+                and self._prefix is None):
+            self._start_prefill(slot, req, prompt)
+            return
         pre = self._prefix
         if (pre is not None and len(prompt) > len(pre[0])
                 and prompt[: len(pre[0])] == pre[0]):
@@ -467,7 +527,7 @@ class BatchEngine:
         else:
             toks = np.zeros((self.n_slots,), np.int32)
             for s in self.slots:
-                if not s.free:
+                if s.active:
                     toks[s.idx] = s.last_tokens[-1]
             tok_dev = jnp.asarray(toks)
             # host state is authoritative at pipeline start: rebuild the
@@ -475,7 +535,7 @@ class BatchEngine:
             from .device_sample import make_recent
 
             self._recent = (
-                make_recent([s.last_tokens if not s.free else []
+                make_recent([s.last_tokens if s.active else []
                              for s in self.slots],
                             self.device_sampling.repeat_last_n,
                             self.cfg.n_vocab)
@@ -494,7 +554,7 @@ class BatchEngine:
                 n_steps=self.chunk, ds=self.device_sampling,
                 kv_window=window, recent=self._recent, mu=self._mu,
             )
-        snap = [(s.idx, s.req) for s in self.slots if not s.free]
+        snap = [(s.idx, s.req) for s in self.slots if s.active]
         self.n_ticks += 1
         self._inflight.append({"out": out, "snap": snap})
         for i, _ in snap:
@@ -553,7 +613,7 @@ class BatchEngine:
         n_hist = np.zeros((self.n_slots,), np.int32)
         done = np.ones((self.n_slots,), bool)
         for s in self.slots:
-            if s.free:
+            if not s.active:
                 continue
             lt = s.last_tokens
             assert len(lt) == s.n_past + 1 <= self.n_ctx, (len(lt), s.n_past)
@@ -573,7 +633,7 @@ class BatchEngine:
         from .device_spec import spec_chunk
 
         k = self.spec_draft
-        start = max(len(s.last_tokens) for s in self.slots if not s.free)
+        start = max(len(s.last_tokens) for s in self.slots if s.active)
         # in-flight ticks may each have advanced the frontier by up to
         # chunk*(k+1): widen the window bound accordingly
         start += len(self._inflight) * self.chunk * (k + 1)
@@ -592,7 +652,7 @@ class BatchEngine:
             "kind": "spec",
             "emit_toks": emit_toks, "emit_ns": emit_ns,
             "n_hist": self._n_hist, "done": self._done,
-            "snap": [(s.idx, s.req) for s in self.slots if not s.free],
+            "snap": [(s.idx, s.req) for s in self.slots if s.active],
         })
 
     def _harvest_spec(self, t):
@@ -646,7 +706,7 @@ class BatchEngine:
         toks = np.zeros((self.n_slots, 1), np.int32)
         n_past = np.zeros(self.n_slots, np.int32)
         for s in self.slots:
-            if not s.free:
+            if s.active:
                 toks[s.idx, 0] = s.last_tokens[-1]
                 n_past[s.idx] = s.n_past
         window = min(_bucket(int(n_past.max()) + 1), self.n_ctx)
@@ -656,7 +716,7 @@ class BatchEngine:
         )
         logits = np.asarray(logits)
         for s in self.slots:
-            if s.free:
+            if not s.active:
                 continue
             s.n_past += 1
             self._emit(s, logits[s.idx, -1])
@@ -688,7 +748,12 @@ class BatchEngine:
                 self._admit()
                 self._flush_inflight()  # resync _sched after admission
             self._reap_cancelled()
-            if self.n_active:
+            if self._prefill_state is not None:
+                # one chunk per loop iteration; ticks interleave below
+                # (the chunk builds a DETACHED row cache — no flush needed
+                # until the final scatter)
+                self._continue_prefill()
+            if any(s.active for s in self.slots):
                 use_spec = (self.spec_draft > 0
                             and self.n_active <= self.spec_max_active)
                 if use_spec:

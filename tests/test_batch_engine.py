@@ -461,3 +461,39 @@ def test_engine_stats_counters(model):
     assert st["n_requests_done"] == 1
     assert st["n_ticks"] >= len(out) - 1
     assert st["n_active"] == 0
+
+
+def test_chunked_prefill_long_prompt(model):
+    """A prompt longer than prefill_chunk admits incrementally (detached
+    row buffer, ticks keep flowing) with exact greedy output; a short
+    request submitted mid-prefill still completes."""
+    cfg, params, _ = model
+    rng = np.random.default_rng(51)
+    long_p = rng.integers(3, 250, 40).tolist()  # > prefill_chunk below
+    short_p = [5, 9]
+
+    def single(prompt, n=6):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    want_long, want_short = single(long_p), single(short_p)
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64)
+    eng.prefill_chunk = 8  # force many chunks
+    eng.start()
+    try:
+        r1 = eng.submit(Request(long_p, n_predict=6, sampling=GREEDY))
+        r2 = eng.submit(Request(short_p, n_predict=6, sampling=GREEDY))
+        out2 = list(r2.tokens())
+        out1 = list(r1.tokens())
+    finally:
+        eng.stop()
+    assert out1 == want_long, (want_long, out1)
+    assert out2 == want_short, (want_short, out2)
