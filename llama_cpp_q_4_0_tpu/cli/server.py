@@ -41,6 +41,10 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--parallel-temp", type=float, default=0.8)
     p.add_argument("--parallel-top-k", type=int, default=40)
     p.add_argument("--parallel-top-p", type=float, default=1.0)
+    p.add_argument("--parallel-uniform-sampling", action="store_true",
+                   help="use ONE engine-wide sampler for device ticks "
+                        "instead of honoring each request's temp/top-k/"
+                        "top-p/tfs/typical/penalties per slot")
     p.add_argument("--system-prompt", default=None,
                    help="shared prompt prefix prefilled ONCE and KV-cached; "
                         "requests starting with it skip its prefill "
@@ -262,6 +266,8 @@ def run(args) -> int:
 
             kw = dict(chunk=args.parallel_chunk,
                       spec_draft=getattr(args, "parallel_draft", 0),
+                      per_request_sampling=not getattr(
+                          args, "parallel_uniform_sampling", False),
                       device_sampling=DeviceSampling(
                           temp=args.parallel_temp, top_k=args.parallel_top_k,
                           top_p=getattr(args, "parallel_top_p", 1.0)))

@@ -75,6 +75,14 @@ class _Slot:
         return self.req is not None and self.ready
 
 
+def dataclasses_replace_rln(sv, window: int):
+    """Clamp per-row repeat_last_n to the recent-buffer length."""
+    import dataclasses
+
+    return dataclasses.replace(
+        sv, repeat_last_n=jnp.minimum(sv.repeat_last_n, window))
+
+
 def _bucket(n: int) -> int:
     from .context import PREFILL_BUCKETS
 
@@ -163,7 +171,8 @@ class BatchEngine:
                  n_slots: int = 4, n_ctx: int | None = None,
                  cache_dtype=jnp.bfloat16, chunk: int = 1,
                  device_sampling=None, pipeline_depth: int = 2,
-                 spec_draft: int = 0, spec_max_active: int = 8):
+                 spec_draft: int = 0, spec_max_active: int = 8,
+                 per_request_sampling: bool = False):
         """chunk > 1 enables throughput mode: `chunk` tokens per engine tick
         are decoded and sampled ON DEVICE (runtime/device_sample.py) with
         one host round-trip per chunk — engine-wide uniform sampling
@@ -192,6 +201,10 @@ class BatchEngine:
         self.chunk = chunk
         self.spec_draft = spec_draft
         self.spec_max_active = spec_max_active
+        # per-row device sampling: each slot honors ITS request's
+        # temp/top-k/top-p/tfs/typical/penalties inside device ticks
+        # (mirostat/logit-bias still engine-wide via device_sampling)
+        self.per_request_sampling = per_request_sampling
         self._mode = None  # "spec" | "chunked" | None (adaptive switch)
         if chunk > 1 or spec_draft > 0:
             from .device_sample import DeviceSampling
@@ -212,6 +225,7 @@ class BatchEngine:
         # with the sample->input feedback chained on device
         self.pipeline_depth = max(1, pipeline_depth)
         self._recent = None  # device penalty window, chained across ticks
+        self._sv = None  # per-request SamplingVec (per_request_sampling)
         self._mu = None  # device mirostat-v2 state, chained across ticks
         self._prefix = None  # (tokens, row_k, row_v) from register_prefix
         self.prefill_chunk = 512  # chunked-prefill granularity (tokens)
@@ -532,15 +546,21 @@ class BatchEngine:
             tok_dev = jnp.asarray(toks)
             # host state is authoritative at pipeline start: rebuild the
             # penalty window (chained on device between ticks otherwise)
-            from .device_sample import make_recent
+            from .device_sample import VEC_WINDOW, make_recent
 
-            self._recent = (
-                make_recent([s.last_tokens if s.active else []
-                             for s in self.slots],
-                            self.device_sampling.repeat_last_n,
-                            self.cfg.n_vocab)
-                if self.device_sampling.penalized
-                else jnp.zeros((self.n_slots, 1), jnp.int32))
+            if self.per_request_sampling:
+                self._sv = self._make_sv()
+                self._recent = make_recent(
+                    [s.last_tokens if s.active else []
+                     for s in self.slots], VEC_WINDOW, self.cfg.n_vocab)
+            else:
+                self._recent = (
+                    make_recent([s.last_tokens if s.active else []
+                                 for s in self.slots],
+                                self.device_sampling.repeat_last_n,
+                                self.cfg.n_vocab)
+                    if self.device_sampling.penalized
+                    else jnp.zeros((self.n_slots, 1), jnp.int32))
             if self._mu is None:
                 self._mu = jnp.full(
                     (self.n_slots,),
@@ -553,6 +573,7 @@ class BatchEngine:
                 self.cache_k, self.cache_v, self._key,
                 n_steps=self.chunk, ds=self.device_sampling,
                 kv_window=window, recent=self._recent, mu=self._mu,
+                sv=self._sv if self.per_request_sampling else None,
             )
         snap = [(s.idx, s.req) for s in self.slots if s.active]
         self.n_ticks += 1
@@ -624,6 +645,13 @@ class BatchEngine:
         self._n_hist = jnp.asarray(n_hist)
         self._done = jnp.asarray(done)
 
+    def _make_sv(self):
+        from .device_sample import VEC_WINDOW, make_sampling_vec
+
+        sv = make_sampling_vec(
+            [s.req.sampling if s.active else None for s in self.slots])
+        return dataclasses_replace_rln(sv, VEC_WINDOW)
+
     def _issue_spec(self):
         """Issue one speculative tick without waiting: the whole state
         (history, caches, done) is device-resident, so consecutive ticks
@@ -639,10 +667,11 @@ class BatchEngine:
         start += len(self._inflight) * self.chunk * (k + 1)
         window = min(_bucket(start - 1 + self.chunk * (k + 1) + 1),
                      self.n_ctx)
+        sv = self._make_sv() if self.per_request_sampling else None
         (self._hist, self._n_hist, self.cache_k, self.cache_v, self._key,
          self._done, _eosed, emit_toks, emit_ns) = spec_chunk(
             self.cfg, self.params, self._hist, self._n_hist,
-            self.cache_k, self.cache_v, self._key, self._done,
+            self.cache_k, self.cache_v, self._key, self._done, sv,
             k=k, n_steps=self.chunk, ds=self.device_sampling,
             kv_window=window, max_ngram=self.spec.max_ngram,
             min_ngram=self.spec.min_ngram, eos=TOKEN_EOS, ignore_eos=False,

@@ -113,17 +113,114 @@ def first_sample(logits_row, history, ds: DeviceSampling, key,
     return int(_sample_logits(l[0], key, ds))
 
 
-def _tfs_mask(vals: jax.Array, z: float) -> jax.Array:
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["temp", "top_k", "top_p", "tfs_z", "typical_p",
+                 "repeat_penalty", "repeat_last_n", "frequency_penalty",
+                 "presence_penalty"],
+    meta_fields=[],
+)
+@dataclass
+class SamplingVec:
+    """PER-ROW sampling parameters for batched device ticks: each slot of
+    a continuous-batching engine keeps its own request's temp/top-k/top-p/
+    tfs/typical/penalties (the scalar DeviceSampling applies one setting
+    engine-wide).  All fields [B]; neutral values (temp<=0 greedy, top_k 0,
+    p/z 1.0, penalties 1.0/0.0) switch a knob off per row."""
+
+    temp: jax.Array
+    top_k: jax.Array
+    top_p: jax.Array
+    tfs_z: jax.Array
+    typical_p: jax.Array
+    repeat_penalty: jax.Array
+    repeat_last_n: jax.Array
+    frequency_penalty: jax.Array
+    presence_penalty: jax.Array
+
+
+def make_sampling_vec(rows) -> SamplingVec:
+    """Host: build a SamplingVec from per-row SamplingParams (None rows
+    get neutral greedy settings)."""
+    def col(get, default, dtype=np.float32):
+        return jnp.asarray([get(r) if r is not None else default
+                            for r in rows], dtype)
+
+    return SamplingVec(
+        temp=col(lambda r: r.temp, -1.0),
+        top_k=col(lambda r: r.top_k, 0, np.int32),
+        top_p=col(lambda r: r.top_p, 1.0),
+        tfs_z=col(lambda r: r.tfs_z, 1.0),
+        typical_p=col(lambda r: r.typical_p, 1.0),
+        repeat_penalty=col(lambda r: r.repeat_penalty, 1.0),
+        repeat_last_n=col(lambda r: r.repeat_last_n, 0, np.int32),
+        frequency_penalty=col(lambda r: r.frequency_penalty, 0.0),
+        presence_penalty=col(lambda r: r.presence_penalty, 0.0),
+    )
+
+
+_VEC_SUPPORT = 256  # top-k support for the per-row path (top_k clamped)
+VEC_WINDOW = 128  # recent-token buffer length for per-row penalties
+
+
+def _apply_penalties_vec(logits: jax.Array, recent: jax.Array,
+                         sv: SamplingVec) -> jax.Array:
+    """Per-row penalty application; each row's window is the newest
+    repeat_last_n[row] entries of `recent` (pad index V drops)."""
+    b, v = logits.shape
+    n = recent.shape[1]
+    valid = jnp.arange(n)[None, :] >= (n - sv.repeat_last_n[:, None])
+    idx = jnp.where(valid, recent, v)
+    counts = jnp.zeros((b, v), jnp.float32).at[
+        jnp.arange(b)[:, None], idx].add(1.0, mode="drop")
+    present = counts > 0
+    rp = sv.repeat_penalty[:, None]
+    scaled = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(present, scaled, logits)
+    return (logits - counts * sv.frequency_penalty[:, None]
+            - present * sv.presence_penalty[:, None])
+
+
+def sample_logits_vec(logits: jax.Array, key, sv: SamplingVec,
+                      recent: jax.Array) -> jax.Array:
+    """Per-row sampling chain over a 256-candidate support, exact host
+    semantics per knob (top_k -> tfs -> typical -> top_p -> temp; greedy
+    rows take the penalized argmax).  logits [B, V] -> [B] int32."""
+    logits = _apply_penalties_vec(logits, recent, sv)
+    k = min(logits.shape[-1], _VEC_SUPPORT)
+    vals, idx = jax.lax.top_k(logits, k)  # sorted desc
+    tk = jnp.where((sv.top_k <= 0) | (sv.top_k > k), k, sv.top_k)
+    vals = jnp.where(jnp.arange(k)[None, :] < tk[:, None], vals, -jnp.inf)
+    vals = _tfs_mask(vals, sv.tfs_z[:, None], n_valid=tk)
+    vals = _typical_mask(vals, sv.typical_p[:, None])
+    vals = _top_p_mask(vals, sv.top_p[:, None])
+    denom = jnp.where(sv.temp > 0, sv.temp, 1.0)[:, None]
+    choice = jax.random.categorical(key, vals / denom, axis=-1)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(sv.temp > 0, sampled, greedy).astype(jnp.int32)
+
+
+def _tfs_mask(vals: jax.Array, z, n_valid=None) -> jax.Array:
     """Tail-free filter over DESCENDING-sorted logits [..., K]: normalized
     |second derivative| of the sorted probability curve, cumsum'd; drop
     the tail where it exceeds z (llama_sample_tail_free,
-    llama.cpp:1907-1959; min_keep=1)."""
+    llama.cpp:1907-1959; min_keep=1).
+
+    n_valid [B] (per-row path): the candidate list is only the first
+    n_valid entries (rest -inf from a prior top-k cut); derivative entries
+    at the truncation boundary are excluded, matching the host computing
+    over the REDUCED list."""
     kk = vals.shape[-1]
     if kk <= 2:
         return vals
     probs = jax.nn.softmax(vals, axis=-1)
     first = probs[..., :-1] - probs[..., 1:]
     second = jnp.abs(first[..., :-1] - first[..., 1:])  # [..., K-2]
+    if n_valid is not None:
+        second = jnp.where(
+            jnp.arange(kk - 2)[None, :] < (n_valid - 2)[:, None],
+            second, 0.0)
     second = second / jnp.maximum(
         jnp.sum(second, axis=-1, keepdims=True), 1e-20)
     cum = jnp.cumsum(second, axis=-1)
@@ -215,7 +312,8 @@ def _sample_logits(logits, key, ds: DeviceSampling):
 )
 def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
                  key, *, n_steps: int, ds: DeviceSampling,
-                 kv_window: int | None = None, recent=None, mu=None):
+                 kv_window: int | None = None, recent=None, mu=None,
+                 sv: SamplingVec | None = None):
     """From last token [B] and caches, generate n_steps tokens on device.
 
     recent [B, N] (required when ds.penalized): sliding window of the
@@ -226,7 +324,7 @@ def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
     return value (init 2*tau).
 
     Returns (tokens [B, n_steps], new_k, new_v, key, recent, mu)."""
-    if ds.penalized and recent is None:
+    if (ds.penalized or sv is not None) and recent is None:
         raise ValueError("ds has penalties: pass `recent` (make_recent)")
 
     def body(carry, _):
@@ -236,15 +334,20 @@ def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
             last_only=True, kv_window=kv_window,
         )
         row = _apply_logit_bias(logits[:, -1], ds)
-        if ds.penalized:
-            row = _apply_penalties(row, rec, ds)
         key, sub = jax.random.split(key)
-        if ds.mirostat == 2 and ds.temp > 0:
-            nxt, mu = _mirostat2_sample(row, sub, ds, mu)
-        else:
-            nxt = _sample_logits(row, sub, ds)
-        if ds.penalized:
+        if sv is not None:
+            # per-row sampling chain (penalties handled inside)
+            nxt = sample_logits_vec(row, sub, sv, rec)
             rec = _recent_push(rec, nxt)
+        else:
+            if ds.penalized:
+                row = _apply_penalties(row, rec, ds)
+            if ds.mirostat == 2 and ds.temp > 0:
+                nxt, mu = _mirostat2_sample(row, sub, ds, mu)
+            else:
+                nxt = _sample_logits(row, sub, ds)
+            if ds.penalized:
+                rec = _recent_push(rec, nxt)
         return (nxt, ck, cv, n_past + 1, key, rec, mu), nxt
 
     if recent is None:

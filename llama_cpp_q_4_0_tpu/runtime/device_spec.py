@@ -34,13 +34,16 @@ from ..models import transformer
 from ..models.config import ModelConfig
 from .context import Context, _bucket
 from .device_sample import (
+    VEC_WINDOW,
     DeviceSampling,
+    SamplingVec,
     _apply_logit_bias,
     _apply_penalties,
     _recent_push,
     _sample_logits,
     first_sample,
     make_recent,
+    sample_logits_vec,
 )
 from .speculative import SpecParams, SpecStats
 from .tokenizer import TOKEN_EOS
@@ -117,20 +120,24 @@ def generate_ondevice_spec_draft(
     return out[:n_predict]
 
 
-def _verify_sample(logits, toks, sub, ds: DeviceSampling, rec):
+def _verify_sample(logits, toks, sub, ds: DeviceSampling, rec, sv=None):
     """Sample every verify position of logits [B, k+1, V].  With
-    penalties, position j's recent window is `rec` pushed with the drafts
-    before it — identical to the host loop's sequential window updates on
-    the accepted prefix (discarded positions don't matter)."""
+    penalties (or per-row sv), position j's recent window is `rec` pushed
+    with the drafts before it — identical to the host loop's sequential
+    window updates on the accepted prefix (discarded positions don't
+    matter)."""
     logits = _apply_logit_bias(logits, ds)
-    if not ds.penalized:
+    if sv is None and not ds.penalized:
         return _sample_logits(logits, sub, ds)
     kp1 = logits.shape[1]
     subs = jax.random.split(sub, kp1)
     ids = []
     for j in range(kp1):
-        pen = _apply_penalties(logits[:, j], rec, ds)
-        ids.append(_sample_logits(pen, subs[j], ds))
+        if sv is not None:
+            ids.append(sample_logits_vec(logits[:, j], subs[j], sv, rec))
+        else:
+            pen = _apply_penalties(logits[:, j], rec, ds)
+            ids.append(_sample_logits(pen, subs[j], ds))
         if j < kp1 - 1:
             rec = _recent_push(rec, toks[:, j + 1])
     return jnp.stack(ids, axis=1)
@@ -175,9 +182,10 @@ def _lookup_drafts(buf, m, *, k: int, max_ngram: int, min_ngram: int):
     donate_argnames=("hist", "cache_k", "cache_v"),
 )
 def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
-               key, done, *, k: int, n_steps: int, ds: DeviceSampling,
-               kv_window: int, max_ngram: int, min_ngram: int,
-               eos: int, ignore_eos: bool):
+               key, done, sv: SamplingVec | None = None, *, k: int,
+               n_steps: int, ds: DeviceSampling, kv_window: int,
+               max_ngram: int, min_ngram: int, eos: int,
+               ignore_eos: bool):
     """Run n_steps draft-verify rounds on device.
 
     hist: [B, H] token history (prompt + generated, last token NOT yet in
@@ -205,14 +213,15 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
         )
         key, sub = jax.random.split(key)
         rec = None
-        if ds.penalized:
-            # recent window = last repeat_last_n of hist (incl. `last`)
-            offs = jnp.arange(ds.repeat_last_n, dtype=jnp.int32) - ds.repeat_last_n
+        if ds.penalized or sv is not None:
+            # recent window = newest tokens of hist (incl. `last`)
+            win = VEC_WINDOW if sv is not None else ds.repeat_last_n
+            offs = jnp.arange(win, dtype=jnp.int32) - win
             idx = m[:, None] + offs[None, :]
             rec = jnp.where(idx >= 0,
                             hist[rows[:, None], jnp.clip(idx, 0, H - 1)],
                             jnp.int32(cfg.n_vocab))
-        ids = _verify_sample(logits, toks, sub, ds, rec)  # [B, k+1]
+        ids = _verify_sample(logits, toks, sub, ds, rec, sv)  # [B, k+1]
         acc = jnp.cumprod((ids[:, :k] == drafts).astype(jnp.int32), axis=1)
         a = jnp.sum(acc, axis=1)  # [B] accepted drafts, 0..k
         bonus = ids[rows, a]

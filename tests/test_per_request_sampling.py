@@ -1,0 +1,102 @@
+"""Per-request device sampling (SamplingVec): every slot of a batched
+device tick honors its own request's sampler knobs with exact host-chain
+semantics — gated by greedy-row token parity against the host Sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_transformer
+from llama_cpp_q_4_0_tpu.runtime.batch_engine import BatchEngine, Request
+from llama_cpp_q_4_0_tpu.runtime.context import Context
+from llama_cpp_q_4_0_tpu.runtime.device_sample import (
+    make_recent,
+    make_sampling_vec,
+    sample_logits_vec,
+)
+from llama_cpp_q_4_0_tpu.runtime.generate import GenerateParams, generate
+from llama_cpp_q_4_0_tpu.runtime.sampling import Sampler, SamplingParams
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("prs") / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+    gf = read_ggjt(path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    return cfg, load_transformer(gf, cfg)
+
+
+def test_sample_logits_vec_greedy_rows_match_host():
+    """Greedy rows (temp<=0) of a mixed batch reproduce the host chain's
+    penalized argmax exactly, each with its own penalties/window."""
+    rng = np.random.default_rng(0)
+    v = 96
+    rows_params = [
+        SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.4,
+                       repeat_last_n=4, frequency_penalty=0.2,
+                       presence_penalty=0.1),
+        SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                       repeat_last_n=0),
+        SamplingParams(temp=0.9, top_k=20, top_p=0.9),  # sampled row
+    ]
+    histories = [rng.integers(0, v, 12).tolist() for _ in rows_params]
+    logits = rng.normal(0, 2.5, (3, v)).astype(np.float32)
+
+    sv = make_sampling_vec([p for p in rows_params])
+    rec = make_recent(histories, 16, v)
+    got = np.asarray(sample_logits_vec(
+        jnp.asarray(logits), jax.random.key(0), sv, rec))
+
+    for i in (0, 1):  # deterministic rows
+        want = Sampler(rows_params[i], v, seed=1).sample(
+            logits[i], histories[i])
+        assert int(got[i]) == want, (i, got[i], want)
+    assert 0 <= int(got[2]) < v
+
+
+def _host_generate(cfg, params, prompt, sp, n):
+    ctx = Context(cfg, params)
+    return list(generate(ctx, prompt, GenerateParams(
+        n_predict=n, sampling=sp, ignore_eos=True), eos_token=-1))
+
+
+@pytest.mark.parametrize("engine_kw", [
+    dict(chunk=3),
+    dict(spec_draft=3, chunk=2),
+])
+def test_engine_per_request_sampling_greedy_parity(model, engine_kw):
+    """Two concurrent requests with DIFFERENT greedy sampler settings each
+    match their own host chain, decoded in the same device ticks."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params = model
+    sp_pen = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.4,
+                            repeat_last_n=6, frequency_penalty=0.15,
+                            presence_penalty=0.1)
+    sp_plain = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                              repeat_last_n=0)
+    p1, p2 = [3, 5, 7, 11], [13, 17, 19]
+    want1 = _host_generate(cfg, params, p1, sp_pen, 8)
+    want2 = _host_generate(cfg, params, p2, sp_plain, 8)
+
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64,
+                      per_request_sampling=True,
+                      device_sampling=DeviceSampling(temp=-1.0),
+                      **engine_kw)
+    eng.start()
+    try:
+        r1 = eng.submit(Request(p1, n_predict=8, sampling=sp_pen))
+        r2 = eng.submit(Request(p2, n_predict=8, sampling=sp_plain))
+        out1, out2 = list(r1.tokens()), list(r2.tokens())
+    finally:
+        eng.stop()
+
+    def cut(ref):
+        return ref[:ref.index(2)] if 2 in ref else ref
+
+    assert out1 == cut(want1), (want1, out1)
+    assert out2 == cut(want2), (want2, out2)
