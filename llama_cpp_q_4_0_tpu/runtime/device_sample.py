@@ -12,7 +12,9 @@ Supports the full distribution-affecting chain on device: temperature /
 top-k / top-p / tail-free / typical / greedy, repetition-frequency-
 presence penalties (over a carried recent-token window) and mirostat v2
 (carried mu) — all with exact llama.cpp:1804-2090 semantics.  The host
-chain (runtime/sampling.py) remains for mirostat v1 and logit-bias."""
+chain (runtime/sampling.py) remains for per-request mirostat/logit-bias
+inside batched per-row ticks (single-stream device loops support the
+ENTIRE chain)."""
 
 from __future__ import annotations
 
@@ -41,11 +43,11 @@ class DeviceSampling:
     repeat_last_n: int = 64
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
-    # mirostat v2 (llama_sample_token_mirostat_v2, llama.cpp:2065-2090):
-    # adaptive surprise-target truncation with carried mu state.  Supported
-    # by the chunked decode loops (decode_chunk / engine chunked ticks);
-    # the speculative verifiers use the stateless chain above.
-    mirostat: int = 0  # 0 = off, 2 = mirostat v2
+    # mirostat (llama.cpp:2009-2090): adaptive surprise-target truncation
+    # with carried mu state.  Supported by the chunked decode loops
+    # (decode_chunk / engine chunked ticks); the speculative verifiers
+    # use the stateless chain above.
+    mirostat: int = 0  # 0 = off, 1 = mirostat v1, 2 = mirostat v2
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
     # static ((token_id, bias), ...) applied before penalties (host order,
@@ -284,6 +286,36 @@ def _mirostat2_sample(logits, key, ds: DeviceSampling, mu):
     return tok.astype(jnp.int32), mu
 
 
+def _mirostat1_sample(logits, key, ds: DeviceSampling, mu):
+    """Mirostat v1 (llama_sample_token_mirostat, llama.cpp:2009-2063):
+    estimate the Zipf exponent s_hat from the top m=100 probabilities,
+    derive the truncation k from the surprise target, sample, update mu.
+    logits [B, V], mu [B] -> (tok [B], mu' [B])."""
+    v = logits.shape[-1]
+    k_sup = min(v, 256)
+    vals, idx = jax.lax.top_k(logits / jnp.maximum(ds.temp, 1e-6), k_sup)
+    p = jax.nn.softmax(vals, axis=-1)
+    n = min(100 - 1, k_sup - 1)
+    i = jnp.arange(n, dtype=jnp.float32)
+    t_i = jnp.log((i + 2.0) / (i + 1.0))
+    b_i = jnp.log(p[:, :n] / p[:, 1:n + 1])
+    s_hat = jnp.sum(t_i * b_i, axis=-1) / jnp.sum(t_i * t_i)
+    eps_hat = s_hat - 1.0
+    kk = ((eps_hat * jnp.exp2(mu))
+          / (1.0 - jnp.float32(v) ** (-eps_hat))) ** (1.0 / s_hat)
+    kk = jnp.clip(jnp.nan_to_num(kk, nan=1.0, posinf=k_sup),
+                  1, k_sup).astype(jnp.int32)
+    vals_m = jnp.where(jnp.arange(k_sup)[None, :] < kk[:, None], vals,
+                       -jnp.inf)
+    choice = jax.random.categorical(key, vals_m, axis=-1)
+    tok = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    logp2 = jax.nn.log_softmax(vals_m, axis=-1)
+    observed = -jnp.take_along_axis(logp2, choice[:, None], axis=-1)[:, 0] \
+        / jnp.log(2.0)
+    mu = mu - ds.mirostat_eta * (observed - ds.mirostat_tau)
+    return tok.astype(jnp.int32), mu
+
+
 def _sample_logits(logits, key, ds: DeviceSampling):
     if ds.temp <= 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -344,6 +376,8 @@ def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
                 row = _apply_penalties(row, rec, ds)
             if ds.mirostat == 2 and ds.temp > 0:
                 nxt, mu = _mirostat2_sample(row, sub, ds, mu)
+            elif ds.mirostat == 1 and ds.temp > 0:
+                nxt, mu = _mirostat1_sample(row, sub, ds, mu)
             else:
                 nxt = _sample_logits(row, sub, ds)
             if ds.penalized:

@@ -251,3 +251,59 @@ def test_device_mirostat2_generation_runs(tmp_path):
         sampling=DeviceSampling(temp=0.9, mirostat=2), chunk=4,
         eos_token=-1)
     assert len(out) == 16 and all(0 <= t < 256 for t in out)
+
+
+def test_device_mirostat1_semantics():
+    """Mirostat v1: on a near-deterministic distribution both chains pick
+    the dominant token and agree on the mu update; generation runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import (
+        DeviceSampling, _mirostat1_sample,
+    )
+    from llama_cpp_q_4_0_tpu.runtime.sampling import (
+        Candidates, sample_token_mirostat, sample_temperature,
+    )
+
+    rng = np.random.default_rng(0)
+    v = 256
+    logits = rng.normal(0, 0.1, v).astype(np.float32)
+    logits[7] = 25.0  # dominant token: sampled w.p. ~1 by both chains
+    tau, eta, mu0 = 5.0, 0.1, 10.0
+
+    c = Candidates.from_logits(logits)
+    sample_temperature(c, 1.0)
+    tok_h, mu_h = sample_token_mirostat(
+        c, np.random.default_rng(1), tau, eta, 100, mu0, v)
+
+    ds = DeviceSampling(temp=1.0, mirostat=1, mirostat_tau=tau,
+                        mirostat_eta=eta)
+    tok_d, mu_d = _mirostat1_sample(jnp.asarray(logits)[None, :],
+                                    jax.random.key(0), ds,
+                                    jnp.asarray([mu0]))
+    assert int(tok_d[0]) == tok_h == 7
+    np.testing.assert_allclose(float(mu_d[0]), mu_h, rtol=1e-3)
+
+
+def test_device_mirostat1_generation_runs(tmp_path):
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import (
+        DeviceSampling, generate_ondevice,
+    )
+
+    path = str(tmp_path / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+    gf = read_ggjt(path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    ctx = Context(cfg, load_transformer(gf, cfg))
+    out = generate_ondevice(
+        ctx, [5, 9, 23], 12,
+        sampling=DeviceSampling(temp=0.9, mirostat=1), chunk=4,
+        eos_token=-1)
+    assert len(out) == 12 and all(0 <= t < 256 for t in out)
