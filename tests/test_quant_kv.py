@@ -212,3 +212,25 @@ def test_q8_cache_with_mqa(tmp_path):
     err = np.abs(np.asarray(got - ref)).max()
     spread = np.asarray(ref).max() - np.asarray(ref).min()
     assert err < 0.02 * spread, (err, spread)
+
+
+def test_ondevice_spec_with_q8_cache(model):
+    """Device speculative decoding over a QuantKV cache: exact greedy
+    parity with the plain q8-cache decode loop."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+    from llama_cpp_q_4_0_tpu.runtime.device_spec import generate_ondevice_spec
+    from llama_cpp_q_4_0_tpu.runtime.speculative import SpecParams
+
+    cfg, params = model
+    rng = np.random.default_rng(61)
+    prompt = rng.integers(3, 250, 10).tolist()
+
+    ctx_ref = Context(cfg, params, cache_dtype=jnp.int8)
+    want = list(generate(ctx_ref, prompt, GenerateParams(
+        n_predict=16, sampling=GREEDY, ignore_eos=True), eos_token=-1))
+
+    ctx = Context(cfg, params, cache_dtype=jnp.int8)
+    got = generate_ondevice_spec(
+        ctx, prompt, 16, sampling=DeviceSampling(temp=-1.0),
+        spec=SpecParams(n_draft=4), n_steps=3, ignore_eos=True)
+    assert got == want, (want, got)
