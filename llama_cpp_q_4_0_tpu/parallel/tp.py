@@ -19,6 +19,7 @@ Sharding contract (matches parallel/shard.py):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import jax
 import jax.numpy as jnp
@@ -146,6 +147,23 @@ def _localize(w):
         return dataclasses.replace(w, shape=(w.levels_t.shape[1], w.shape[1]))
     k_l, n_l = w.levels_t.shape
     return dataclasses.replace(w, shape=(n_l, k_l))
+
+
+@functools.lru_cache(maxsize=8)
+def spec_forward(mesh: Mesh):
+    """forward_fn adapter for runtime/device_spec.spec_chunk: the verify
+    forward runs through the explicit shard_map TP path.  Rows must share
+    one position (B=1 single-stream speculation; tp_forward takes a scalar
+    n_past).  kv_window is accepted but the TP body masks over the full
+    cache instead (correct, marginally more attention work).  lru_cached
+    per mesh so the static forward_fn hash is stable across calls."""
+
+    def fwd(cfg, params, toks, n_past, ck, cv, *, last_only, kv_window):
+        np_s = n_past if jnp.ndim(n_past) == 0 else n_past[0]
+        return tp_forward(cfg, params, toks, np_s, ck, cv, mesh,
+                          last_only=last_only)
+
+    return fwd
 
 
 def tp_forward(

@@ -175,21 +175,30 @@ def _lookup_drafts(buf, m, *, k: int, max_ngram: int, min_ngram: int):
     return jnp.where(best_j >= 0, drafts, jnp.zeros_like(drafts))
 
 
+def _default_forward(cfg, params, toks, n_past, ck, cv, *, last_only,
+                     kv_window):
+    return transformer.forward(cfg, params, toks, n_past, ck, cv,
+                               last_only=last_only, kv_window=kv_window)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "k", "n_steps", "ds", "kv_window", "max_ngram",
-                     "min_ngram", "eos", "ignore_eos"),
+                     "min_ngram", "eos", "ignore_eos", "forward_fn"),
     donate_argnames=("hist", "cache_k", "cache_v"),
 )
 def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
                key, done, sv: SamplingVec | None = None, *, k: int,
                n_steps: int, ds: DeviceSampling, kv_window: int,
                max_ngram: int, min_ngram: int, eos: int,
-               ignore_eos: bool):
+               ignore_eos: bool, forward_fn=None):
     """Run n_steps draft-verify rounds on device.
 
     hist: [B, H] token history (prompt + generated, last token NOT yet in
     the KV cache); n_hist: [B] valid lengths; done: [B] frozen rows.
+    forward_fn (static): alternative forward with transformer.forward's
+    contract — e.g. parallel.tp.spec_forward(mesh) runs the verify through
+    the explicit shard_map tensor-parallel path.
     Returns (hist, n_hist, cache_k, cache_v, key, done, eosed,
              emit_toks [n_steps, B, k+1], emit_ns [n_steps, B]) — eosed
     distinguishes an EOS freeze from a context-capacity freeze (the host
@@ -198,6 +207,7 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
     rows = jnp.arange(B)
     tpos = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
     eosed0 = jnp.zeros((B,), bool)
+    fwd = forward_fn or _default_forward
 
     def body(carry, _):
         hist, m, ck, cv, key, done, eosed = carry
@@ -207,7 +217,7 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
                               min_ngram=min_ngram)
         )(hist, m)  # [B, k]
         toks = jnp.concatenate([last[:, None], drafts], axis=1)  # [B, k+1]
-        logits, ck, cv = transformer.forward(
+        logits, ck, cv = fwd(
             cfg, params, toks, m - 1, ck, cv,
             last_only=False, kv_window=kv_window,
         )

@@ -169,3 +169,54 @@ def test_defuse_roundtrip():
         b = getattr(back.blocks[0], name)
         np.testing.assert_array_equal(np.asarray(a.dequantize()),
                                       np.asarray(b.dequantize()))
+
+
+def test_tp_speculative_verify_matches_plain():
+    """Speculative decoding with the verify forward routed through the
+    EXPLICIT shard_map TP path (spec_forward adapter): same emitted
+    tokens as the plain spec_chunk on identical state."""
+    import jax
+    from llama_cpp_q_4_0_tpu.parallel.shard import shard_cache
+    from llama_cpp_q_4_0_tpu.parallel.tp import spec_forward
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+    from llama_cpp_q_4_0_tpu.runtime.device_spec import spec_chunk
+
+    cfg, params = _tiny_mqa(n_head=4)
+    tp = 4
+    mesh = make_mesh(dp=1, sp=1, tp=tp)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 255, 10).tolist()
+
+    def run(use_tp):
+        ck, cv = transformer.init_cache(cfg, 1, 64, dtype=jnp.float32)
+        if use_tp:
+            p = prepare_tp_params(params, mesh, cfg)
+            ck, cv = shard_cache(ck, cv, cfg, mesh)
+        else:
+            p = params
+        # prefill all but the last prompt token
+        toks = jnp.asarray([prompt[:-1]], jnp.int32)
+        if use_tp:
+            _, ck, cv = tp_forward(cfg, p, toks, jnp.int32(0), ck, cv,
+                                   mesh, last_only=True)
+        else:
+            _, ck, cv = transformer.forward(cfg, p, toks, jnp.int32(0),
+                                            ck, cv, last_only=True)
+        hist = jnp.zeros((1, 64), jnp.int32).at[0, :len(prompt)].set(
+            jnp.asarray(prompt))
+        out = spec_chunk(
+            cfg, p, hist, jnp.asarray([len(prompt)], jnp.int32), ck, cv,
+            jax.random.key(0), jnp.zeros((1,), bool),
+            k=3, n_steps=4, ds=DeviceSampling(temp=-1.0), kv_window=64,
+            max_ngram=3, min_ngram=1, eos=-1, ignore_eos=True,
+            forward_fn=spec_forward(mesh) if use_tp else None,
+        )
+        emit_toks, emit_ns = np.asarray(out[7])[:, 0], np.asarray(out[8])[:, 0]
+        toks_out = []
+        for s in range(len(emit_ns)):
+            toks_out += emit_toks[s, : int(emit_ns[s])].tolist()
+        return toks_out
+
+    want = run(False)
+    got = run(True)
+    assert got == want, (want, got)
