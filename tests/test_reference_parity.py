@@ -101,3 +101,84 @@ def test_llama_logits_parity(tmp_path, oracle_bin, qtype_name):
     err_bf = np.abs(ours_bf - ref).max() / scale
     assert err_bf < 8e-2, f"bf16 rel logit err {err_bf}"
     assert (np.argmax(ours_bf, -1) == np.argmax(ref, -1)).mean() >= 0.75
+
+
+NEOX_ORACLE = f"{BUILD}/ref_gptneox_logits"
+
+
+@pytest.fixture(scope="module")
+def neox_oracle_bin():
+    if not os.path.isdir(REF):
+        pytest.skip("reference unavailable")
+    if not os.path.exists(NEOX_ORACLE):
+        os.makedirs(BUILD, exist_ok=True)
+        src = os.path.join(os.path.dirname(__file__), "oracle",
+                           "ref_gptneox_logits.cpp")
+        flags = ["-O2", "-fPIC", "-pthread", "-DGGML_USE_K_QUANTS", f"-I{REF}"]
+        try:
+            for cf in ("ggml.c", "k_quants.c"):
+                obj = f"{BUILD}/{cf.replace('.c', '.o')}"
+                if not os.path.exists(obj):
+                    subprocess.run(["gcc", *flags, "-c", f"{REF}/{cf}",
+                                    "-o", obj], check=True,
+                                   capture_output=True, text=True)
+            subprocess.run(
+                ["g++", "-std=c++11", *flags, src,
+                 f"{REF}/arch/gptneox/gptneox.cpp",
+                 f"{BUILD}/ggml.o", f"{BUILD}/k_quants.o",
+                 "-o", NEOX_ORACLE],
+                check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            pytest.skip(f"cannot build neox oracle: "
+                        f"{getattr(e, 'stderr', '')[-400:]}")
+    return NEOX_ORACLE
+
+
+@pytest.mark.parametrize("parallel_residual", [1, 0])
+def test_gptneox_logits_parity(tmp_path, neox_oracle_bin, parallel_residual):
+    """Our unified forward vs the fork's compiled GPT-NeoX runtime (fused
+    QKV + biases, LayerNorm, partial rope, parallel/serial residual) on a
+    file written by OUR writer — validates format + graph end-to-end.
+    n_layer=16 so the reference maps to MODEL_3B (unknown layer counts
+    crash its MEM_REQ maps, gptneox.cpp:910-921)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_gptneox_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    path = str(tmp_path / f"neox{parallel_residual}.bin")
+    make_gptneox_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=16,
+                      use_parallel_residual=parallel_residual,
+                      qtype=GGMLType.Q4_0)
+    toks = [1, 5, 42, 200, 17, 9]
+    res = subprocess.run(
+        [neox_oracle_bin, path, ",".join(map(str, toks))],
+        check=True, capture_output=True, text=True)
+    # the fork's loader chats on stdout: find our header from the end
+    lines = res.stdout.strip().splitlines()
+    hdr = max(i for i, l in enumerate(lines)
+              if len(l.split()) == 2
+              and all(t.isdigit() for t in l.split()))
+    n_tok, n_vocab = map(int, lines[hdr].split())
+    ref = np.array([[float(x) for x in l.split()]
+                    for l in lines[hdr + 1:hdr + 1 + n_tok]])
+
+    gf = read_ggjt(path, "gptneox")
+    cfg = config_from_ggjt(gf, n_ctx=128)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    params = load_transformer(gf, cfg)
+    ctx = Context(cfg, params, cache_dtype=jnp.float32)
+    got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
+    # ggml's GELU goes through an fp16 lookup table (ggml.c table_gelu)
+    # and this fixture is forced to 16 layers (reference size map), so
+    # activations accumulate ~1e-3 relative noise per layer — compare to
+    # a correspondingly loose tolerance plus greedy-choice agreement
+    np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)
+    assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
