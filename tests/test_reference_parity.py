@@ -182,3 +182,76 @@ def test_gptneox_logits_parity(tmp_path, neox_oracle_bin, parallel_residual):
     # a correspondingly loose tolerance plus greedy-choice agreement
     np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)
     assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+
+
+FALCON_ORACLE = f"{BUILD}/ref_falcon_logits"
+
+
+@pytest.fixture(scope="module")
+def falcon_oracle_bin():
+    if not os.path.isdir(REF):
+        pytest.skip("reference unavailable")
+    if not os.path.exists(FALCON_ORACLE):
+        os.makedirs(BUILD, exist_ok=True)
+        src = os.path.join(os.path.dirname(__file__), "oracle",
+                           "ref_falcon_logits.cpp")
+        flags = ["-O2", "-fPIC", "-pthread", "-DGGML_USE_K_QUANTS", f"-I{REF}"]
+        try:
+            for cf in ("ggml.c", "k_quants.c"):
+                obj = f"{BUILD}/{cf.replace('.c', '.o')}"
+                if not os.path.exists(obj):
+                    subprocess.run(["gcc", *flags, "-c", f"{REF}/{cf}",
+                                    "-o", obj], check=True,
+                                   capture_output=True, text=True)
+            subprocess.run(
+                ["g++", "-std=c++11", *flags, src,
+                 f"{REF}/arch/falcon/falcon.cpp",
+                 f"{BUILD}/ggml.o", f"{BUILD}/k_quants.o",
+                 "-o", FALCON_ORACLE],
+                check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            pytest.skip(f"cannot build falcon oracle: "
+                        f"{getattr(e, 'stderr', '')[-400:]}")
+    return FALCON_ORACLE
+
+
+def test_falcon_logits_parity(tmp_path, falcon_oracle_bin):
+    """Our unified forward vs the fork's compiled Falcon runtime (MQA:
+    one KV head broadcast to n_head).  n_layer=32 + n_embd<4544 maps to
+    the reference's MODEL_3B (falcon.cpp:907-915)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_falcon_like_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    path = str(tmp_path / "falcon.bin")
+    make_falcon_like_ggjt(path, "falcon", n_vocab=256, n_embd=64, n_head=4,
+                          n_layer=32, qtype=GGMLType.Q4_0)
+    toks = [1, 5, 42, 200, 17, 9]
+    res = subprocess.run(
+        [falcon_oracle_bin, path, ",".join(map(str, toks))],
+        check=True, capture_output=True, text=True)
+    lines = res.stdout.strip().splitlines()
+    hdr = max(i for i, l in enumerate(lines)
+              if len(l.split()) == 2
+              and all(t.isdigit() for t in l.split()))
+    n_tok, n_vocab = map(int, lines[hdr].split())
+    ref = np.array([[float(x) for x in l.split()]
+                    for l in lines[hdr + 1:hdr + 1 + n_tok]])
+
+    gf = read_ggjt(path, "falcon")
+    cfg = config_from_ggjt(gf, n_ctx=128)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    params = load_transformer(gf, cfg)
+    ctx = Context(cfg, params, cache_dtype=jnp.float32)
+    got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
+    # fp16 GELU table noise over 32 forced layers (see neox test)
+    np.testing.assert_allclose(got, ref, rtol=0.15, atol=0.15)
+    assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
