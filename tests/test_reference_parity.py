@@ -255,3 +255,95 @@ def test_falcon_logits_parity(tmp_path, falcon_oracle_bin):
     # fp16 GELU table noise over 32 forced layers (see neox test)
     np.testing.assert_allclose(got, ref, rtol=0.15, atol=0.15)
     assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+
+
+BONSAI_ORACLE = f"{BUILD}/ref_bonsai_logits"
+
+
+@pytest.fixture(scope="module")
+def bonsai_oracle_bin():
+    if not os.path.isdir(REF):
+        pytest.skip("reference unavailable")
+    if not os.path.exists(BONSAI_ORACLE):
+        os.makedirs(BUILD, exist_ok=True)
+        src = os.path.join(os.path.dirname(__file__), "oracle",
+                           "ref_bonsai_logits.cpp")
+        flags = ["-O2", "-fPIC", "-pthread", "-DGGML_USE_K_QUANTS", f"-I{REF}"]
+        try:
+            for cf in ("ggml.c", "k_quants.c"):
+                obj = f"{BUILD}/{cf.replace('.c', '.o')}"
+                if not os.path.exists(obj):
+                    subprocess.run(["gcc", *flags, "-c", f"{REF}/{cf}",
+                                    "-o", obj], check=True,
+                                   capture_output=True, text=True)
+            subprocess.run(
+                ["g++", "-std=c++11", *flags, src,
+                 f"{REF}/arch/bonsai/bonsai.cpp",
+                 f"{BUILD}/ggml.o", f"{BUILD}/k_quants.o",
+                 "-o", BONSAI_ORACLE],
+                check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            pytest.skip(f"cannot build bonsai oracle: "
+                        f"{getattr(e, 'stderr', '')[-400:]}")
+    return BONSAI_ORACLE
+
+
+def test_bonsai_reference_layers_are_dead_code(tmp_path, bonsai_oracle_bin):
+    """DISCOVERY: the reference Bonsai runtime never executes its
+    transformer layers.  bonsai.cpp:1225 declares
+    `struct ggml_tensor * inpL = cur;` INSIDE the layer loop, shadowing
+    the loop-carried activation — every layer's residual accumulates into
+    the shadow (discarded at the iteration's end), the next layer reads
+    the OUTER inpL (still the raw embedding), and the final
+    ggml_build_forward_expand therefore captures only
+    lm_head(bonsai_norm(embedding)).  This test pins that behavior: the
+    compiled reference's logits equal our head(norm(embed)) to
+    quantization noise, and a REAL 24-layer forward differs.  Our bonsai
+    runtime implements the working falcon-family graph instead (gated by
+    test_model_runtime)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_falcon_like_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.models.transformer import bonsai_rms_norm
+    from llama_cpp_q_4_0_tpu.ops.qmatmul import q_matmul
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    path = str(tmp_path / "bonsai.bin")
+    make_falcon_like_ggjt(path, "bonsai", n_vocab=256, n_embd=64, n_head=4,
+                          n_layer=24, qtype=GGMLType.Q4_0)
+    toks = [1, 5, 42, 200, 17, 9]
+    res = subprocess.run(
+        [bonsai_oracle_bin, path, ",".join(map(str, toks))],
+        check=True, capture_output=True, text=True)
+    lines = res.stdout.strip().splitlines()
+    hdr = max(i for i, l in enumerate(lines)
+              if len(l.split()) == 2
+              and all(t.isdigit() for t in l.split()))
+    n_tok, n_vocab = map(int, lines[hdr].split())
+    ref = np.array([[float(x) for x in l.split()]
+                    for l in lines[hdr + 1:hdr + 1 + n_tok]])
+
+    gf = read_ggjt(path, "bonsai")
+    cfg = config_from_ggjt(gf, n_ctx=128)
+    cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    params = load_transformer(gf, cfg)
+
+    # the reference output == head(norm(embedding)) — layers dead
+    emb = params.tok_embeddings.rows(jnp.asarray(toks))
+    x = bonsai_rms_norm(emb, params.out_norm_w, params.out_norm_b)
+    embed_only = np.asarray(q_matmul(x, params.output,
+                                     compute_dtype=jnp.float32,
+                                     use_pallas=False))
+    np.testing.assert_allclose(embed_only, ref, rtol=0.08, atol=0.08)
+
+    # our runtime actually runs the 24 layers: output must differ
+    ctx = Context(cfg, params, cache_dtype=jnp.float32)
+    got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
+    assert np.abs(got - ref).max() > 0.5
