@@ -649,7 +649,8 @@ class BatchEngine:
         from .device_sample import VEC_WINDOW, make_sampling_vec
 
         sv = make_sampling_vec(
-            [s.req.sampling if s.active else None for s in self.slots])
+            [s.req.sampling if s.active else None for s in self.slots],
+            seeds=[s.req.seed if s.active else -1 for s in self.slots])
         return dataclasses_replace_rln(sv, VEC_WINDOW)
 
     def _issue_spec(self):

@@ -119,7 +119,7 @@ def first_sample(logits_row, history, ds: DeviceSampling, key,
     jax.tree_util.register_dataclass,
     data_fields=["temp", "top_k", "top_p", "tfs_z", "typical_p",
                  "repeat_penalty", "repeat_last_n", "frequency_penalty",
-                 "presence_penalty"],
+                 "presence_penalty", "seed"],
     meta_fields=[],
 )
 @dataclass
@@ -139,16 +139,23 @@ class SamplingVec:
     repeat_last_n: jax.Array
     frequency_penalty: jax.Array
     presence_penalty: jax.Array
+    seed: jax.Array  # [B] int32; >=0 makes the row's stream REPRODUCIBLE
 
 
-def make_sampling_vec(rows) -> SamplingVec:
+def make_sampling_vec(rows, seeds=None) -> SamplingVec:
     """Host: build a SamplingVec from per-row SamplingParams (None rows
-    get neutral greedy settings)."""
+    get neutral greedy settings).  seeds[i] >= 0 gives row i a sampling
+    stream that depends only on (seed, absolute position) — reproducible
+    regardless of which other requests share its ticks."""
     def col(get, default, dtype=np.float32):
         return jnp.asarray([get(r) if r is not None else default
                             for r in rows], dtype)
 
+    if seeds is None:
+        seeds = [-1] * len(rows)
     return SamplingVec(
+        seed=jnp.asarray([s if s is not None else -1 for s in seeds],
+                         jnp.int32),
         temp=col(lambda r: r.temp, -1.0),
         top_k=col(lambda r: r.top_k, 0, np.int32),
         top_p=col(lambda r: r.top_p, 1.0),
@@ -184,10 +191,15 @@ def _apply_penalties_vec(logits: jax.Array, recent: jax.Array,
 
 
 def sample_logits_vec(logits: jax.Array, key, sv: SamplingVec,
-                      recent: jax.Array) -> jax.Array:
+                      recent: jax.Array, position=None) -> jax.Array:
     """Per-row sampling chain over a 256-candidate support, exact host
     semantics per knob (top_k -> tfs -> typical -> top_p -> temp; greedy
-    rows take the penalized argmax).  logits [B, V] -> [B] int32."""
+    rows take the penalized argmax).  logits [B, V] -> [B] int32.
+
+    position [B] (with sv.seed >= 0): rows draw from a key folded from
+    (seed, absolute position) instead of the shared stream — each
+    request's sampled text is reproducible no matter which other requests
+    shared its ticks."""
     logits = _apply_penalties_vec(logits, recent, sv)
     k = min(logits.shape[-1], _VEC_SUPPORT)
     vals, idx = jax.lax.top_k(logits, k)  # sorted desc
@@ -197,7 +209,21 @@ def sample_logits_vec(logits: jax.Array, key, sv: SamplingVec,
     vals = _typical_mask(vals, sv.typical_p[:, None])
     vals = _top_p_mask(vals, sv.top_p[:, None])
     denom = jnp.where(sv.temp > 0, sv.temp, 1.0)[:, None]
-    choice = jax.random.categorical(key, vals / denom, axis=-1)
+    if position is not None:
+        seeded = jax.vmap(
+            lambda s, p: jax.random.fold_in(jax.random.fold_in(
+                jax.random.key(0), s.astype(jnp.uint32)), p.astype(jnp.uint32))
+        )(jnp.maximum(sv.seed, 0), position)
+        shared = jax.random.split(key, vals.shape[0])
+        keys = jnp.where((sv.seed >= 0)[:, None],
+                         jax.random.key_data(seeded),
+                         jax.random.key_data(shared))
+        choice = jax.vmap(
+            lambda kd, v: jax.random.categorical(
+                jax.random.wrap_key_data(kd), v)
+        )(keys, vals / denom)
+    else:
+        choice = jax.random.categorical(key, vals / denom, axis=-1)
     sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(sv.temp > 0, sampled, greedy).astype(jnp.int32)
@@ -368,8 +394,9 @@ def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
         row = _apply_logit_bias(logits[:, -1], ds)
         key, sub = jax.random.split(key)
         if sv is not None:
-            # per-row sampling chain (penalties handled inside)
-            nxt = sample_logits_vec(row, sub, sv, rec)
+            # per-row sampling chain (penalties handled inside); the key
+            # for seeded rows folds (seed, absolute position)
+            nxt = sample_logits_vec(row, sub, sv, rec, position=n_past + 1)
             rec = _recent_push(rec, nxt)
         else:
             if ds.penalized:

@@ -120,7 +120,8 @@ def generate_ondevice_spec_draft(
     return out[:n_predict]
 
 
-def _verify_sample(logits, toks, sub, ds: DeviceSampling, rec, sv=None):
+def _verify_sample(logits, toks, sub, ds: DeviceSampling, rec, sv=None,
+                   base_pos=None):
     """Sample every verify position of logits [B, k+1, V].  With
     penalties (or per-row sv), position j's recent window is `rec` pushed
     with the drafts before it — identical to the host loop's sequential
@@ -134,7 +135,9 @@ def _verify_sample(logits, toks, sub, ds: DeviceSampling, rec, sv=None):
     ids = []
     for j in range(kp1):
         if sv is not None:
-            ids.append(sample_logits_vec(logits[:, j], subs[j], sv, rec))
+            pos = None if base_pos is None else base_pos + 1 + j
+            ids.append(sample_logits_vec(logits[:, j], subs[j], sv, rec,
+                                         position=pos))
         else:
             pen = _apply_penalties(logits[:, j], rec, ds)
             ids.append(_sample_logits(pen, subs[j], ds))
@@ -231,7 +234,8 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
             rec = jnp.where(idx >= 0,
                             hist[rows[:, None], jnp.clip(idx, 0, H - 1)],
                             jnp.int32(cfg.n_vocab))
-        ids = _verify_sample(logits, toks, sub, ds, rec, sv)  # [B, k+1]
+        ids = _verify_sample(logits, toks, sub, ds, rec, sv,
+                             base_pos=m - 1)  # [B, k+1]
         acc = jnp.cumprod((ids[:, :k] == drafts).astype(jnp.int32), axis=1)
         a = jnp.sum(acc, axis=1)  # [B] accepted drafts, 0..k
         bonus = ids[rows, a]

@@ -100,3 +100,40 @@ def test_engine_per_request_sampling_greedy_parity(model, engine_kw):
 
     assert out1 == cut(want1), (want1, out1)
     assert out2 == cut(want2), (want2, out2)
+
+
+def test_seeded_request_reproducible_across_batch_compositions(model):
+    """A seeded sampled request emits the SAME tokens whether it runs
+    alone or alongside different co-tenants (the stream folds (seed,
+    absolute position), not the shared engine key)."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params = model
+    sp = SamplingParams(temp=0.9, top_k=40, top_p=0.95,
+                        repeat_penalty=1.1, repeat_last_n=16)
+    prompt = [3, 5, 7, 11]
+
+    def run(extra_prompts):
+        eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64, chunk=3,
+                          per_request_sampling=True,
+                          device_sampling=DeviceSampling(temp=0.9))
+        eng.start()
+        try:
+            r = eng.submit(Request(prompt, n_predict=10, sampling=sp,
+                                   seed=1234))
+            others = [eng.submit(Request(p, n_predict=10,
+                                         sampling=SamplingParams(temp=0.7),
+                                         seed=9))
+                      for p in extra_prompts]
+            out = list(r.tokens())
+            for o in others:
+                list(o.tokens())
+        finally:
+            eng.stop()
+        return out
+
+    alone = run([])
+    with_one = run([[13, 17]])
+    with_other = run([[19, 23, 29]])
+    assert alone == with_one == with_other, (alone, with_one, with_other)
+    assert len(alone) > 0
