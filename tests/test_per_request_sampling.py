@@ -137,3 +137,32 @@ def test_seeded_request_reproducible_across_batch_compositions(model):
     with_other = run([[19, 23, 29]])
     assert alone == with_one == with_other, (alone, with_one, with_other)
     assert len(alone) > 0
+
+
+def test_seeded_request_identical_plain_vs_speculative(model):
+    """Seeded sampling keys on (seed, position), so a request's sampled
+    stream is IDENTICAL through chunked and speculative engines (the
+    verify sample for position P uses position P's key)."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params = model
+    sp = SamplingParams(temp=0.9, top_k=40, repeat_penalty=1.1,
+                        repeat_last_n=16)
+    prompt = [3, 5, 7, 3, 5]
+
+    def run(**kw):
+        eng = BatchEngine(cfg, params, n_slots=1, n_ctx=64,
+                          per_request_sampling=True,
+                          device_sampling=DeviceSampling(temp=0.9), **kw)
+        eng.start()
+        try:
+            r = eng.submit(Request(prompt, n_predict=10, sampling=sp,
+                                   seed=77))
+            return list(r.tokens())
+        finally:
+            eng.stop()
+
+    chunked = run(chunk=3)
+    spec = run(spec_draft=3, chunk=2)
+    assert chunked == spec, (chunked, spec)
+    assert len(chunked) > 0
