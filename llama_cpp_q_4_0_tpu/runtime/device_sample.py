@@ -10,8 +10,8 @@ the sampled ids every `chunk` tokens.
 
 Supports the full distribution-affecting chain on device: temperature /
 top-k / top-p / tail-free / typical / greedy, repetition-frequency-
-presence penalties (over a carried recent-token window) and mirostat v2
-(carried mu) — all with exact llama.cpp:1804-2090 semantics.  The host
+presence penalties (over a carried recent-token window) and mirostat
+v1/v2 (carried mu) — all with exact llama.cpp:1804-2090 semantics.  The host
 chain (runtime/sampling.py) remains for per-request mirostat/logit-bias
 inside batched per-row ticks (single-stream device loops support the
 ENTIRE chain)."""
