@@ -105,8 +105,18 @@ def run(args) -> int:
         if os.path.exists(args.path_prompt_cache):
             session_tokens = load_session(args.path_prompt_cache, ctx)
             n_match = session_prefix_match(session_tokens, prompt_tokens)
-            if n_match < ctx.n_past:
-                # state is ahead of the match point: recompute from scratch
+            if n_match == len(prompt_tokens) and n_match > 0:
+                # exact match: re-eval the REAL last token for fresh logits
+                # (main.cpp:226-229; a duplicate token would shift the first
+                # new token's distribution)
+                n_match -= 1
+            if n_match <= ctx.n_past:
+                # rewind to the matched prefix (safe under the kv_mask
+                # design: slots >= n_past are invisible until rewritten) —
+                # sessions normally include generated tokens, so the saved
+                # state is ahead of the prompt and rewinding reuses it all
+                ctx.n_past = n_match
+            else:
                 ctx.reset()
                 n_match = 0
             prompt_tokens = prompt_tokens[n_match:]

@@ -178,14 +178,20 @@ def make_handler(state: ServerState):
                         self.wfile.write(hex(len(data))[2:].encode() + b"\r\n"
                                          + data + b"\r\n")
 
-                    for t in generate(lm.ctx, todo, gp, antiprompts=antiprompts):
-                        produced.append(t)
-                        chunk({"content": lm.tokenizer.token_text(t)
-                               .decode("utf-8", errors="replace"),
-                               "stop": False})
-                    chunk({"content": "", "stop": True,
-                           "tokens_predicted": len(produced)})
-                    self.wfile.write(b"0\r\n\r\n")
+                    try:
+                        for t in generate(lm.ctx, todo, gp,
+                                          antiprompts=antiprompts):
+                            produced.append(t)
+                            chunk({"content": lm.tokenizer.token_text(t)
+                                   .decode("utf-8", errors="replace"),
+                                   "stop": False})
+                        chunk({"content": "", "stop": True,
+                               "tokens_predicted": len(produced)})
+                        self.wfile.write(b"0\r\n\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        # client went away: stop generating; fall through so
+                        # last_tokens still records what was produced
+                        pass
                 else:
                     for t in generate(lm.ctx, todo, gp, antiprompts=antiprompts):
                         produced.append(t)

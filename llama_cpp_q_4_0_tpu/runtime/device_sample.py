@@ -454,8 +454,13 @@ def generate_ondevice(ctx, prompt_tokens: list[int], n_predict: int, *,
         )
         ctx.n_past += n
         ids = np.asarray(toks)[0].tolist()
-        for t in ids:
+        for j, t in enumerate(ids):
             if t == eos_token:
+                # rewind past the post-EOS garbage the full chunk wrote, so
+                # callers continuing from ctx (session save, chat reuse)
+                # decode against clean history ending at the last emitted
+                # token's cache slot
+                ctx.n_past -= n - j - 1
                 return out
             out.append(t)
         tok = jnp.asarray([ids[-1]], jnp.int32)

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import io
 import json
-import pickle
 import zipfile
 from functools import partial
 
@@ -34,6 +33,28 @@ from .context import Context
 
 SESSION_MAGIC = "ggsn"
 SESSION_VERSION = 1
+
+
+def _rng_state_to_json(state) -> str:
+    """numpy bit-generator state -> JSON (plain dict of ints/str/arrays).
+    No pickle anywhere: session files may come from untrusted sources."""
+    def enc(o):
+        if isinstance(o, np.ndarray):
+            return {"__ndarray__": o.tolist(), "dtype": str(o.dtype)}
+        if isinstance(o, np.integer):
+            return int(o)
+        raise TypeError(f"unserializable rng state field {type(o)}")
+
+    return json.dumps(state, default=enc)
+
+
+def _rng_state_from_json(s: str):
+    def hook(d):
+        if "__ndarray__" in d:
+            return np.asarray(d["__ndarray__"], dtype=d["dtype"])
+        return d
+
+    return json.loads(s, object_hook=hook)
 
 
 # ---------------------------------------------------------------- state blob
@@ -124,7 +145,7 @@ def save_session(path: str, ctx, tokens: list[int], *, rng=None) -> None:
         z.writestr("meta.json", json.dumps(meta))
         z.writestr("state.npz", state_to_bytes(get_state(ctx)))
         if rng is not None:
-            z.writestr("rng.pkl", pickle.dumps(rng.bit_generator.state))
+            z.writestr("rng.json", _rng_state_to_json(rng.bit_generator.state))
 
 
 def load_session(path: str, ctx, *, rng=None) -> list[int]:
@@ -137,7 +158,8 @@ def load_session(path: str, ctx, *, rng=None) -> list[int]:
             raise ValueError(f"unsupported session version {meta.get('version')}")
         set_state(ctx, state_from_bytes(z.read("state.npz")))
         if rng is not None and meta.get("has_rng"):
-            rng.bit_generator.state = pickle.loads(z.read("rng.pkl"))
+            rng.bit_generator.state = _rng_state_from_json(
+                z.read("rng.json").decode())
     return list(meta["tokens"])
 
 

@@ -42,7 +42,8 @@ from ..models import transformer
 from ..models.config import ModelConfig
 from .context import Context, _bucket
 from .device_sample import (
-    DeviceSampling, _sample_logits, decode_chunk, first_sample,
+    DeviceSampling, _apply_logit_bias, _apply_penalties, _recent_push,
+    _sample_logits, decode_chunk, first_sample, make_recent,
 )
 from .tokenizer import TOKEN_EOS
 
@@ -160,17 +161,32 @@ class DraftModelDrafter:
     donate_argnames=("cache_k", "cache_v"),
 )
 def _verify(cfg: ModelConfig, params, tokens, n_past, cache_k, cache_v,
-            key, *, ds: DeviceSampling, kv_window: int):
+            key, recent=None, *, ds: DeviceSampling, kv_window: int):
     """Forward [B, T] = [last_token, d_1..d_{T-1}]; sample at every
-    position on device; return ids [B, T] (the only D2H transfer)."""
+    position on device; return ids [B, T] (the only D2H transfer).
+
+    With penalties, position j's recent window is `recent` (which already
+    includes the round's last token) pushed with the drafts before j —
+    identical to the plain decode loop's sequential window updates on the
+    accepted prefix (samples at discarded positions don't matter)."""
     logits, cache_k, cache_v = transformer.forward(
         cfg, params, tokens, n_past, cache_k, cache_v,
         last_only=False, kv_window=kv_window,
     )
+    logits = _apply_logit_bias(logits, ds)
     key, sub = jax.random.split(key)
-    from .device_sample import _apply_logit_bias
-
-    ids = _sample_logits(_apply_logit_bias(logits, ds), sub, ds)
+    if not ds.penalized:
+        ids = _sample_logits(logits, sub, ds)
+    else:
+        kp1 = logits.shape[1]
+        subs = jax.random.split(sub, kp1)
+        cols = []
+        for j in range(kp1):
+            pen = _apply_penalties(logits[:, j], recent, ds)
+            cols.append(_sample_logits(pen, subs[j], ds))
+            if j < kp1 - 1:
+                recent = _recent_push(recent, tokens[:, j + 1])
+        ids = jnp.stack(cols, axis=1)
     return ids, cache_k, cache_v, key
 
 
@@ -243,9 +259,11 @@ def generate_speculative(
         toks[0, 1:t_real] = drafts
         p = ctx.n_past
         window = min(_bucket(p + bt), ctx.n_ctx)
+        recent = (make_recent([history], ds.repeat_last_n, ctx.cfg.n_vocab)
+                  if ds.penalized else None)
         ids, ctx.cache_k, ctx.cache_v, key = _verify(
             ctx.cfg, ctx.params, jnp.asarray(toks), jnp.int32(p),
-            ctx.cache_k, ctx.cache_v, key, ds=ds, kv_window=window,
+            ctx.cache_k, ctx.cache_v, key, recent, ds=ds, kv_window=window,
         )
         row = np.asarray(ids)[0]
         a = 0

@@ -216,6 +216,30 @@ def test_ondevice_generate_matches_greedy(loaded):
     assert a == b
 
 
+def test_ondevice_generate_eos_rewinds_n_past(loaded):
+    """Mid-chunk EOS must rewind n_past past the post-EOS garbage slots so
+    callers continuing from ctx (session save, chat reuse) see clean
+    history ending at the last emitted token."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import (
+        DeviceSampling, generate_ondevice,
+    )
+
+    cfg, params, _ = loaded
+    prompt = [3, 9, 27]
+    ctx = Context(cfg, params, n_ctx=64)
+    full = generate_ondevice(ctx, prompt, 10,
+                             sampling=DeviceSampling(temp=-1.0), chunk=4)
+    assert len(full) >= 3
+    eos = full[2]  # trips mid-chunk (chunk=4, first token is pre-chunk)
+    ctx2 = Context(cfg, params, n_ctx=64)
+    got = generate_ondevice(ctx2, prompt, 10,
+                            sampling=DeviceSampling(temp=-1.0), chunk=4,
+                            eos_token=eos)
+    assert got == full[:2]
+    # prefill set n_past=len(prompt); each emitted token occupies one slot
+    assert ctx2.n_past == len(prompt) + len(got)
+
+
 def test_perplexity_ondevice_matches_host(loaded):
     from llama_cpp_q_4_0_tpu.runtime.perplexity import (
         perplexity, perplexity_ondevice,

@@ -104,6 +104,36 @@ def test_speculative_with_draft_model_matches_greedy(model):
     assert stats.n_accepted == stats.n_drafted > 0
 
 
+def test_speculative_penalized_greedy_matches_plain(model):
+    """repeat_penalty=1.1 (the CLI default) through the host speculative
+    path must still be token-for-token identical to the plain decode loop
+    — the verify step applies penalties per position over the same
+    sequential recent-token window the plain loop sees."""
+    cfg, params = model
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(3, 250, 12).tolist()
+    sp = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.1,
+                        repeat_last_n=64, frequency_penalty=0.05)
+    ctx = Context(cfg, params)
+    want = list(generate(ctx, prompt, GenerateParams(
+        n_predict=24, sampling=sp, ignore_eos=True), eos_token=-1))
+
+    ds = DeviceSampling(temp=-1.0, repeat_penalty=1.1, repeat_last_n=64,
+                        frequency_penalty=0.05)
+    got = generate_speculative(
+        Context(cfg, params), prompt, 24, sampling=ds,
+        spec=SpecParams(n_draft=7), ignore_eos=True)
+    assert got == want
+
+    # draft-model path under penalties: drafts come from an UNPENALIZED
+    # greedy draft loop, so acceptance is partial — exactness must hold
+    drafter = DraftModelDrafter(Context(cfg, params))
+    got2 = generate_speculative(
+        Context(cfg, params), prompt, 24, sampling=ds,
+        spec=SpecParams(n_draft=4), drafter=drafter, ignore_eos=True)
+    assert got2 == want
+
+
 def test_speculative_near_context_end_stops_cleanly(model):
     cfg, params = model
     rng = np.random.default_rng(7)
