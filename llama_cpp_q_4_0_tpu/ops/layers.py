@@ -152,27 +152,42 @@ def attention(
     b, t, n_head, hd = q.shape
     s = kd.shape[1]
     n_kv = kd.shape[2]
-    if n_kv != n_head:
-        assert n_head % n_kv == 0
-        rep = n_head // n_kv
-        kd = jnp.repeat(kd, rep, axis=2)
-        vd = jnp.repeat(vd, rep, axis=2)
-        ks = jnp.repeat(ks, rep, axis=2) if ks is not None else None
-        vs = jnp.repeat(vs, rep, axis=2) if vs is not None else None
+    assert n_head % n_kv == 0
+    rep = n_head // n_kv
 
     qf = q.astype(jnp.float32)
     kf = kd.astype(jnp.float32)
     vf = vd.astype(jnp.float32)
-    # [B, H, T, S]
-    scores = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+    if rep == 1:
+        # [B, H, T, S]
+        scores = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+        if ks is not None:
+            scores = scores * ks.transpose(0, 2, 1)[:, :, None, :]
+        kv_pos = jnp.arange(s)[None, None, None, :]  # slot index = position
+        causal = kv_pos <= q_positions[:, None, :, None]
+        valid = kv_mask[:, None, None, :] & causal
+        scores = jnp.where(valid, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(valid, probs, 0.0)
+        if vs is not None:
+            probs = probs * vs.transpose(0, 2, 1)[:, :, None, :]
+        return jnp.einsum("bhts,bshd->bthd", probs, vf)
+
+    # MQA/GQA: group the query heads by kv head and contract against the
+    # SINGLE stored K/V head — broadcast happens inside the einsum, the
+    # [B,S,n_head,D] repeat the reference materializes (falcon.cpp:1225-1227
+    # "cheap hack", ggml_repeat) never exists here
+    qg = qf.reshape(b, t, n_kv, rep, hd)
+    scores = jnp.einsum("btgrd,bsgd->bgrts", qg, kf) * scale  # [B,G,R,T,S]
     if ks is not None:
-        scores = scores * ks.transpose(0, 2, 1)[:, :, None, :]
-    kv_pos = jnp.arange(s)[None, None, None, :]  # static slot index = position
-    causal = kv_pos <= q_positions[:, None, :, None]
-    valid = kv_mask[:, None, None, :] & causal
+        scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :]
+    kv_pos = jnp.arange(s)[None, None, None, None, :]
+    causal = kv_pos <= q_positions[:, None, None, :, None]
+    valid = kv_mask[:, None, None, None, :] & causal
     scores = jnp.where(valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(valid, probs, 0.0)
     if vs is not None:
-        probs = probs * vs.transpose(0, 2, 1)[:, :, None, :]
-    return jnp.einsum("bhts,bshd->bthd", probs, vf)
+        probs = probs * vs.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bgrts,bsgd->btgrd", probs, vf)
+    return out.reshape(b, t, n_head, hd)

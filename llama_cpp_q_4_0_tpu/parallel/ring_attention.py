@@ -34,12 +34,20 @@ def _block_attend(q, k, v, q_pos, k_pos, scale):
 
     q [B, Tq, H, D]; k/v [B, Tk, H, D]; positions are global token indices.
     Returns (m, l, o): block max [B, H, Tq], exp-sum, weighted V sum."""
-    if k.shape[2] != q.shape[2]:  # MQA broadcast
-        rep = q.shape[2] // k.shape[2]
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-    s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
+    b, tq, h, d = q.shape
+    g = k.shape[2]
+    rep = h // g
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if rep == 1:
+        s = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+    else:
+        # MQA/GQA: contract grouped q heads against the single stored KV
+        # head — broadcast inside the einsum, no repeated [B,Tk,H,D] cache
+        qg = qf.reshape(b, tq, g, rep, d)
+        s = jnp.einsum("btgrd,bsgd->bgrts", qg, kf).reshape(
+            b, h, tq, kf.shape[1]) * scale
     causal = q_pos[:, None] >= k_pos[None, :]  # [Tq, Tk]
     s = jnp.where(causal[None, None], s, NEG_INF)
     m = jnp.max(s, axis=-1)  # [B, H, Tq]
@@ -47,7 +55,11 @@ def _block_attend(q, k, v, q_pos, k_pos, scale):
     # fully-masked rows: exp(NEG_INF - NEG_INF) = 1 would pollute l
     p = jnp.where(causal[None, None], p, 0.0)
     l = jnp.sum(p, axis=-1)
-    o = jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32))
+    if rep == 1:
+        o = jnp.einsum("bhts,bshd->bthd", p, vf)
+    else:
+        pg = p.reshape(b, g, rep, tq, -1)
+        o = jnp.einsum("bgrts,bsgd->btgrd", pg, vf).reshape(b, tq, h, d)
     return m, l, o
 
 
