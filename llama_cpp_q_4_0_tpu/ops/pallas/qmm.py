@@ -167,125 +167,6 @@ def _qmm_packed_bias_kernel(
         out_ref[:] = acc_ref[:]
 
 
-def _qmm_packed_pipe_kernel(
-    xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, out_ref, acc_ref, w_ref,
-    *, n_k: int, gsize: int, zero: int,
-):
-    """Software-pipelined split-half kernel: the MXU dot consumes the tile
-    dequantized at the PREVIOUS grid step (double-buffered VMEM scratch),
-    so the VPU's nibble-unpack/scale work overlaps the MXU instead of
-    serializing with it.  Measured on v5e: the serial form costs
-    ~(dequant VPU) + (dot MXU) per forward — ~12 ms + ~9 ms at T=8 —
-    because each grid step's dot waits on its own dequant; this form hides
-    whichever is smaller.  Runs n_k + 1 steps (epilogue drains the last
-    tile); the two dots are fused into one [B, 2*BK] x [2*BK, BN] MXU call
-    on a concatenated x tile."""
-    k = pl.program_id(1)
-    bk, bn = p_ref.shape
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    # dot of the previous step's tile first: it has no dependency on this
-    # step's dequant writes, so MXU and VPU proceed concurrently
-    @pl.when(k > 0)
-    def _():
-        prev = (k - 1) % 2
-        xc = jnp.concatenate(
-            [xlo_ref[:], xhi_ref[:]], axis=1).astype(jnp.bfloat16)
-        acc_ref[:] += jnp.dot(xc, w_ref[prev],
-                              preferred_element_type=jnp.float32)
-
-    @pl.when(k < n_k)
-    def _():
-        cur = k % 2
-        p = p_ref[:].astype(jnp.int32)
-        lo = ((p & 0xF) - zero).astype(jnp.float32).reshape(
-            bk // gsize, gsize, bn)
-        hi = (((p >> 4) & 0xF) - zero).astype(jnp.float32).reshape(
-            bk // gsize, gsize, bn)
-        w_ref[cur, :bk] = (lo * _scales_f32(slo_ref[0])[:, None, :]).reshape(
-            bk, bn).astype(jnp.bfloat16)
-        w_ref[cur, bk:] = (hi * _scales_f32(shi_ref[0])[:, None, :]).reshape(
-            bk, bn).astype(jnp.bfloat16)
-
-    @pl.when(k == n_k)
-    def _():
-        out_ref[:] = acc_ref[:]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("gsize", "zero", "block_n", "block_k", "interpret"),
-)
-def qmm_packed_pipe(
-    x: jax.Array,
-    packed_t: jax.Array,
-    gscale_t: jax.Array,
-    *,
-    gsize: int = 32,
-    zero: int = 8,
-    block_n: int = 256,
-    block_k: int = 1024,
-    interpret: bool = False,
-) -> jax.Array:
-    """Pipelined variant of qmm_packed (no affine bias — q4_0/q5_0 path)."""
-    b, k = x.shape
-    k2p, n = packed_t.shape
-    k2 = k // 2
-    assert k2 <= k2p, (x.shape, packed_t.shape)
-    block_n = min(block_n, n)
-    bk = min(block_k, k2p)
-    assert n % block_n == 0 and k2p % bk == 0, (n, k2p, block_n, bk)
-    assert bk % gsize == 0 and (bk // gsize) % 8 == 0
-    n_k = k2p // bk
-    grid = (n // block_n, n_k + 1)
-
-    pad = k2p - k2
-    x_lo = jnp.pad(x[:, :k2], ((0, 0), (0, pad)))
-    x_hi = jnp.pad(x[:, k2:], ((0, 0), (0, pad)))
-    gscale_t = _u16_view(gscale_t)
-
-    def xmap(i, kk):
-        return (0, jnp.maximum(kk - 1, 0))  # dot consumes tile kk-1
-
-    def wmap(i, kk):
-        return (jnp.minimum(kk, n_k - 1), i)  # epilogue step re-maps last
-
-    def smap(plane):
-        return lambda i, kk: (plane, jnp.minimum(kk, n_k - 1), i)
-
-    in_specs = [
-        pl.BlockSpec((b, bk), xmap),
-        pl.BlockSpec((b, bk), xmap),
-        pl.BlockSpec((bk, block_n), wmap),
-        pl.BlockSpec((1, bk // gsize, block_n), smap(0)),
-        pl.BlockSpec((1, bk // gsize, block_n), smap(1)),
-    ]
-    flops = 2 * b * n * k
-    bytes_accessed = k2p * n + 8 * (k2p // gsize) * n + 2 * b * k + 4 * b * n
-    return pl.pallas_call(
-        functools.partial(_qmm_packed_pipe_kernel, n_k=n_k, gsize=gsize,
-                          zero=zero),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, block_n), lambda i, kk: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((b, block_n), jnp.float32),
-            pltpu.VMEM((2, 2 * bk, block_n), jnp.bfloat16),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
-        ),
-        interpret=interpret,
-    )(x_lo, x_hi, packed_t, gscale_t, gscale_t)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("gsize", "zero", "block_n", "block_k", "interpret"),

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .qtensor import QTensor
 from .lowrank import LowRankPatched
-from .pallas.qmm import qmm, qmm_packed, qmm_packed_pipe
+from .pallas.qmm import qmm, qmm_packed
 
 
 def _on_tpu() -> bool:
@@ -102,21 +102,11 @@ def q_matmul(
                 block_k = max(bk for bk in (2048, 1024, 512, 256)
                               if k2p % bk == 0 and bk % w.gsize == 0
                               and (bk // w.gsize) % 8 == 0)
-            if w.gbias_t is None and os.environ.get("QMM_PIPELINE"):
-                # experimental software-pipelined kernel (dequant VPU work
-                # overlaps the MXU dot; see _qmm_packed_pipe_kernel)
-                out = qmm_packed_pipe(
-                    x2, w.levels_t, w.gscale_t,
-                    gsize=w.gsize, zero=w.pack_zero,
-                    block_n=block_n,
-                    block_k=int(os.environ.get("QMM_PIPE_BLOCK_K", "1024")),
-                )
-            else:
-                out = qmm_packed(
-                    x2, w.levels_t, w.gscale_t, w.gbias_t,
-                    gsize=w.gsize, zero=w.pack_zero,
-                    block_n=block_n, block_k=block_k,
-                )
+            out = qmm_packed(
+                x2, w.levels_t, w.gscale_t, w.gbias_t,
+                gsize=w.gsize, zero=w.pack_zero,
+                block_n=block_n, block_k=block_k,
+            )
         else:
             block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256
             out = qmm(

@@ -83,29 +83,6 @@ def test_pallas_qmm_interpret_matches_xla(qtype):
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
-@pytest.mark.parametrize("b", [1, 4, 8])
-def test_pallas_qmm_pipe_interpret_matches_xla(b):
-    """Software-pipelined packed kernel (interpret mode) == XLA fallback.
-    Multiple batch sizes: the pipeline's x-tile index map lags the weight
-    tiles by one grid step — off-by-one bugs show up as wrong results at
-    every b."""
-    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed_pipe
-
-    w, qt = _mk(256, 1024, GGMLType.Q4_0, seed=7)
-    assert qt.packed and qt.gbias_t is None
-    rng = np.random.default_rng(3)
-    x = (rng.standard_normal((b, 1024)) * 0.5).astype(np.float32)
-    ref = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
-    out = np.asarray(
-        qmm_packed_pipe(
-            jnp.asarray(x), qt.levels_t, qt.gscale_t,
-            gsize=qt.gsize, zero=qt.pack_zero, block_n=128, block_k=256,
-            interpret=True,
-        )
-    )
-    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
-
-
 def test_packed_unpacked_equivalence():
     """Nibble packing is lossless: packed and int8 QTensors of the same
     blocks dequantize and matmul identically."""
