@@ -28,7 +28,60 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--vdot", action="store_true",
                    help="vector-dot accuracy/speed comparison "
                         "(pocs/vdot/{vdot,q8dot}.cpp analogue)")
+    p.add_argument("--stream", action="store_true",
+                   help="pure-Pallas HBM read-stream microbench: the "
+                        "practical bandwidth ceiling decode is judged "
+                        "against (BASELINE.md north star)")
+    p.add_argument("--stream-gib", type=float, default=2.0)
+    p.add_argument("--stream-tile-mib", type=int, default=4)
     return p
+
+
+def run_stream(args) -> int:
+    """Measure the achievable HBM read bandwidth with a minimal Pallas
+    kernel: grid-steps DMA fixed tiles of a large uint8 array into VMEM and
+    touch 8 sublanes (the DMA moves the whole block regardless).  Decode is
+    weight-stream-bound, so this number — not the 819 GB/s chip spec — is
+    the denominator for 'percent of roofline'."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = 65536
+    tile_rows = args.stream_tile_mib * (1 << 20) // lanes
+    rows = int(args.stream_gib * (1 << 30)) // lanes
+    rows -= rows % tile_rows
+    data = jnp.ones((rows, lanes), jnp.uint8)
+    n_k = rows // tile_rows
+
+    def kernel(x_ref, out_ref, *, n_k):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] += x_ref[:8, :128].astype(jnp.float32)
+
+    fn = pl.pallas_call(
+        functools.partial(kernel, n_k=n_k),
+        grid=(n_k,),
+        in_specs=[pl.BlockSpec((tile_rows, lanes), lambda k: (k, 0))],
+        out_specs=pl.BlockSpec((8, 128), lambda k: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=rows * lanes, transcendentals=0
+        ),
+    )
+    t = _time(jax.jit(lambda: fn(data)).lower().compile(), args.iterations)
+    gb = rows * lanes / 1e9
+    print(f"HBM read-stream: {gb:.2f} GB in {t * 1e3:.2f} ms = "
+          f"{gb / t:.1f} GB/s  (tile {args.stream_tile_mib} MiB)")
+    return 0
 
 
 def run_vdot(args) -> int:
@@ -79,6 +132,8 @@ def _time(fn, iters: int) -> float:
 def run(args) -> int:
     if args.vdot:
         return run_vdot(args)
+    if args.stream:
+        return run_stream(args)
     n, k, b = args.sizex, args.sizey, args.sizez
     qtype = GGMLType[args.type.upper()]
     rng = np.random.default_rng(0)

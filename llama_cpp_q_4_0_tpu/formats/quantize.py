@@ -46,17 +46,50 @@ def _use_more_bits(i_layer: int, num_layers: int) -> bool:
 _KQ = (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K)
 
 
+def _qh_bits(qh: np.ndarray) -> np.ndarray:
+    """[nb, 4] qh bytes -> [nb, 32] per-position high bits (LSB-first)."""
+    u = qh.astype(np.uint32)
+    word = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16) | (u[:, 3] << 24)
+    return (word[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+
+
 def _histogram(blocks: np.ndarray, qtype: GGMLType) -> np.ndarray:
-    """16-bin histogram of quant levels (what ggml_quantize_* collect)."""
+    """16-bin histogram of quant levels, exactly what the reference's
+    ggml_quantize_* collect (ggml.c:19157-19283):
+
+      q4_0/q4_1 — both nibbles of every qs byte;
+      q5_0/q5_1 — the reconstructed 5-bit value (nibble | qh-bit<<4)
+                  halved into 16 bins;
+      q8_0      — vi/16 + 8 with C truncating division;
+      k-quants  — nothing (k_quants.c:405 '(void)hist' for every format).
+    """
     hist = np.zeros(16, dtype=np.int64)
-    try:
-        raw = blocks.view(np.uint8) if blocks.dtype.fields else blocks
-        if blocks.dtype.fields and "qs" in blocks.dtype.fields:
-            q = blocks["qs"]
-            lo = (q & 0xF).ravel() if q.dtype == np.uint8 else (np.abs(q.ravel()) % 16)
-            hist += np.bincount(lo.astype(np.int64).ravel() % 16, minlength=16)[:16]
-    except Exception:
-        pass
+    flat = blocks.reshape(-1)
+    if qtype in (GGMLType.Q4_0, GGMLType.Q4_1):
+        qs = flat["qs"]
+        hist += np.bincount((qs & 0x0F).ravel(), minlength=16)
+        hist += np.bincount((qs >> 4).ravel(), minlength=16)
+    elif qtype in (GGMLType.Q5_0, GGMLType.Q5_1):
+        # the reference's hist loop steps j by 2 over the 32 elements while
+        # indexing qs[j/2], so byte i's high bits come from qh bits 2i and
+        # 2i+16 — and for i >= 8 both shift counts in
+        # ((qh & (1u << (j+16))) >> (j+12)) reach 32+, C UB that x86 wraps
+        # mod 32: bytes 8-9 get NO high bit and bytes 10-15 read bit 2i-16.
+        # Reproduced bit-for-bit (gated against the compiled oracle); this
+        # histogram does NOT reflect the actual q5 element values.
+        i = np.arange(16)
+        hi_idx = np.where(i <= 7, 2 * i + 16, 2 * i - 16)
+        hi_bit_on = (i <= 7) | (i >= 10)
+        qs = flat["qs"].astype(np.uint8)
+        bits = _qh_bits(flat["qh"]).astype(np.uint8)
+        lo = (qs & 0x0F) | (bits[:, 2 * i] << 4)
+        hi = (qs >> 4) | ((bits[:, hi_idx] * hi_bit_on) << 4).astype(np.uint8)
+        hist += np.bincount((lo // 2).ravel(), minlength=16)
+        hist += np.bincount((hi // 2).ravel(), minlength=16)
+    elif qtype == GGMLType.Q8_0:
+        vi = flat["qs"].astype(np.int64).ravel()
+        bins = np.trunc(vi / 16).astype(np.int64) + 8  # C int division
+        hist += np.bincount(bins, minlength=16)[:16]
     return hist
 
 

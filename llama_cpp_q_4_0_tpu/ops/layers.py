@@ -116,6 +116,21 @@ def alibi_bias(n_head: int, kv_len: int, n_head_log2_bias: float = 8.0) -> jax.A
     return slopes[:, None] * pos[None, :]  # [n_head, kv_len]
 
 
+def _use_fused_decode(rep: int, t: int, s: int, hd: int) -> bool:
+    """Fused Pallas decode-attention eligibility (see pallas/attention.py).
+    Env-gated (FUSED_ATTN=1) while model-level numbers are collected."""
+    import os
+
+    if not os.environ.get("FUSED_ATTN"):
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return (on_tpu and rep == 1 and t <= 8 and hd % 64 == 0
+            and s % min(256, s) == 0 and s >= 128)
+
+
 def attention(
     q: jax.Array,
     k_cache,
@@ -154,6 +169,15 @@ def attention(
     n_kv = kd.shape[2]
     assert n_head % n_kv == 0
     rep = n_head // n_kv
+
+    if _use_fused_decode(rep, t, s, hd):
+        from .pallas.attention import mha_decode
+
+        return mha_decode(
+            q.astype(jnp.float32), kd, ks, vd, vs,
+            q_positions.astype(jnp.int32), kv_mask, float(scale),
+            block_s=min(256, s),
+        )
 
     qf = q.astype(jnp.float32)
     kf = kd.astype(jnp.float32)

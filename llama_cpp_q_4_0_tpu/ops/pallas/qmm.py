@@ -167,6 +167,157 @@ def _qmm_packed_bias_kernel(
         out_ref[:] = acc_ref[:]
 
 
+def _qmm_packed_q8x_kernel(
+    xlo_ref, xhi_ref, sxlo_ref, sxhi_ref, p_ref, slo_ref, shi_ref,
+    out_ref, acc_ref, *, n_k: int, gsize: int, zero: int, n_groups: int,
+    int8_mxu: bool,
+):
+    """int8-activation split-half kernel (the reference's q8_0-activation
+    path, ggml.c:11353-11367 + ggml_vec_dot_q4_0_q8_0, mapped to the MXU).
+
+    Per quant group g the product is EXACT integer arithmetic:
+        y += d_x[b,g] * d_w[g,n] * (sum_{k in g} xq[b,k] * wlev[k,n])
+    The group dot rides the MXU ([B, gsize] x [gsize, BN] int8 -> int32);
+    only the two group scales touch the VPU, so dequant drops from ~5 f32
+    ops/weight (mask, convert, scale-mul, bf16-cast) to 2 int ops/weight
+    (nibble mask/shift) — the VPU was the decode-side bottleneck at small
+    batch (NOTES-NEXT-ROUND 12a).
+
+    int8_mxu=False runs the dots in bf16: still EXACT (|levels| <= 8,
+    |xq| <= 127 — products < 2^10 and f32 accumulation is exact below
+    2^24), at the bf16 MXU rate instead of the 2x int8 rate."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bk, bn = p_ref.shape
+    b = xlo_ref.shape[1]
+    dt = jnp.int8 if int8_mxu else jnp.bfloat16
+    pt = jnp.int32 if int8_mxu else jnp.float32
+
+    def group(g, acc):
+        # unpack ONLY this group's packed rows (dynamic ref slice — keeps
+        # the program one loop body instead of n_groups unrolled MXU dots,
+        # which blew past a 560 s Mosaic compile)
+        pg = p_ref[pl.ds(g * gsize, gsize), :]
+        for x_ref, sx_ref, lv, s_ref in (
+            (xlo_ref, sxlo_ref, (pg & 0xF).astype(jnp.int8) - zero, slo_ref),
+            (xhi_ref, sxhi_ref, (pg >> 4).astype(jnp.int8) - zero, shi_ref),
+        ):
+            d = jnp.dot(x_ref[pl.ds(g, 1)][0].astype(dt), lv.astype(dt),
+                        preferred_element_type=pt)
+            # d_x: [B, 8] tile, lane 0 broadcast across BN (sublane-aligned
+            # with d); d_w: [1, BN] row broadcast across B
+            dx = jnp.broadcast_to(sx_ref[pl.ds(g, 1)][0][:, :1], (b, bn))
+            acc = acc + d.astype(jnp.float32) * dx * _scales_f32(
+                s_ref[:, pl.ds(g, 1)][0])
+        return acc
+
+    acc = jnp.zeros(acc_ref.shape, jnp.float32)
+    acc = jax.lax.fori_loop(0, n_groups, group, acc)
+    acc_ref[:] += acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _quantize_q8x(x: jax.Array, gsize: int, k2p: int):
+    """Per-group symmetric int8 activation quantization + split-half
+    arrangement (quantize_row_q8_0 semantics, ggml.c:1135-1169: d = amax/127,
+    q = round(x/d)).
+
+    Returns (xq_lo, xq_hi int8 [G2P, B, gsize], sx_lo, sx_hi f32
+    [G2P, B, 8]) where G2P = k2p // gsize and plane rows beyond the real
+    K/2 are zero."""
+    b, k = x.shape
+    k2 = k // 2
+    g2 = k2 // gsize
+    g2p = k2p // gsize
+    xf = x.astype(jnp.float32).reshape(b, 2 * g2, gsize)
+    amax = jnp.max(jnp.abs(xf), axis=-1)  # [B, 2*G2]
+    dq = amax / jnp.float32(127.0)
+    idq = jnp.where(dq > 0, 1.0 / dq, 0.0)
+    v = xf * idq[..., None]
+    # C roundf (half away from zero), as quantize_row_q8_0 does
+    xq = jnp.trunc(v + jnp.where(v >= 0, 0.5, -0.5)).astype(jnp.int8)
+    # the reference stores block_q8_0.d as fp16 — fold that rounding in so
+    # the kernel's scale product matches vec_dot_q4_0_q8_0 exactly
+    d = dq.astype(jnp.float16).astype(jnp.float32)
+    pad = ((0, g2p - g2), (0, 0), (0, 0))
+    xq_lo = jnp.pad(xq[:, :g2].transpose(1, 0, 2), pad)
+    xq_hi = jnp.pad(xq[:, g2:].transpose(1, 0, 2), pad)
+    d8 = jnp.broadcast_to(d.T[:, :, None], (2 * g2, b, 8))
+    sx_lo = jnp.pad(d8[:g2], pad)
+    sx_hi = jnp.pad(d8[g2:], pad)
+    return xq_lo, xq_hi, sx_lo, sx_hi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gsize", "zero", "block_n", "block_k", "int8_mxu",
+                     "interpret"),
+)
+def qmm_packed_q8x(
+    x: jax.Array,
+    packed_t: jax.Array,
+    gscale_t: jax.Array,
+    *,
+    gsize: int = 32,
+    zero: int = 8,
+    block_n: int = 256,
+    block_k: int = 1024,
+    int8_mxu: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [B, K] @ dequant(packed nibbles) -> [B, N] f32 via int8-quantized
+    activations (see _qmm_packed_q8x_kernel).  Non-bias packed formats only
+    (q4_0 path); layout contract identical to qmm_packed."""
+    b, k = x.shape
+    k2p, n = packed_t.shape
+    assert k // 2 <= k2p, (x.shape, packed_t.shape)
+    block_n = min(block_n, n)
+    bk = min(block_k, k2p)
+    assert n % block_n == 0 and k2p % bk == 0, (n, k2p, block_n, bk)
+    assert bk % gsize == 0 and (bk // gsize) % 8 == 0
+    n_k = k2p // bk
+    n_groups = bk // gsize
+    grid = (n // block_n, n_k)
+
+    xq_lo, xq_hi, sx_lo, sx_hi = _quantize_q8x(x, gsize, k2p)
+    gscale_t = _u16_view(gscale_t)
+
+    in_specs = [
+        pl.BlockSpec((n_groups, b, gsize), lambda i, kk: (kk, 0, 0)),
+        pl.BlockSpec((n_groups, b, gsize), lambda i, kk: (kk, 0, 0)),
+        pl.BlockSpec((n_groups, b, 8), lambda i, kk: (kk, 0, 0)),
+        pl.BlockSpec((n_groups, b, 8), lambda i, kk: (kk, 0, 0)),
+        pl.BlockSpec((bk, block_n), lambda i, kk: (kk, i)),
+        pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (0, kk, i)),
+        pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (1, kk, i)),
+    ]
+    flops = 2 * b * n * k
+    bytes_accessed = k2p * n + 8 * (k2p // gsize) * n + b * k + 4 * b * n
+    return pl.pallas_call(
+        functools.partial(_qmm_packed_q8x_kernel, n_k=n_k, gsize=gsize,
+                          zero=zero, n_groups=n_groups, int8_mxu=int8_mxu),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, block_n), lambda i, kk: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(xq_lo, xq_hi, sx_lo, sx_hi, packed_t, gscale_t, gscale_t)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gsize", "zero", "block_n", "block_k", "interpret"),

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .qtensor import QTensor
 from .lowrank import LowRankPatched
-from .pallas.qmm import qmm, qmm_packed
+from .pallas.qmm import qmm, qmm_packed, qmm_packed_q8x
 
 
 def _on_tpu() -> bool:
@@ -102,11 +102,22 @@ def q_matmul(
                 block_k = max(bk for bk in (2048, 1024, 512, 256)
                               if k2p % bk == 0 and bk % w.gsize == 0
                               and (bk // w.gsize) % 8 == 0)
-            out = qmm_packed(
-                x2, w.levels_t, w.gscale_t, w.gbias_t,
-                gsize=w.gsize, zero=w.pack_zero,
-                block_n=block_n, block_k=block_k,
-            )
+            q8x = os.environ.get("QMM_Q8X")
+            if q8x and w.gbias_t is None and b <= 128:
+                # int8-activation MXU path (reference q8_0-activation
+                # analogue; experimental, model-level numbers pending)
+                out = qmm_packed_q8x(
+                    x2, w.levels_t, w.gscale_t,
+                    gsize=w.gsize, zero=w.pack_zero,
+                    block_n=block_n, block_k=block_k,
+                    int8_mxu=(q8x != "bf16"),
+                )
+            else:
+                out = qmm_packed(
+                    x2, w.levels_t, w.gscale_t, w.gbias_t,
+                    gsize=w.gsize, zero=w.pack_zero,
+                    block_n=block_n, block_k=block_k,
+                )
         else:
             block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256
             out = qmm(

@@ -83,6 +83,64 @@ def test_pallas_qmm_interpret_matches_xla(qtype):
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("b", [1, 4, 8])
+@pytest.mark.parametrize("int8_mxu", [True, False], ids=["int8", "bf16"])
+def test_pallas_qmm_q8x_matches_reference_dot(b, int8_mxu):
+    """int8-activation kernel == the reference's q4_0 x q8_0 CPU semantics
+    (quantize_row_q8_0 + ggml_vec_dot_q4_0_q8_0): activations quantized
+    per-32-group with an fp16-stored amax/127 scale, exact integer group
+    dots, f32 rescale.  Ground truth is the byte-exact numpy emulation in
+    quant/blockq.py; only f32 summation order may differ."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed_q8x
+    from llama_cpp_q_4_0_tpu.quant.blockq import (
+        f16_to_f32, quantize_q8_0, _int_nibbles,
+    )
+    from llama_cpp_q_4_0_tpu.quant import QUANT_FNS
+
+    n, k = 256, 1024
+    w, qt = _mk(n, k, GGMLType.Q4_0, seed=7)
+    assert qt.packed and qt.gbias_t is None
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((b, k)) * 0.5).astype(np.float32)
+
+    # reference semantics in float64 accumulation (associativity-free)
+    wb = QUANT_FNS[GGMLType.Q4_0].quantize_row(w)  # [n, k/32] q4_0 blocks
+    qlv = _int_nibbles(wb.reshape(-1), 8).reshape(n, k // 32, 32)
+    wd = f16_to_f32(wb["d"]).reshape(n, k // 32)
+    yb = quantize_q8_0(x)  # [b, k/32] q8_0 blocks
+    xqv = yb["qs"].astype(np.int64).reshape(b, k // 32, 32)
+    xd = f16_to_f32(yb["d"]).reshape(b, k // 32)
+    sumi = np.einsum("bgk,ngk->bgn", xqv, qlv.astype(np.int64))
+    ref = np.einsum("bgn,bg,ng->bn", sumi.astype(np.float64), xd.astype(
+        np.float64), wd.astype(np.float64))
+
+    out = np.asarray(
+        qmm_packed_q8x(
+            jnp.asarray(x), qt.levels_t, qt.gscale_t,
+            gsize=qt.gsize, zero=qt.pack_zero, block_n=128, block_k=256,
+            int8_mxu=int8_mxu, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_q8x_dispatch_env(monkeypatch):
+    """QMM_Q8X routes the packed no-bias path through the int8-activation
+    kernel (interpret-mode CPU here; numerics equal the q8x kernel called
+    directly)."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed_q8x
+
+    w, qt = _mk(256, 512, GGMLType.Q4_0, seed=9)
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((4, 512)) * 0.5).astype(np.float32)
+    want = np.asarray(qmm_packed_q8x(
+        jnp.asarray(x), qt.levels_t, qt.gscale_t, gsize=qt.gsize,
+        zero=qt.pack_zero, block_n=256, block_k=256, interpret=True))
+    ref = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
+    # activation quantization moves the result by ~d/2 per element
+    assert np.abs(want - ref).max() / np.abs(ref).max() < 2e-2
+
+
 def test_packed_unpacked_equivalence():
     """Nibble packing is lossless: packed and int8 QTensors of the same
     blocks dequantize and matmul identically."""

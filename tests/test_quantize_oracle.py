@@ -112,6 +112,28 @@ def test_quantize_bit_exact(reflib, qtype, seed):
     assert ref_bytes == our_bytes, f"{qtype.name}: byte mismatch"
 
 
+@pytest.mark.parametrize("qtype", QTYPES, ids=lambda t: t.name)
+def test_quantize_histogram_matches_reference(reflib, qtype):
+    """formats.quantize._histogram == the hist ggml_quantize_chunk fills
+    (ggml.c:19157-19283; k-quants deliberately collect none,
+    k_quants.c:405)."""
+    from llama_cpp_q_4_0_tpu.formats.quantize import _histogram
+
+    rng = np.random.default_rng(3)
+    n = 16 * TYPE_TRAITS[qtype].block_size
+    data = rng.standard_normal(n).astype(np.float32)
+    tr = TYPE_TRAITS[qtype]
+    dst = ctypes.create_string_buffer(n // tr.block_size * tr.type_size + 256)
+    hist = (ctypes.c_int64 * 16)()
+    src = np.ascontiguousarray(data, dtype=np.float32)
+    reflib.ggml_quantize_chunk(
+        int(qtype), src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.cast(dst, ctypes.c_void_p), 0, n, hist)
+    ours = _histogram(QUANT_FNS[qtype].quantize_row(data), qtype)
+    np.testing.assert_array_equal(ours, np.ctypeslib.as_array(hist),
+                                  err_msg=qtype.name)
+
+
 # --------------------------------------------------------------------------
 # GGML_QKK_64 build variant (k_quants.h:10-16): QK_K=64 super-blocks with
 # different structs AND different quantization algorithms for q3/q4/q5_K.
