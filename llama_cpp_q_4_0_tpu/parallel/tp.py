@@ -151,17 +151,16 @@ def _localize(w):
 
 @functools.lru_cache(maxsize=8)
 def spec_forward(mesh: Mesh):
-    """forward_fn adapter for runtime/device_spec.spec_chunk: the verify
-    forward runs through the explicit shard_map TP path.  Rows must share
-    one position (B=1 single-stream speculation; tp_forward takes a scalar
-    n_past).  kv_window is accepted but the TP body masks over the full
-    cache instead (correct, marginally more attention work).  lru_cached
-    per mesh so the static forward_fn hash is stable across calls."""
+    """forward_fn adapter with transformer.forward's signature: the verify /
+    engine forward runs through the explicit shard_map TP path.  Handles
+    scalar AND per-row n_past plus kv_window (tp_forward implements both),
+    so it composes with device speculation and the batch engine's staggered
+    slot occupancy.  lru_cached per mesh so the static forward_fn hash is
+    stable across calls."""
 
     def fwd(cfg, params, toks, n_past, ck, cv, *, last_only, kv_window):
-        np_s = n_past if jnp.ndim(n_past) == 0 else n_past[0]
-        return tp_forward(cfg, params, toks, np_s, ck, cv, mesh,
-                          last_only=last_only)
+        return tp_forward(cfg, params, toks, n_past, ck, cv, mesh,
+                          last_only=last_only, kv_window=kv_window)
 
     return fwd
 
@@ -170,15 +169,20 @@ def tp_forward(
     cfg: ModelConfig,
     params: TransformerParams,   # sharded per parallel/shard.py
     tokens: jax.Array,           # [B, T] replicated
-    n_past: jax.Array,           # scalar
+    n_past: jax.Array,           # scalar, or [B] (continuous batching)
     cache_k: tuple,              # [B, S, H_kv, D], heads sharded when possible
     cache_v: tuple,
     mesh: Mesh,
     *,
     last_only: bool = True,
+    kv_window: int | None = None,
 ):
     """Returns (logits, new_cache_k, new_cache_v) — numerically the regular
     forward, communication written out explicitly.
+
+    n_past may be per-row ([B]) so the explicit-TP path composes with the
+    batch engine's staggered slot occupancy, and kv_window (static) slices
+    the attended cache prefix — both exactly as models.transformer.forward.
 
     NOTE: builds a fresh shard_map closure per call — wrap the call in one
     jax.jit at your call site (as the tests/dryrun do) so the decode loop
@@ -201,11 +205,13 @@ def tp_forward(
         # head_dim from the GLOBAL config — lcfg.head_dim would divide
         # n_embd by the local head count
         h_q, h_kv, hd = lcfg.n_head, lcfg.kv_heads, cfg.head_dim
-        pos_b = n_past + jnp.arange(t, dtype=jnp.int32)[None, :]
-        pos_b = jnp.broadcast_to(pos_b, (b, t))
+        per_row = jnp.ndim(n_past) == 1
+        n_past_v = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32), (b,))
+        pos_b = n_past_v[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         s = cache_k[0].shape[1]
-        kv_mask = jnp.broadcast_to(
-            jnp.arange(s, dtype=jnp.int32)[None, :] < (n_past + t), (b, s))
+        w = s if kv_window is None else min(kv_window, s)
+        kv_mask = (jnp.arange(w, dtype=jnp.int32)[None, :]
+                   < (n_past_v[:, None] + t))
         scale = 1.0 / math.sqrt(hd)
 
         # vocab-sharded embedding: local rows + psum of masked gather
@@ -231,13 +237,21 @@ def tp_forward(
                          base=lcfg.rope_base)
                 k = rope(k, pos_b, lcfg.n_rot, neox=lcfg.rope_neox,
                          base=lcfg.rope_base)
-            ck = jax.lax.dynamic_update_slice(
-                cache_k[l], k.astype(cache_k[l].dtype), (0, n_past, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cache_v[l], v.astype(cache_v[l].dtype), (0, n_past, 0, 0))
+            if per_row:
+                ck = jax.vmap(lambda c, vv, o: jax.lax.dynamic_update_slice(
+                    c, vv, (o, 0, 0)))(cache_k[l], k.astype(cache_k[l].dtype),
+                                       n_past_v)
+                cv = jax.vmap(lambda c, vv, o: jax.lax.dynamic_update_slice(
+                    c, vv, (o, 0, 0)))(cache_v[l], v.astype(cache_v[l].dtype),
+                                       n_past_v)
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    cache_k[l], k.astype(cache_k[l].dtype), (0, n_past, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cache_v[l], v.astype(cache_v[l].dtype), (0, n_past, 0, 0))
             new_k.append(ck)
             new_v.append(cv)
-            a = attention(q, ck, cv, pos_b, kv_mask, scale)
+            a = attention(q, ck[:, :w], cv[:, :w], pos_b, kv_mask, scale)
             # row-parallel wo: local heads produce a partial sum -> psum
             attn_out = jax.lax.psum(
                 _mm(a.reshape(b, t, h_q * hd), blk.wo, cfg=lcfg), "tp")

@@ -163,6 +163,69 @@ def _prefix_prefill(cfg, params, tokens, cache_k, cache_v, kv_window):
     return None, cache_k, cache_v
 
 
+@functools.lru_cache(maxsize=8)
+def _custom_engine_fns(forward_fn):
+    """Engine forwards routed through a custom forward_fn (same contract as
+    transformer.forward — e.g. parallel.tp.spec_forward(mesh) for explicit
+    shard_map tensor parallelism).  lru_cached per forward_fn so engines
+    sharing a mesh share compiles, mirroring the module-level defaults."""
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+                       donate_argnames=("cache_k", "cache_v"))
+    def decode(cfg, params, tokens, n_past_v, cache_k, cache_v, kv_window):
+        return forward_fn(cfg, params, tokens, n_past_v, cache_k, cache_v,
+                          last_only=True, kv_window=kv_window)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+                       donate_argnames=("cache_k", "cache_v"))
+    def prefill(cfg, params, tokens, slot, n_real, cache_k, cache_v,
+                kv_window, n_past=0):
+        take_row = lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
+        row_k = jax.tree.map(take_row, cache_k)
+        row_v = jax.tree.map(take_row, cache_v)
+        logits, row_k, row_v = forward_fn(
+            cfg, params, tokens, jnp.int32(n_past), row_k, row_v,
+            last_only=False, kv_window=kv_window,
+        )
+        logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1, axis=1)
+        put_row = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
+            c, r.astype(c.dtype), slot, 0)
+        new_k = jax.tree.map(put_row, cache_k, row_k)
+        new_v = jax.tree.map(put_row, cache_v, row_v)
+        return logits, new_k, new_v
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+                       donate_argnames=("cache_k", "cache_v"))
+    def prefill_multi(cfg, params, tokens, slots, n_reals, cache_k, cache_v,
+                      kv_window):
+        take_rows = lambda c: jnp.take(
+            c, jnp.clip(slots, 0, c.shape[0] - 1), axis=0)
+        row_k = jax.tree.map(take_rows, cache_k)
+        row_v = jax.tree.map(take_rows, cache_v)
+        logits, row_k, row_v = forward_fn(
+            cfg, params, tokens, jnp.int32(0), row_k, row_v,
+            last_only=False, kv_window=kv_window,
+        )
+        logits = jnp.take_along_axis(
+            logits, (n_reals - 1)[:, None, None], axis=1)[:, 0]
+        put_rows = lambda c, r: c.at[slots].set(r.astype(c.dtype),
+                                                mode="drop")
+        new_k = jax.tree.map(put_rows, cache_k, row_k)
+        new_v = jax.tree.map(put_rows, cache_v, row_v)
+        return logits, new_k, new_v
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+                       donate_argnames=("cache_k", "cache_v"))
+    def prefix(cfg, params, tokens, cache_k, cache_v, kv_window):
+        _, cache_k, cache_v = forward_fn(
+            cfg, params, tokens, jnp.int32(0), cache_k, cache_v,
+            last_only=True, kv_window=kv_window,
+        )
+        return None, cache_k, cache_v
+
+    return decode, prefill, prefill_multi, prefix
+
+
 class BatchEngine:
     """One engine thread owns the device state; callers submit() Requests
     and read their token queues."""
@@ -172,7 +235,8 @@ class BatchEngine:
                  cache_dtype=jnp.bfloat16, chunk: int = 1,
                  device_sampling=None, pipeline_depth: int = 2,
                  spec_draft: int = 0, spec_max_active: int = 8,
-                 per_request_sampling: bool = False):
+                 per_request_sampling: bool = False,
+                 forward_fn=None, tp_mesh=None):
         """chunk > 1 enables throughput mode: `chunk` tokens per engine tick
         are decoded and sampled ON DEVICE (runtime/device_sample.py) with
         one host round-trip per chunk — engine-wide uniform sampling
@@ -193,7 +257,23 @@ class BatchEngine:
         k+1-wide verify just multiplies compute (measured crossover ~8
         slots on v5e).  When n_active > spec_max_active the engine
         auto-falls back to plain chunked ticks, resyncing the device-side
-        history when occupancy drops again."""
+        history when occupancy drops again.
+
+        tp_mesh routes EVERY engine forward (decode, prefill, chunked and
+        speculative ticks) through the explicit shard_map tensor-parallel
+        path (parallel/tp.py): params are repacked/placed per shard and the
+        KV cache is head-sharded over the mesh.  forward_fn alternatively
+        injects any forward with transformer.forward's contract."""
+        if tp_mesh is not None:
+            from ..parallel.shard import shard_cache
+            from ..parallel.tp import prepare_tp_params, spec_forward
+
+            assert forward_fn is None, "pass tp_mesh OR forward_fn"
+            params = prepare_tp_params(params, tp_mesh, cfg)
+            forward_fn = spec_forward(tp_mesh)
+        self.forward_fn = forward_fn
+        self._custom = (_custom_engine_fns(forward_fn)
+                        if forward_fn is not None else None)
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
@@ -220,6 +300,11 @@ class BatchEngine:
             self._done = jnp.ones((n_slots,), bool)  # frozen until admitted
         self.cache_k, self.cache_v = init_cache(cfg, n_slots, self.n_ctx,
                                                 cache_dtype)
+        if tp_mesh is not None:
+            from ..parallel.shard import shard_cache
+
+            self.cache_k, self.cache_v = shard_cache(
+                self.cache_k, self.cache_v, cfg, tp_mesh)
         self.slots = [_Slot(i) for i in range(n_slots)]
         # async pipeline (chunk > 1): ticks issued ahead of their harvest,
         # with the sample->input feedback chained on device
@@ -247,14 +332,15 @@ class BatchEngine:
 
     def _jit_decode(self, params, tokens, n_past_v, cache_k, cache_v, *,
                     kv_window):
-        return _engine_decode(self.cfg, params, tokens, n_past_v,
-                              cache_k, cache_v, kv_window=kv_window)
+        fn = self._custom[0] if self._custom else _engine_decode
+        return fn(self.cfg, params, tokens, n_past_v,
+                  cache_k, cache_v, kv_window=kv_window)
 
     def _jit_prefill(self, params, tokens, slot, n_real, cache_k, cache_v,
                      *, kv_window, n_past=0):
-        return _engine_prefill(self.cfg, params, tokens, slot, n_real,
-                               cache_k, cache_v, kv_window=kv_window,
-                               n_past=n_past)
+        fn = self._custom[1] if self._custom else _engine_prefill
+        return fn(self.cfg, params, tokens, slot, n_real,
+                  cache_k, cache_v, kv_window=kv_window, n_past=n_past)
 
     # -------------------------------------------------------------- public
 
@@ -274,7 +360,8 @@ class BatchEngine:
         pad = min(_bucket(len(tokens)), self.n_ctx)
         toks = np.zeros((1, pad), np.int32)
         toks[0, : len(tokens)] = tokens
-        _, row_k, row_v = _prefix_prefill(
+        fn = self._custom[3] if self._custom else _prefix_prefill
+        _, row_k, row_v = fn(
             self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
             kv_window=pad)
         self._prefix = (tokens, row_k, row_v)
@@ -387,7 +474,8 @@ class BatchEngine:
         pad = min(_bucket(len(piece)), self.n_ctx - pos)
         toks = np.zeros((1, pad), np.int32)
         toks[0, : len(piece)] = piece
-        logits, st["row_k"], st["row_v"] = _engine_prefill(
+        fn = self._custom[1] if self._custom else _engine_prefill
+        logits, st["row_k"], st["row_v"] = fn(
             self.cfg, self.params, jnp.asarray(toks), jnp.int32(0),
             jnp.int32(len(piece)), st["row_k"], st["row_v"],
             kv_window=min(_bucket(pos + pad), self.n_ctx),
@@ -460,7 +548,8 @@ class BatchEngine:
             toks[i, : len(p)] = p
             slots[i] = slot.idx
             n_reals[i] = len(p)
-        logits, self.cache_k, self.cache_v = _engine_prefill_multi(
+        fn = self._custom[2] if self._custom else _engine_prefill_multi
+        logits, self.cache_k, self.cache_v = fn(
             self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
             jnp.asarray(n_reals), self.cache_k, self.cache_v,
             kv_window=pad,
@@ -574,6 +663,7 @@ class BatchEngine:
                 n_steps=self.chunk, ds=self.device_sampling,
                 kv_window=window, recent=self._recent, mu=self._mu,
                 sv=self._sv if self.per_request_sampling else None,
+                forward_fn=self.forward_fn,
             )
         snap = [(s.idx, s.req) for s in self.slots if s.active]
         self.n_ticks += 1
@@ -676,6 +766,7 @@ class BatchEngine:
             k=k, n_steps=self.chunk, ds=self.device_sampling,
             kv_window=window, max_ngram=self.spec.max_ngram,
             min_ngram=self.spec.min_ngram, eos=TOKEN_EOS, ignore_eos=False,
+            forward_fn=self.forward_fn,
         )
         self.n_ticks += 1
         self._inflight.append({

@@ -365,13 +365,13 @@ def _sample_logits(logits, key, ds: DeviceSampling):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "ds", "kv_window"),
+    static_argnames=("cfg", "n_steps", "ds", "kv_window", "forward_fn"),
     donate_argnames=("cache_k", "cache_v"),
 )
 def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
                  key, *, n_steps: int, ds: DeviceSampling,
                  kv_window: int | None = None, recent=None, mu=None,
-                 sv: SamplingVec | None = None):
+                 sv: SamplingVec | None = None, forward_fn=None):
     """From last token [B] and caches, generate n_steps tokens on device.
 
     recent [B, N] (required when ds.penalized): sliding window of the
@@ -381,13 +381,18 @@ def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
     mu [B] (mirostat 2): carried adaptive state; pass the previous
     return value (init 2*tau).
 
+    forward_fn (static): alternative forward with transformer.forward's
+    contract — e.g. parallel.tp.spec_forward(mesh) routes decode through
+    the explicit shard_map tensor-parallel path.
+
     Returns (tokens [B, n_steps], new_k, new_v, key, recent, mu)."""
     if (ds.penalized or sv is not None) and recent is None:
         raise ValueError("ds has penalties: pass `recent` (make_recent)")
+    fwd = forward_fn or transformer.forward
 
     def body(carry, _):
         tok, ck, cv, n_past, key, rec, mu = carry
-        logits, ck, cv = transformer.forward(
+        logits, ck, cv = fwd(
             cfg, params, tok[:, None], n_past, ck, cv,
             last_only=True, kv_window=kv_window,
         )
