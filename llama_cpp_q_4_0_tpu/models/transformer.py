@@ -193,6 +193,7 @@ def forward(
     with_embedding: bool = False,
     kv_window: int | None = None,
     last_index: jax.Array | None = None,
+    attention_fn=None,
 ):
     """Returns (logits [B, T|1, n_vocab] f32, new_cache_k, new_cache_v);
     with_embedding=True additionally returns the post-norm hidden state
@@ -202,7 +203,14 @@ def forward(
     slots — the caller guarantees n_past + t <= kv_window.  This is the
     static-shape answer to ggml's growing KV views (llama.cpp:1362-1374):
     early in a long context, attention streams a short prefix of the cache
-    instead of all n_ctx slots, at the cost of one compile per bucket."""
+    instead of all n_ctx slots, at the cost of one compile per bucket.
+
+    attention_fn (static): replaces the cache-window attention with
+    `attention_fn(q, k, v, scale)` over THIS call's fresh roped K/V —
+    only valid when n_past == 0 and the call covers the whole sequence
+    (then cache contents == fresh K/V and causal masking is equivalent).
+    Used by the sequence-parallel ring-attention prefill path
+    (parallel/ring_attention.ring_prefill_fn)."""
     b, t = tokens.shape[:2]
     s = cache_k[0].shape[1]
     w = s if kv_window is None else min(kv_window, s)
@@ -259,8 +267,19 @@ def forward(
         new_k.append(ck)
         new_v.append(cv)
 
-        a = attention(q, _kv_view(ck, w), _kv_view(cv, w), pos_b, kv_mask,
-                      scale)
+        if attention_fn is not None:
+            # feed the CACHE-ROUNDTRIPPED K/V (what the plain path reads
+            # back), so the ring path matches its numerics exactly
+            def rt(cache, val):
+                if isinstance(cache, QuantKV):
+                    qv, sc = quantize_kv(val)
+                    return qv.astype(jnp.float32) * sc[..., None]
+                return val.astype(cache.dtype).astype(jnp.float32)
+
+            a = attention_fn(q, rt(cache_k[l], k), rt(cache_v[l], v), scale)
+        else:
+            a = attention(q, _kv_view(ck, w), _kv_view(cv, w), pos_b,
+                          kv_mask, scale)
         attn_out = _mm(a.reshape(b, t, cfg.n_embd), blk.wo, blk.bo, cfg=cfg)
 
         if cfg.parallel_residual:

@@ -29,6 +29,26 @@ except ImportError:  # pragma: no cover
 NEG_INF = -1e30
 
 
+def ring_prefill_fn(mesh: Mesh, axis: str = "sp"):
+    """models.transformer.forward `attention_fn` adapter: full-prompt
+    prefill attention rides the sp ring (one ppermute hop per KV block)
+    instead of the cache-window einsum.  Valid for n_past == 0 whole-
+    sequence calls only (forward's attention_fn contract).  Module-level
+    + lru-cached per mesh so jits treating it as a static argument get a
+    stable hash across calls."""
+    import functools
+
+    @functools.lru_cache(maxsize=8)
+    def make(mesh, axis):
+        def fn(q, k, v, scale):
+            return ring_self_attention(q, k, v, mesh, scale=scale,
+                                       axis=axis).astype(jnp.float32)
+
+        return fn
+
+    return make(mesh, axis)
+
+
 def _block_attend(q, k, v, q_pos, k_pos, scale):
     """One KV block's contribution in streaming-softmax form.
 

@@ -91,18 +91,31 @@ def shard_transformer(params: TransformerParams, mesh: Mesh) -> TransformerParam
 
 
 def cache_spec(cfg: ModelConfig, mesh: Mesh) -> P:
-    """KV cache [B, S, H_kv, D]: batch on dp; heads on tp when they divide
-    (falcon/bonsai MQA has 1 KV head -> replicated over tp, broadcast is
-    free compared to materializing ggml_repeat, falcon.cpp:1225-1227)."""
+    """KV cache [B, S, H_kv, D]: batch on dp; context slots on sp when the
+    mesh has a sequence axis (context length then scales with chips — the
+    multi-chip answer to the reference's fixed single-device n_ctx,
+    llama.cpp:733-776); heads on tp when they divide (falcon/bonsai MQA has
+    1 KV head -> replicated over tp, broadcast is free compared to
+    materializing ggml_repeat, falcon.cpp:1225-1227)."""
     tp = mesh.shape["tp"]
     heads = "tp" if cfg.kv_heads % tp == 0 and tp <= cfg.kv_heads else None
-    return P("dp", None, heads, None)
+    seq = "sp" if mesh.shape.get("sp", 1) > 1 else None
+    return P("dp", seq, heads, None)
 
 
 def shard_cache(cache_k, cache_v, cfg: ModelConfig, mesh: Mesh):
+    from ..ops.kvcache import QuantKV
+
     spec = cache_spec(cfg, mesh)
-    k = tuple(_put(c, mesh, spec) for c in cache_k)
-    v = tuple(_put(c, mesh, spec) for c in cache_v)
+
+    def put(c):
+        if isinstance(c, QuantKV):  # scale [B, S, H] drops the D axis
+            return QuantKV(_put(c.data, mesh, spec),
+                           _put(c.scale, mesh, P(*spec[:3])))
+        return _put(c, mesh, spec)
+
+    k = tuple(put(c) for c in cache_k)
+    v = tuple(put(c) for c in cache_v)
     return k, v
 
 

@@ -236,7 +236,7 @@ class BatchEngine:
                  device_sampling=None, pipeline_depth: int = 2,
                  spec_draft: int = 0, spec_max_active: int = 8,
                  per_request_sampling: bool = False,
-                 forward_fn=None, tp_mesh=None):
+                 forward_fn=None, tp_mesh=None, mesh=None):
         """chunk > 1 enables throughput mode: `chunk` tokens per engine tick
         are decoded and sampled ON DEVICE (runtime/device_sample.py) with
         one host round-trip per chunk — engine-wide uniform sampling
@@ -263,7 +263,21 @@ class BatchEngine:
         speculative ticks) through the explicit shard_map tensor-parallel
         path (parallel/tp.py): params are repacked/placed per shard and the
         KV cache is head-sharded over the mesh.  forward_fn alternatively
-        injects any forward with transformer.forward's contract."""
+        injects any forward with transformer.forward's contract.
+
+        mesh (GSPMD): params shard per parallel/shard.py and the KV cache
+        shards per cache_spec — on an sp mesh the context axis spreads over
+        chips, so serving context length scales with the mesh instead of
+        one device's HBM; XLA partitions the decode attention and inserts
+        the softmax collectives over ICI."""
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.shard import replicate, shard_transformer
+
+            assert tp_mesh is None, "pass mesh (GSPMD) OR tp_mesh (explicit)"
+            params = (shard_transformer(params, mesh)
+                      if mesh.shape.get("tp", 1) > 1
+                      else replicate(params, mesh))
         if tp_mesh is not None:
             from ..parallel.shard import shard_cache
             from ..parallel.tp import prepare_tp_params, spec_forward
@@ -300,11 +314,11 @@ class BatchEngine:
             self._done = jnp.ones((n_slots,), bool)  # frozen until admitted
         self.cache_k, self.cache_v = init_cache(cfg, n_slots, self.n_ctx,
                                                 cache_dtype)
-        if tp_mesh is not None:
+        if tp_mesh is not None or mesh is not None:
             from ..parallel.shard import shard_cache
 
             self.cache_k, self.cache_v = shard_cache(
-                self.cache_k, self.cache_v, cfg, tp_mesh)
+                self.cache_k, self.cache_v, cfg, tp_mesh or mesh)
         self.slots = [_Slot(i) for i in range(n_slots)]
         # async pipeline (chunk > 1): ticks issued ahead of their harvest,
         # with the sample->input feedback chained on device

@@ -33,15 +33,18 @@ def _bucket(n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "last_only", "kv_window", "slice_last"),
+    static_argnames=("cfg", "last_only", "kv_window", "slice_last",
+                     "attention_fn"),
     donate_argnames=("cache_k", "cache_v"),
 )
 def _eval_step(cfg, params, tokens, n_past, cache_k, cache_v, last_only,
-               kv_window=None, last_index=None, slice_last=False):
+               kv_window=None, last_index=None, slice_last=False,
+               attention_fn=None):
     return transformer.forward(
         cfg, params, tokens, n_past, cache_k, cache_v, last_only=last_only,
         kv_window=kv_window,
         last_index=last_index if slice_last else None,
+        attention_fn=attention_fn,
     )
 
 
@@ -82,12 +85,35 @@ class Context:
 
     def __init__(self, cfg: ModelConfig, params: TransformerParams, *,
                  batch: int = 1, n_ctx: int | None = None,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, mesh=None):
+        """mesh (jax.sharding.Mesh with dp/sp/tp axes, see parallel.make_mesh)
+        turns this into a multi-chip session: params shard per
+        parallel/shard.py (tp Megatron split), the KV cache shards its
+        context axis over sp — context length scales with chips instead of
+        being capped by one device's HBM (the reference's fixed n_ctx,
+        llama.cpp:733-776) — and whole-prompt prefills ride ring attention
+        (one ppermute hop per KV block over the sp axis,
+        parallel/ring_attention.py).  Decode steps stay GSPMD: XLA
+        partitions the cache-window attention over sp and inserts the
+        softmax collectives on ICI."""
         self.cfg = cfg
+        self.mesh = mesh
+        self._sp = (mesh.shape.get("sp", 1) if mesh is not None else 1)
+        if mesh is not None:
+            from ..parallel.shard import replicate, shard_transformer
+
+            params = (shard_transformer(params, mesh)
+                      if mesh.shape.get("tp", 1) > 1
+                      else replicate(params, mesh))
         self.params = params
         self.n_ctx = n_ctx or cfg.n_ctx
         self.batch = batch
         self.cache_k, self.cache_v = init_cache(cfg, batch, self.n_ctx, cache_dtype)
+        if mesh is not None:
+            from ..parallel.shard import shard_cache
+
+            self.cache_k, self.cache_v = shard_cache(
+                self.cache_k, self.cache_v, cfg, mesh)
         self.n_past = 0
         self.timings = Timings()
         self._logits = None  # last logits [B, T, V] (np)
@@ -111,12 +137,19 @@ class Context:
         padded[:, :t] = tokens
         t0 = time.perf_counter()
         slice_last = not logits_all and bt != t
+        # whole-prompt prefill on an sp mesh: attention rides the ring
+        # (sp-1 ppermute hops) instead of the cache-window einsum
+        attn_fn = None
+        if self._sp > 1 and self.n_past == 0 and t > 1 and bt % self._sp == 0:
+            from ..parallel.ring_attention import ring_prefill_fn
+
+            attn_fn = ring_prefill_fn(self.mesh)
         logits, self.cache_k, self.cache_v = _eval_step(
             self.cfg, self.params, jnp.asarray(padded),
             jnp.int32(self.n_past), self.cache_k, self.cache_v,
             False if logits_all or bt != t else True,
             min(_bucket(self.n_past + t), self.n_ctx),
-            jnp.int32(t - 1), slice_last,
+            jnp.int32(t - 1), slice_last, attention_fn=attn_fn,
         )
         logits = np.asarray(logits[:, :t] if logits.shape[1] > 1 else logits)
         dt = (time.perf_counter() - t0) * 1e3

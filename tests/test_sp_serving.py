@@ -1,0 +1,103 @@
+"""Sequence-parallel serving integration (VERDICT round-1 item 10): a mesh
+with sp > 1 shards the KV-cache context axis over chips (cache capacity
+scales with the mesh) and whole-prompt prefills ride ring attention
+(parallel/ring_attention.py) — validated against the single-device forward
+on the virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_cpp_q_4_0_tpu.models import transformer
+from llama_cpp_q_4_0_tpu.parallel import make_mesh
+from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+from test_parallel import tiny_q_model
+
+
+def _drive(ctx, prompt, steps):
+    """Prefill + greedy decode; returns per-step logits and tokens."""
+    outs = [np.asarray(ctx.eval(np.asarray([prompt], np.int32)))]
+    toks = []
+    for _ in range(steps):
+        t = int(np.argmax(outs[-1][0, -1]))
+        toks.append(t)
+        outs.append(np.asarray(ctx.eval(np.asarray([[t]], np.int32))))
+    return outs, toks
+
+
+def test_context_sp_mesh_matches_single():
+    """Context(mesh=sp4): ring prefill + GSPMD sp-sharded-cache decode ==
+    plain single-device Context, logits and greedy tokens."""
+    cfg, params = tiny_q_model(n_layer=2)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 255, 12).tolist()
+
+    want, wtoks = _drive(Context(cfg, params, n_ctx=64), prompt, 4)
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    got, gtoks = _drive(Context(cfg, params, n_ctx=64, mesh=mesh), prompt, 4)
+
+    assert gtoks == wtoks, (wtoks, gtoks)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=2e-4, atol=2e-4)
+
+
+def test_context_sp_ring_prefill_in_hlo():
+    """The sp prefill actually lowers to ring communication: the compiled
+    prefill step contains a collective-permute (ppermute hops), proving
+    ring attention is wired into the serving path, not just a demo."""
+    from llama_cpp_q_4_0_tpu.parallel.ring_attention import ring_prefill_fn
+    from llama_cpp_q_4_0_tpu.runtime.context import _eval_step
+
+    cfg, params = tiny_q_model(n_layer=1)
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    ctx = Context(cfg, params, n_ctx=64, mesh=mesh)
+    toks = jnp.zeros((1, 32), jnp.int32)
+    lowered = jax.jit(
+        lambda p, t, ck, cv: _eval_step(
+            cfg, p, t, jnp.int32(0), ck, cv, True, 32,
+            attention_fn=ring_prefill_fn(mesh)),
+    ).lower(ctx.params, toks, ctx.cache_k, ctx.cache_v)
+    assert "collective-permute" in lowered.compile().as_text()
+
+
+def test_context_sp_q8_cache():
+    """sp-sharded scaled-int8 QuantKV cache: same tokens as the plain q8
+    Context (the ring path sees cache-roundtripped K/V, so quantization
+    numerics match the single-device path exactly)."""
+    cfg, params = tiny_q_model(n_layer=1)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, 255, 10).tolist()
+
+    want, wtoks = _drive(
+        Context(cfg, params, n_ctx=64, cache_dtype=jnp.int8), prompt, 4)
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    got, gtoks = _drive(
+        Context(cfg, params, n_ctx=64, cache_dtype=jnp.int8, mesh=mesh),
+        prompt, 4)
+    assert gtoks == wtoks, (wtoks, gtoks)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-3)
+
+
+def test_engine_sp_mesh_matches_plain():
+    """BatchEngine(mesh=sp4): continuous batching over an sp-sharded cache
+    emits the same greedy tokens as the plain engine."""
+    from test_tp import _run_engine
+
+    cfg, params = tiny_q_model(n_layer=1)
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    prompts = [[3, 5, 7], [11, 13], [100, 90, 80, 70]]
+    want = _run_engine(cfg, params, prompts)
+    got = _run_engine(cfg, params, prompts, mesh=mesh)
+    assert got == want, (want, got)
+
+
+def test_sp_context_capacity_scales():
+    """The sharded cache really is distributed: each device holds S/sp
+    context slots (addressable HBM for the cache scales with the mesh)."""
+    cfg, params = tiny_q_model(n_layer=1)
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    ctx = Context(cfg, params, n_ctx=64, mesh=mesh)
+    shard_shapes = {sh.data.shape for sh in ctx.cache_k[0].addressable_shards}
+    assert shard_shapes == {(1, 16, cfg.kv_heads, cfg.head_dim)}
