@@ -1,0 +1,203 @@
+"""Hardware gate (`LLAMA_TPU_TESTS=1 python -m pytest tests/ -m tpu -q`).
+
+Pallas interpret mode does NOT catch Mosaic lowering bugs — two real
+round-1 regressions (lane-axis reshape, under-aligned scale tiles) only
+surfaced on the chip.  This module is the driver-runnable on-chip gate the
+round-1 verdict asked for (VERDICT #5): qmm kernel numerics against the
+XLA fallback for EVERY quant format, all five architecture decodes through
+the full stack, one device-resident speculative tick, and the fused
+attention / int8-activation kernels.
+
+Run it STRICTLY ALONE (one python process at a time on the tunnel) and
+expect the first run to spend minutes compiling.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+ALL_QTYPES = None  # populated lazily (imports touch jax)
+
+
+def _qtypes():
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+
+    return (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+            GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+            GGMLType.Q5_K, GGMLType.Q6_K)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cache():
+    from llama_cpp_q_4_0_tpu.utils.compile_cache import enable
+
+    enable()
+
+
+@pytest.mark.parametrize("qt", [q for q in range(10)])
+def test_qmm_formats_on_chip(qt):
+    """Fused Pallas kernel == XLA dequant+dot fallback ON THE CHIP, every
+    format, vector (b=1) and small-batch (b=8) shapes."""
+    from llama_cpp_q_4_0_tpu.ops import QTensor, q_matmul
+
+    qtype = _qtypes()[qt]
+    rng = np.random.default_rng(qt)
+    w = (rng.standard_normal((512, 512)) * 0.1).astype(np.float32)
+    q = QTensor.quantize(w, qtype)
+    deq = np.asarray(q.dequantize())
+    for b in (1, 8):
+        x = (rng.standard_normal((b, 512)) * 0.5).astype(np.float32)
+        want = np.asarray(q_matmul(jnp.asarray(x), q, use_pallas=False,
+                                   compute_dtype=jnp.float32))
+        got = np.asarray(q_matmul(jnp.asarray(x), q, use_pallas=True))
+        # pallas accumulates bf16 MXU products in f32; the fallback runs
+        # f32*f32 — bound the difference by the bf16 mantissa on the
+        # dequantized magnitudes
+        scale = np.abs(deq).max() * np.abs(x).max() * 512
+        assert np.abs(got - want).max() < 2e-2 * scale, qtype
+
+
+def _make_ctx(arch, d):
+    from llama_cpp_q_4_0_tpu.formats import fixtures
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_rwkv,
+                                                    load_transformer)
+    from llama_cpp_q_4_0_tpu.runtime.context import Context, RwkvContext
+
+    makers = {
+        "llama": (fixtures.make_llama_ggjt, {"n_head": 4}),
+        "gptneox": (fixtures.make_gptneox_ggjt, {"n_head": 4}),
+        "falcon": (fixtures.make_falcon_like_ggjt,
+                   {"arch": "falcon", "n_head": 4}),
+        "bonsai": (fixtures.make_falcon_like_ggjt,
+                   {"arch": "bonsai", "n_head": 4}),
+        "rwkv": (fixtures.make_rwkv_ggjt, {}),
+    }
+    mk, kw = makers[arch]
+    p = os.path.join(d, f"{arch}.bin")
+    mk(p, n_vocab=256, n_embd=64, n_layer=2, **kw)
+    gf = read_ggjt(p, arch)
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    if arch == "rwkv":
+        return RwkvContext(cfg, load_rwkv(gf, cfg))
+    return Context(cfg, load_transformer(gf, cfg), n_ctx=64)
+
+
+@pytest.mark.parametrize("arch", ["llama", "gptneox", "falcon", "bonsai",
+                                  "rwkv"])
+def test_arch_decode_on_chip(arch):
+    """Full stack (fixture file -> loader -> Context -> greedy decode) on
+    the chip: finite logits and run-to-run deterministic tokens."""
+    def run():
+        with tempfile.TemporaryDirectory() as d:
+            ctx = _make_ctx(arch, d)
+            logits = ctx.eval(np.asarray([[3, 9, 27]], np.int32))
+            toks = []
+            for _ in range(4):
+                t = int(np.argmax(logits[0, -1]))
+                toks.append(t)
+                logits = ctx.eval(np.asarray([[t]], np.int32))
+            assert np.isfinite(logits).all(), arch
+            return toks
+
+    assert run() == run(), arch
+
+
+@pytest.mark.parametrize("qtname", ["Q4_K", "Q5_0", "Q8_0", "Q2_K", "Q6_K"])
+def test_kquant_model_on_chip(qtname):
+    from llama_cpp_q_4_0_tpu.formats import fixtures
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_transformer)
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.bin")
+        fixtures.make_llama_ggjt(p, n_vocab=256, n_embd=256, n_mult=256,
+                                 n_head=4, n_layer=2,
+                                 qtype=getattr(GGMLType, qtname))
+        gf = read_ggjt(p, "llama")
+        cfg = config_from_ggjt(gf, n_ctx=64)
+        ctx = Context(cfg, load_transformer(gf, cfg), n_ctx=64)
+        logits = ctx.eval(np.asarray([[3, 9, 27, 6]], np.int32))
+        assert np.isfinite(logits).all()
+
+
+def test_spec_chunk_tick_on_chip():
+    """One device-resident speculative tick: greedy output token-identical
+    to the plain generate loop (the round-1 exactness contract, on chip)."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+    from llama_cpp_q_4_0_tpu.runtime.device_spec import generate_ondevice_spec
+    from llama_cpp_q_4_0_tpu.runtime.generate import GenerateParams, generate
+    from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
+    from llama_cpp_q_4_0_tpu.runtime.speculative import SpecParams
+
+    greedy = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                            repeat_last_n=0)
+    with tempfile.TemporaryDirectory() as d:
+        ctx = _make_ctx("llama", d)
+        prompt = [3, 9, 27, 3, 9, 27, 3, 9]
+        want = list(generate(ctx, prompt, GenerateParams(
+            n_predict=8, sampling=greedy, ignore_eos=True), eos_token=-1))
+        ctx.reset()
+        got = generate_ondevice_spec(
+            ctx, prompt, 8, sampling=DeviceSampling(temp=-1.0),
+            spec=SpecParams(n_draft=3), n_steps=2, ignore_eos=True)
+        assert got == want, (want, got)
+
+
+def test_mha_decode_kernel_on_chip():
+    """Fused Pallas decode attention == einsum attention on the chip
+    (f32 and scaled-int8 KV)."""
+    from llama_cpp_q_4_0_tpu.ops.kvcache import QuantKV, quantize_kv
+    from llama_cpp_q_4_0_tpu.ops.layers import attention
+    from llama_cpp_q_4_0_tpu.ops.pallas.attention import mha_decode
+
+    rng = np.random.default_rng(0)
+    b, t, s, h, d = 2, 1, 512, 8, 128
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    pos = jnp.full((b, t), 100, jnp.int32)
+    mask = jnp.asarray(np.arange(s)[None] < 101) & jnp.ones((b, 1), bool)
+
+    want = np.asarray(attention(q, k, v, pos, mask, 0.088))
+    got = np.asarray(mha_decode(q, k, None, v, None, pos, mask, 0.088))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    want = np.asarray(attention(q, QuantKV(kq, ks), QuantKV(vq, vs), pos,
+                                mask, 0.088))
+    got = np.asarray(mha_decode(q, kq, ks, vq, vs, pos, mask, 0.088))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_qmm_q8x_kernel_on_chip():
+    """int8-activation MXU kernel == reference q8_0-dot semantics on chip
+    (both int8 and bf16 MXU modes)."""
+    from llama_cpp_q_4_0_tpu.ops import QTensor, q_matmul
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed_q8x
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((1024, 1024)) * 0.1).astype(np.float32)
+    q = QTensor.quantize(w, GGMLType.Q4_0)
+    x = (rng.standard_normal((8, 1024)) * 0.5).astype(np.float32)
+    ref = np.asarray(q_matmul(jnp.asarray(x), q, use_pallas=False,
+                              compute_dtype=jnp.float32))
+    for mode in (True, False):
+        got = np.asarray(qmm_packed_q8x(
+            jnp.asarray(x), q.levels_t, q.gscale_t, gsize=q.gsize,
+            zero=q.pack_zero, block_n=256, block_k=512, int8_mxu=mode))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2, (mode, rel)
