@@ -95,6 +95,10 @@ class LoadedModel:
     tokenizer: Tokenizer
     arch: str
     t_load_ms: float
+    # model-file header passthrough (GGSN session interop needs the raw
+    # llama_hparams fields + ftype, formats/ggsn.py)
+    hparams: dict | None = None
+    ftype: int = 0
 
 
 def load_model(args, *, logits_all: bool = False) -> LoadedModel:
@@ -152,4 +156,5 @@ def load_model(args, *, logits_all: bool = False) -> LoadedModel:
                       file=sys.stderr)
         except ValueError:
             pass
-    return LoadedModel(cfg, ctx, tokenizer, arch, t_load)
+    return LoadedModel(cfg, ctx, tokenizer, arch, t_load,
+                       hparams=dict(gf.hparams), ftype=gf.ftype)

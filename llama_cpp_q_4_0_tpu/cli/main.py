@@ -258,7 +258,11 @@ def run(args) -> int:
         print(file=sys.stderr)
 
     if args.path_prompt_cache:
-        save_session(args.path_prompt_cache, ctx, all_tokens)
+        # a .ggsn path writes the reference's binary session format —
+        # the file then loads in the reference binary (and vice versa:
+        # load_session auto-detects GGSN by magic)
+        save_session(args.path_prompt_cache, ctx, all_tokens,
+                     hparams=lm.hparams, ftype=lm.ftype)
         print(f"session: saved to {args.path_prompt_cache}", file=sys.stderr)
     print("\n" + ctx.timings.report(), file=sys.stderr)
     return 0

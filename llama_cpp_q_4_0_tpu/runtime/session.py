@@ -133,8 +133,21 @@ def get_state_size(ctx) -> int:
 
 # ------------------------------------------------------------- session files
 
-def save_session(path: str, ctx, tokens: list[int], *, rng=None) -> None:
-    """Token list + full state (main.cpp --prompt-cache, llama.cpp:3330)."""
+def save_session(path: str, ctx, tokens: list[int], *, rng=None,
+                 hparams: dict | None = None, ftype: int = 0) -> None:
+    """Token list + full state (main.cpp --prompt-cache, llama.cpp:3330).
+
+    A path ending in .ggsn writes the reference's binary GGSN v1 format
+    instead (formats/ggsn.py; needs the model file's hparams dict) — the
+    file then loads in the reference binary."""
+    if path.endswith(".ggsn"):
+        from ..formats.ggsn import save_session_ggsn
+
+        if hparams is None:
+            raise ValueError("GGSN save needs the model hparams "
+                             "(GGJTFile.hparams)")
+        save_session_ggsn(path, ctx, tokens, hparams, ftype)
+        return
     meta = {
         "magic": SESSION_MAGIC,
         "version": SESSION_VERSION,
@@ -149,7 +162,13 @@ def save_session(path: str, ctx, tokens: list[int], *, rng=None) -> None:
 
 
 def load_session(path: str, ctx, *, rng=None) -> list[int]:
-    """Restores ctx state, returns the session's token list."""
+    """Restores ctx state, returns the session's token list.  GGSN v1
+    files (written by the reference binary or by our .ggsn save) are
+    auto-detected by magic."""
+    from ..formats.ggsn import is_ggsn, load_session_ggsn
+
+    if is_ggsn(path):
+        return load_session_ggsn(path, ctx)
     with zipfile.ZipFile(path) as z:
         meta = json.loads(z.read("meta.json"))
         if meta.get("magic") != SESSION_MAGIC:
