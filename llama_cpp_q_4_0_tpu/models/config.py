@@ -39,6 +39,9 @@ class ModelConfig:
     rescale_every: int = 0  # rwkv layer rescaling period
     rope_full_cache: bool = False  # neox-family: store un-roped K, rope whole cache
     compute_dtype: str = "bfloat16"  # matmul input dtype: bfloat16 | float32
+    # emulate ggml's fp16-table activations byte-for-byte (parity gates
+    # only — the table costs accuracy for no TPU benefit otherwise)
+    act_f16_table: bool = False
 
     @property
     def head_dim(self) -> int:

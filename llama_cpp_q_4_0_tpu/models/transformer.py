@@ -125,13 +125,15 @@ def _norm(cfg: ModelConfig, x, w, b):
 
 
 def _act(cfg: ModelConfig, x):
-    if cfg.act == "silu":
-        return silu(x)
-    if cfg.act == "gelu":
-        return gelu(x)
-    if cfg.act == "bonsai_hybrid":
-        return grelu(x)
-    raise ValueError(cfg.act)
+    try:
+        fn = {"silu": silu, "gelu": gelu, "bonsai_hybrid": grelu}[cfg.act]
+    except KeyError:
+        raise ValueError(cfg.act) from None
+    if cfg.act_f16_table:
+        from ..ops.layers import act_f16_table
+
+        return act_f16_table(fn, x)
+    return fn(x)
 
 
 def _embed(params: TransformerParams, tokens):

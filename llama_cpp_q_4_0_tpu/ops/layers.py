@@ -54,6 +54,17 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=True)
 
 
+def act_f16_table(fn, x):
+    """ggml's fp16-lookup-table activation semantics, exactly: the
+    reference compiles with GGML_GELU_FP16 / GGML_SILU_FP16 (ggml.c:120-122)
+    so every activation is y = f16(fn(f16(x))) read back as f32
+    (table build: ggml.c:4246-4253).  Used by the reference-parity gates
+    (ModelConfig.act_f16_table) to shrink the oracle tolerance from the
+    per-layer table noise to float-rounding level."""
+    xh = x.astype(jnp.float16).astype(jnp.float32)
+    return fn(xh).astype(jnp.float16).astype(jnp.float32)
+
+
 def rope(
     x: jax.Array,
     positions: jax.Array,

@@ -180,7 +180,54 @@ def test_gptneox_logits_parity(tmp_path, neox_oracle_bin, parallel_residual):
     # and this fixture is forced to 16 layers (reference size map), so
     # activations accumulate ~1e-3 relative noise per layer — compare to
     # a correspondingly loose tolerance plus greedy-choice agreement
+    # (the TIGHT gate is test_gptneox_logits_parity_f32_table below)
     np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)
+    assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+
+
+@pytest.mark.parametrize("parallel_residual", [1, 0])
+def test_gptneox_logits_parity_f32_table(tmp_path, neox_oracle_bin,
+                                         parallel_residual):
+    """TIGHT NeoX gate: F32 weights (no activation-quantization slack) +
+    our exact emulation of ggml's fp16 GELU table (act_f16_table) leave
+    only float-rounding differences — a per-logit 1e-2 absolute bound
+    over 16 layers, ~10x tighter than the quantized gate above."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_gptneox_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    path = str(tmp_path / f"neoxf{parallel_residual}.bin")
+    make_gptneox_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=16,
+                      use_parallel_residual=parallel_residual,
+                      qtype=GGMLType.F32, ftype=0)
+    toks = [1, 5, 42, 200, 17, 9]
+    res = subprocess.run(
+        [neox_oracle_bin, path, ",".join(map(str, toks))],
+        check=True, capture_output=True, text=True)
+    lines = res.stdout.strip().splitlines()
+    hdr = max(i for i, l in enumerate(lines)
+              if len(l.split()) == 2
+              and all(t.isdigit() for t in l.split()))
+    n_tok, _ = map(int, lines[hdr].split())
+    ref = np.array([[float(x) for x in l.split()]
+                    for l in lines[hdr + 1:hdr + 1 + n_tok]])
+
+    gf = read_ggjt(path, "gptneox")
+    cfg = dataclasses.replace(config_from_ggjt(gf, n_ctx=128),
+                              compute_dtype="float32", act_f16_table=True)
+    params = load_transformer(gf, cfg)
+    ctx = Context(cfg, params, cache_dtype=jnp.float32)
+    got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
+    err = np.abs(got - ref).max()
+    assert err < 1e-2, f"max abs logit err {err}"
     assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
 
 
@@ -252,8 +299,51 @@ def test_falcon_logits_parity(tmp_path, falcon_oracle_bin):
     params = load_transformer(gf, cfg)
     ctx = Context(cfg, params, cache_dtype=jnp.float32)
     got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
-    # fp16 GELU table noise over 32 forced layers (see neox test)
+    # fp16 GELU table noise over 32 forced layers (see neox test; the
+    # TIGHT gate is test_falcon_logits_parity_f32_table below)
     np.testing.assert_allclose(got, ref, rtol=0.15, atol=0.15)
+    assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+
+
+def test_falcon_logits_parity_f32_table(tmp_path, falcon_oracle_bin):
+    """TIGHT Falcon gate: F32 weights + exact fp16-GELU-table emulation
+    (see the NeoX analogue) — per-logit 1e-2 absolute bound over the 32
+    forced layers, vs 0.15 for the quantized gate."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_falcon_like_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    path = str(tmp_path / "falconf.bin")
+    make_falcon_like_ggjt(path, "falcon", n_vocab=256, n_embd=64, n_head=4,
+                          n_layer=32, qtype=GGMLType.F32, ftype=0)
+    toks = [1, 5, 42, 200, 17, 9]
+    res = subprocess.run(
+        [falcon_oracle_bin, path, ",".join(map(str, toks))],
+        check=True, capture_output=True, text=True)
+    lines = res.stdout.strip().splitlines()
+    hdr = max(i for i, l in enumerate(lines)
+              if len(l.split()) == 2
+              and all(t.isdigit() for t in l.split()))
+    n_tok, _ = map(int, lines[hdr].split())
+    ref = np.array([[float(x) for x in l.split()]
+                    for l in lines[hdr + 1:hdr + 1 + n_tok]])
+
+    gf = read_ggjt(path, "falcon")
+    cfg = dataclasses.replace(config_from_ggjt(gf, n_ctx=128),
+                              compute_dtype="float32", act_f16_table=True)
+    params = load_transformer(gf, cfg)
+    ctx = Context(cfg, params, cache_dtype=jnp.float32)
+    got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
+    err = np.abs(got - ref).max()
+    assert err < 1e-2, f"max abs logit err {err}"
     assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
 
 
