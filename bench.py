@@ -106,12 +106,18 @@ def bench_decode(cfg, params, n_tokens: int = 64, prefill: int = 64):
 
 
 def bench_prefill(cfg, params, t: int = 512, iters: int = 4) -> float:
+    from llama_cpp_q_4_0_tpu.ops.layers import (flash_prefill_fn,
+                                                use_flash_prefill)
+
     cache_k, cache_v = transformer.init_cache(cfg, 1, cfg.n_ctx)
+    attn_fn = (flash_prefill_fn()
+               if use_flash_prefill(t, cfg.head_dim) else None)
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def prefill(p, toks, ck, cv):
         return transformer.forward(cfg, p, toks, jnp.int32(0), ck, cv,
-                                   last_only=True, kv_window=t)
+                                   last_only=True, kv_window=t,
+                                   attention_fn=attn_fn)
 
     toks = jnp.zeros((1, t), jnp.int32)
     logits, cache_k, cache_v = prefill(params, toks, cache_k, cache_v)

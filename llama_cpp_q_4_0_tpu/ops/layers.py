@@ -127,6 +127,53 @@ def alibi_bias(n_head: int, kv_len: int, n_head_log2_bias: float = 8.0) -> jax.A
     return slopes[:, None] * pos[None, :]  # [n_head, kv_len]
 
 
+def use_flash_prefill(t: int, hd: int) -> bool:
+    """Whole-prompt prefill eligibility for the TPU flash-attention kernel
+    shipped with JAX (jax.experimental.pallas.ops.tpu.flash_attention).
+    Env-gated (FLASH_PREFILL=1) until model-level hardware numbers land;
+    the kernel needs seq/head_dim multiples of its 128 MIN_BLOCK_SIZE."""
+    import os
+
+    if not os.environ.get("FLASH_PREFILL"):
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return on_tpu and t >= 128 and t % 128 == 0 and hd % 128 == 0
+
+
+def _flash_prefill(q, k, v, scale):
+    """attention_fn (models.transformer.forward contract) running the
+    whole-prompt (n_past == 0) prefill through JAX's TPU flash kernel:
+    no [B, H, T, S] score materialization — the reference's
+    ggml_flash_attn analogue (ggml.c:13928) for the prompt pass."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention,
+    )
+
+    b, t, h, d = q.shape
+    g = k.shape[2]
+    if g != h:
+        # MQA/GQA: the kernel wants equal head counts; repeating the FRESH
+        # prompt K/V (not the cache) is a [B,T,H,D] prompt-sized temp
+        k = jnp.repeat(k, h // g, axis=2)
+        v = jnp.repeat(v, h // g, axis=2)
+    out = flash_attention(
+        q.astype(jnp.float32).transpose(0, 2, 1, 3),
+        k.astype(jnp.float32).transpose(0, 2, 1, 3),
+        v.astype(jnp.float32).transpose(0, 2, 1, 3),
+        causal=True, sm_scale=float(scale),
+    )
+    return out.transpose(0, 2, 1, 3).astype(jnp.float32)
+
+
+def flash_prefill_fn():
+    """Module-level singleton so jits treating attention_fn as a static
+    argument get a stable hash across calls."""
+    return _flash_prefill
+
+
 def _use_fused_decode(rep: int, t: int, s: int, hd: int) -> bool:
     """Fused Pallas decode-attention eligibility (see pallas/attention.py).
     Env-gated (FUSED_ATTN=1) while model-level numbers are collected."""

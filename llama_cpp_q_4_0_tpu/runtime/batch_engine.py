@@ -104,19 +104,21 @@ def _engine_decode(cfg, params, tokens, n_past_v, cache_k, cache_v,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "kv_window", "attention_fn"),
                    donate_argnames=("cache_k", "cache_v"))
 def _engine_prefill(cfg, params, tokens, slot, n_real, cache_k, cache_v,
-                    kv_window, n_past=0):
+                    kv_window, n_past=0, attention_fn=None):
     """[1, T_pad] prefill against one slot's KV rows; returns the logits
     of the last *real* token.  n_past > 0 continues after a cached
-    prefix already resident in the slot's rows."""
+    prefix already resident in the slot's rows.  attention_fn (static,
+    n_past == 0 admissions only): e.g. the TPU flash prefill kernel."""
     take_row = lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
     row_k = jax.tree.map(take_row, cache_k)
     row_v = jax.tree.map(take_row, cache_v)
     logits, row_k, row_v = transformer.forward(
         cfg, params, tokens, jnp.int32(n_past), row_k, row_v,
-        last_only=False, kv_window=kv_window,
+        last_only=False, kv_window=kv_window, attention_fn=attention_fn,
     )
     logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1, axis=1)
     put_row = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
@@ -126,10 +128,11 @@ def _engine_prefill(cfg, params, tokens, slot, n_real, cache_k, cache_v,
     return logits, new_k, new_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "kv_window", "attention_fn"),
                    donate_argnames=("cache_k", "cache_v"))
 def _engine_prefill_multi(cfg, params, tokens, slots, n_reals,
-                          cache_k, cache_v, kv_window):
+                          cache_k, cache_v, kv_window, attention_fn=None):
     """Batched admission: [M, T_pad] prompts prefill M slots in ONE
     forward (the per-slot loop costs a full weight stream each).  Rows
     padded with slot index >= n_slots scatter with mode='drop'.
@@ -142,7 +145,7 @@ def _engine_prefill_multi(cfg, params, tokens, slots, n_reals,
     row_v = jax.tree.map(take_rows, cache_v)
     logits, row_k, row_v = transformer.forward(
         cfg, params, tokens, jnp.int32(0), row_k, row_v,
-        last_only=False, kv_window=kv_window,
+        last_only=False, kv_window=kv_window, attention_fn=attention_fn,
     )
     logits = jnp.take_along_axis(
         logits, (n_reals - 1)[:, None, None], axis=1)[:, 0]  # [M, V]
@@ -152,15 +155,25 @@ def _engine_prefill_multi(cfg, params, tokens, slots, n_reals,
     return logits, new_k, new_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "kv_window", "attention_fn"),
                    donate_argnames=("cache_k", "cache_v"))
-def _prefix_prefill(cfg, params, tokens, cache_k, cache_v, kv_window):
+def _prefix_prefill(cfg, params, tokens, cache_k, cache_v, kv_window,
+                    attention_fn=None):
     """Prefill a standalone [1, S] row cache with a shared prefix."""
     _, cache_k, cache_v = transformer.forward(
         cfg, params, tokens, jnp.int32(0), cache_k, cache_v,
-        last_only=True, kv_window=kv_window,
+        last_only=True, kv_window=kv_window, attention_fn=attention_fn,
     )
     return None, cache_k, cache_v
+
+
+def _prefill_attn_fn(cfg, t_pad: int):
+    """Flash prefill for n_past == 0 engine admissions when eligible."""
+    from ..ops.layers import flash_prefill_fn, use_flash_prefill
+
+    return flash_prefill_fn() if use_flash_prefill(t_pad, cfg.head_dim) \
+        else None
 
 
 @functools.lru_cache(maxsize=8)
@@ -351,10 +364,14 @@ class BatchEngine:
                   cache_k, cache_v, kv_window=kv_window)
 
     def _jit_prefill(self, params, tokens, slot, n_real, cache_k, cache_v,
-                     *, kv_window, n_past=0):
-        fn = self._custom[1] if self._custom else _engine_prefill
-        return fn(self.cfg, params, tokens, slot, n_real,
-                  cache_k, cache_v, kv_window=kv_window, n_past=n_past)
+                     *, kv_window, n_past=0, attention_fn=None):
+        if self._custom:  # custom forwards own their attention internally
+            return self._custom[1](self.cfg, params, tokens, slot, n_real,
+                                   cache_k, cache_v, kv_window=kv_window,
+                                   n_past=n_past)
+        return _engine_prefill(self.cfg, params, tokens, slot, n_real,
+                               cache_k, cache_v, kv_window=kv_window,
+                               n_past=n_past, attention_fn=attention_fn)
 
     # -------------------------------------------------------------- public
 
@@ -374,10 +391,15 @@ class BatchEngine:
         pad = min(_bucket(len(tokens)), self.n_ctx)
         toks = np.zeros((1, pad), np.int32)
         toks[0, : len(tokens)] = tokens
-        fn = self._custom[3] if self._custom else _prefix_prefill
-        _, row_k, row_v = fn(
-            self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
-            kv_window=pad)
+        if self._custom:
+            _, row_k, row_v = self._custom[3](
+                self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
+                kv_window=pad)
+        else:
+            _, row_k, row_v = _prefix_prefill(
+                self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
+                kv_window=pad,
+                attention_fn=_prefill_attn_fn(self.cfg, pad))
         self._prefix = (tokens, row_k, row_v)
 
     def submit(self, req: Request) -> Request:
@@ -488,12 +510,13 @@ class BatchEngine:
         pad = min(_bucket(len(piece)), self.n_ctx - pos)
         toks = np.zeros((1, pad), np.int32)
         toks[0, : len(piece)] = piece
-        fn = self._custom[1] if self._custom else _engine_prefill
-        logits, st["row_k"], st["row_v"] = fn(
-            self.cfg, self.params, jnp.asarray(toks), jnp.int32(0),
+        logits, st["row_k"], st["row_v"] = self._jit_prefill(
+            self.params, jnp.asarray(toks), jnp.int32(0),
             jnp.int32(len(piece)), st["row_k"], st["row_v"],
             kv_window=min(_bucket(pos + pad), self.n_ctx),
             n_past=jnp.int32(pos),
+            attention_fn=(_prefill_attn_fn(self.cfg, pad)
+                          if pos == 0 else None),
         )
         st["pos"] = pos + len(piece)
         if st["pos"] >= len(prompt):
@@ -541,6 +564,7 @@ class BatchEngine:
                 self.params, jnp.asarray(toks), jnp.int32(slot.idx),
                 jnp.int32(len(prompt)), self.cache_k, self.cache_v,
                 kv_window=pad,
+                attention_fn=_prefill_attn_fn(self.cfg, pad),
             )
         self._activate(slot, req, prompt, np.asarray(logits)[0, -1])
 
@@ -562,12 +586,18 @@ class BatchEngine:
             toks[i, : len(p)] = p
             slots[i] = slot.idx
             n_reals[i] = len(p)
-        fn = self._custom[2] if self._custom else _engine_prefill_multi
-        logits, self.cache_k, self.cache_v = fn(
-            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
-            jnp.asarray(n_reals), self.cache_k, self.cache_v,
-            kv_window=pad,
-        )
+        if self._custom:
+            logits, self.cache_k, self.cache_v = self._custom[2](
+                self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
+                jnp.asarray(n_reals), self.cache_k, self.cache_v,
+                kv_window=pad,
+            )
+        else:
+            logits, self.cache_k, self.cache_v = _engine_prefill_multi(
+                self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
+                jnp.asarray(n_reals), self.cache_k, self.cache_v,
+                kv_window=pad, attention_fn=_prefill_attn_fn(self.cfg, pad),
+            )
         logits = np.asarray(logits)
         for i, ((slot, req), p) in enumerate(zip(batch, prompts)):
             self._activate(slot, req, p, logits[i])

@@ -144,6 +144,11 @@ class Context:
             from ..parallel.ring_attention import ring_prefill_fn
 
             attn_fn = ring_prefill_fn(self.mesh)
+        elif self.n_past == 0 and t > 1:
+            from ..ops.layers import flash_prefill_fn, use_flash_prefill
+
+            if use_flash_prefill(bt, self.cfg.head_dim):
+                attn_fn = flash_prefill_fn()
         logits, self.cache_k, self.cache_v = _eval_step(
             self.cfg, self.params, jnp.asarray(padded),
             jnp.int32(self.n_past), self.cache_k, self.cache_v,

@@ -182,6 +182,31 @@ def test_mha_decode_kernel_on_chip():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_flash_prefill_on_chip(monkeypatch, tmp_path):
+    """JAX's shipped TPU flash kernel through the prefill attention_fn
+    hook == the einsum path, end-to-end through Context (head_dim 128)."""
+    from llama_cpp_q_4_0_tpu.formats import fixtures
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_transformer)
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    p = os.path.join(str(tmp_path), "m.bin")
+    fixtures.make_llama_ggjt(p, n_vocab=256, n_embd=512, n_mult=256,
+                             n_head=4, n_layer=2)
+    gf = read_ggjt(p, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=256)
+    params = load_transformer(gf, cfg)
+    prompt = np.asarray([list(range(2, 130))], np.int32)  # T=128
+
+    monkeypatch.delenv("FLASH_PREFILL", raising=False)
+    want = Context(cfg, params, n_ctx=256).eval(prompt, logits_all=True)
+    monkeypatch.setenv("FLASH_PREFILL", "1")
+    got = Context(cfg, params, n_ctx=256).eval(prompt, logits_all=True)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 2e-3
+
+
 def test_qmm_q8x_kernel_on_chip():
     """int8-activation MXU kernel == reference q8_0-dot semantics on chip
     (both int8 and bf16 MXU modes)."""
