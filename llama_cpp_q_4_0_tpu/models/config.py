@@ -39,8 +39,11 @@ class ModelConfig:
     rescale_every: int = 0  # rwkv layer rescaling period
     rope_full_cache: bool = False  # neox-family: store un-roped K, rope whole cache
     compute_dtype: str = "bfloat16"  # matmul input dtype: bfloat16 | float32
-    # emulate ggml's fp16-table activations byte-for-byte (parity gates
-    # only — the table costs accuracy for no TPU benefit otherwise)
+    # emulate ggml's fp16 lookup tables byte-for-byte: activations
+    # (GGML_GELU_FP16/GGML_SILU_FP16) AND the softmax exp table
+    # (ggml.c:12332-12337).  Parity gates only — with compute_dtype
+    # 'ref_int8' this makes q8_0 models BIT-exact vs the compiled
+    # reference; the tables cost accuracy for no TPU benefit otherwise.
     act_f16_table: bool = False
 
     @property

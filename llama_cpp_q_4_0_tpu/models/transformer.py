@@ -144,9 +144,15 @@ def _embed(params: TransformerParams, tokens):
 
 
 def _mm(x, w, b=None, *, cfg: ModelConfig):
-    dt = jnp.float32 if cfg.compute_dtype == "float32" else jnp.bfloat16
-    out = q_matmul(x, w, compute_dtype=dt,
-                   use_pallas=False if dt == jnp.float32 else None)
+    if cfg.compute_dtype == "ref_int8":
+        # reference-exact quantized mul_mat semantics (parity gates)
+        from ..ops.qmatmul import q_matmul_ref_int8
+
+        out = q_matmul_ref_int8(x, w)
+    else:
+        dt = jnp.float32 if cfg.compute_dtype == "float32" else jnp.bfloat16
+        out = q_matmul(x, w, compute_dtype=dt,
+                       use_pallas=False if dt == jnp.float32 else None)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out
@@ -281,7 +287,8 @@ def forward(
             a = attention_fn(q, rt(cache_k[l], k), rt(cache_v[l], v), scale)
         else:
             a = attention(q, _kv_view(ck, w), _kv_view(cv, w), pos_b,
-                          kv_mask, scale)
+                          kv_mask, scale,
+                          ref_f16_softmax=cfg.act_f16_table)
         attn_out = _mm(a.reshape(b, t, cfg.n_embd), blk.wo, blk.bo, cfg=cfg)
 
         if cfg.parallel_residual:

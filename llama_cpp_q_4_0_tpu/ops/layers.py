@@ -189,6 +189,17 @@ def _use_fused_decode(rep: int, t: int, s: int, hd: int) -> bool:
             and s % min(256, s) == 0 and s >= 128)
 
 
+def _softmax_ref_f16(scores: jax.Array, valid: jax.Array) -> jax.Array:
+    """ggml's table-based softmax, exactly: val = f16(exp(f16(s - max)))
+    via the 64k fp16 exp table (ggml.c:12314-12343, table built at
+    ggml.c:4253), then a plain 1/sum scale.  Parity-gate semantics only."""
+    m = jnp.max(jnp.where(valid, scores, -jnp.inf), axis=-1, keepdims=True)
+    sh = (scores - m).astype(jnp.float16).astype(jnp.float32)
+    e = jnp.exp(sh).astype(jnp.float16).astype(jnp.float32)
+    e = jnp.where(valid, e, 0.0)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def attention(
     q: jax.Array,
     k_cache,
@@ -196,6 +207,8 @@ def attention(
     q_positions: jax.Array,
     kv_mask: jax.Array,
     scale: float,
+    *,
+    ref_f16_softmax: bool = False,
 ) -> jax.Array:
     """Causal attention over a preallocated KV buffer.
 
@@ -249,8 +262,11 @@ def attention(
         causal = kv_pos <= q_positions[:, None, :, None]
         valid = kv_mask[:, None, None, :] & causal
         scores = jnp.where(valid, scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = jnp.where(valid, probs, 0.0)
+        if ref_f16_softmax:
+            probs = _softmax_ref_f16(scores, valid)
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = jnp.where(valid, probs, 0.0)
         if vs is not None:
             probs = probs * vs.transpose(0, 2, 1)[:, :, None, :]
         return jnp.einsum("bhts,bshd->bthd", probs, vf)
@@ -267,8 +283,11 @@ def attention(
     causal = kv_pos <= q_positions[:, None, None, :, None]
     valid = kv_mask[:, None, None, None, :] & causal
     scores = jnp.where(valid, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(valid, probs, 0.0)
+    if ref_f16_softmax:
+        probs = _softmax_ref_f16(scores, valid)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(valid, probs, 0.0)
     if vs is not None:
         probs = probs * vs.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum("bgrts,bsgd->btgrd", probs, vf)

@@ -46,6 +46,54 @@ def _xla_qmm(x2: jax.Array, w: QTensor, compute_dtype) -> jax.Array:
     return out
 
 
+def _quantize_row_q8_0(x2: jax.Array, gsize: int):
+    """quantize_row_q8_0 semantics (ggml.c:1135-1169): per-group
+    d = amax/127 (stored fp16), q = C-roundf(x/d) half away from zero.
+    Returns (levels f32 [B, G, gsize], d f32 [B, G])."""
+    b, k = x2.shape
+    g = k // gsize
+    xf = x2.astype(jnp.float32).reshape(b, g, gsize)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    dq = amax / jnp.float32(127.0)
+    idq = jnp.where(dq > 0, 1.0 / dq, 0.0)
+    v = xf * idq[..., None]
+    xq = jnp.trunc(v + jnp.where(v >= 0, 0.5, -0.5))
+    return xq, dq.astype(jnp.float16).astype(jnp.float32)
+
+
+def q_matmul_ref_int8(x: jax.Array, w) -> jax.Array:
+    """REFERENCE-EXACT quantized mul_mat: quantize the activations to
+    q8_0 per 32-group and take integer dots per group, rescaled by
+    d_x*d_w in f32 — what the reference actually computes for every
+    quantized matmul (ggml_compute_forward_mul_mat_q_f32's
+    quantize_row_q8_0 + ggml_vec_dot_q4_0_q8_0, ggml.c:11353-11367).
+
+    Used by the parity gates (ModelConfig.compute_dtype == 'ref_int8') to
+    compare logits against the compiled reference with NO activation-
+    precision slack, and as the model-level semantic spec for the
+    int8-activation Pallas kernel (ops/pallas/qmm.py qmm_packed_q8x).
+    Formats whose reference dot is not the plain q8_0 integer form
+    (affine q4_1/q5_1, k-quants with q8_K activations, dense f16/f32)
+    fall back to the f32 path."""
+    if (not isinstance(w, QTensor) or w.gbias_full() is not None
+            or w.gsize != 32):
+        return q_matmul(x, w, use_pallas=False, compute_dtype=jnp.float32)
+    lead, k = x.shape[:-1], x.shape[-1]
+    x2 = x.reshape(-1, k)
+    n, _ = w.shape
+    g = k // w.gsize
+    lv = w.levels_full().astype(jnp.float32).reshape(g, w.gsize, n)
+    sc = w.gscale_full()  # [G, N] f32 (fp16-origin scales already exact)
+    xq, d = _quantize_row_q8_0(x2, w.gsize)
+    # integer dot per group: |q8|<=127, |levels|<=16 -> products < 2^12,
+    # group sums < 2^17 — exact in f32
+    dot = jnp.einsum("bgk,gkn->bgn", xq, lv,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bgn,bg,gn->bn", dot, d, sc,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(*lead, n)
+
+
 def q_matmul(
     x: jax.Array,
     w: QTensor | jax.Array,

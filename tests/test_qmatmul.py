@@ -124,6 +124,35 @@ def test_pallas_qmm_q8x_matches_reference_dot(b, int8_mxu):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_q_matmul_ref_int8_exact():
+    """compute_dtype='ref_int8' == the byte-exact numpy emulation of
+    quantize_row_q8_0 + vec_dot_q4_0_q8_0 (the model-level spec the
+    bit-exact q8_0 parity gate rides on)."""
+    from llama_cpp_q_4_0_tpu.ops.qmatmul import q_matmul_ref_int8
+    from llama_cpp_q_4_0_tpu.quant import QUANT_FNS
+    from llama_cpp_q_4_0_tpu.quant.blockq import (
+        _int_nibbles, f16_to_f32, quantize_q8_0,
+    )
+
+    n, k, b = 256, 1024, 4
+    w, qt = _mk(n, k, GGMLType.Q4_0, seed=7)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((b, k)) * 0.5).astype(np.float32)
+
+    wb = QUANT_FNS[GGMLType.Q4_0].quantize_row(w)
+    qlv = _int_nibbles(wb.reshape(-1), 8).reshape(n, k // 32, 32)
+    wd = f16_to_f32(wb["d"]).reshape(n, k // 32)
+    yb = quantize_q8_0(x)
+    xqv = yb["qs"].astype(np.int64).reshape(b, k // 32, 32)
+    xd = f16_to_f32(yb["d"]).reshape(b, k // 32)
+    sumi = np.einsum("bgk,ngk->bgn", xqv, qlv.astype(np.int64))
+    ref = np.einsum("bgn,bg,ng->bn", sumi.astype(np.float64),
+                    xd.astype(np.float64), wd.astype(np.float64))
+
+    got = np.asarray(q_matmul_ref_int8(jnp.asarray(x), qt))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
 def test_q8x_dispatch_env(monkeypatch):
     """QMM_Q8X routes the packed no-bias path through the int8-activation
     kernel (interpret-mode CPU here; numerics equal the q8x kernel called

@@ -103,6 +103,57 @@ def test_llama_logits_parity(tmp_path, oracle_bin, qtype_name):
     assert (np.argmax(ours_bf, -1) == np.argmax(ref, -1)).mean() >= 0.75
 
 
+@pytest.mark.parametrize("qtype_name", ["Q4_0", "Q5_0", "Q8_0"])
+def test_llama_logits_parity_ref_int8(tmp_path, oracle_bin, qtype_name):
+    """TIGHT quantized gate: compute_dtype='ref_int8' reproduces the
+    reference's ACTUAL quantized-matmul semantics (q8_0 activation
+    quantization + per-group integer dots, ggml.c:11353-11367) and
+    act_f16_table its fp16 activation AND softmax-exp tables.
+
+    Q8_0 then matches the compiled reference BIT-FOR-BIT at model level
+    (every op exact).  Q4_0/Q5_0 cannot: the reference's vec_dot
+    accumulates d_x*d_w products in sequential/AVX2-lane f32 order, and
+    any 1-ulp difference gets amplified ~1000x when the next layer's
+    activation quantizer rounds a near-tie the other way — measured ~2%
+    worst-logit wobble with EXACT argmax.  The gate pins each regime."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_llama_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    path = str(tmp_path / "tiny8.ggjt")
+    make_llama_ggjt(path, n_vocab=512, n_embd=256, n_mult=256, n_head=4,
+                    n_layer=2, qtype=GGMLType[qtype_name], seed=3)
+    toks = [1, 5, 42, 260, 400, 17, 9, 300]
+    res = subprocess.run(
+        [oracle_bin, path, ",".join(map(str, toks))],
+        check=True, capture_output=True, text=True)
+    lines = res.stdout.strip().splitlines()
+    n_tok, _ = map(int, lines[0].split())
+    ref = np.array([[float(x) for x in l.split()]
+                    for l in lines[1:1 + n_tok]])
+
+    gf = read_ggjt(path, "llama")
+    cfg = dataclasses.replace(config_from_ggjt(gf, n_ctx=128),
+                              compute_dtype="ref_int8", act_f16_table=True)
+    params = load_transformer(gf, cfg)
+    ctx = Context(cfg, params, n_ctx=128, cache_dtype=jnp.float32)
+    got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
+    err = np.abs(got - ref).max()
+    if qtype_name == "Q8_0":
+        assert err < 1e-6, f"q8_0 must be bit-exact, got {err}"
+    else:
+        assert err / np.abs(ref).max() < 5e-2, f"max logit err {err}"
+    assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+
+
 NEOX_ORACLE = f"{BUILD}/ref_gptneox_logits"
 
 
@@ -190,7 +241,7 @@ def test_gptneox_logits_parity_f32_table(tmp_path, neox_oracle_bin,
                                          parallel_residual):
     """TIGHT NeoX gate: F32 weights (no activation-quantization slack) +
     our exact emulation of ggml's fp16 GELU table (act_f16_table) leave
-    only float-rounding differences — a per-logit 1e-2 absolute bound
+    only float-rounding differences — a per-logit 2e-3 absolute bound
     over 16 layers, ~10x tighter than the quantized gate above."""
     import dataclasses
 
@@ -227,7 +278,7 @@ def test_gptneox_logits_parity_f32_table(tmp_path, neox_oracle_bin,
     ctx = Context(cfg, params, cache_dtype=jnp.float32)
     got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
     err = np.abs(got - ref).max()
-    assert err < 1e-2, f"max abs logit err {err}"
+    assert err < 2e-3, f"max abs logit err {err}"
     assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
 
 
@@ -307,7 +358,7 @@ def test_falcon_logits_parity(tmp_path, falcon_oracle_bin):
 
 def test_falcon_logits_parity_f32_table(tmp_path, falcon_oracle_bin):
     """TIGHT Falcon gate: F32 weights + exact fp16-GELU-table emulation
-    (see the NeoX analogue) — per-logit 1e-2 absolute bound over the 32
+    (see the NeoX analogue) — per-logit 2e-3 absolute bound over the 32
     forced layers, vs 0.15 for the quantized gate."""
     import dataclasses
 
@@ -343,7 +394,7 @@ def test_falcon_logits_parity_f32_table(tmp_path, falcon_oracle_bin):
     ctx = Context(cfg, params, cache_dtype=jnp.float32)
     got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
     err = np.abs(got - ref).max()
-    assert err < 1e-2, f"max abs logit err {err}"
+    assert err < 2e-3, f"max abs logit err {err}"
     assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
 
 
