@@ -115,6 +115,14 @@ def grelu(x):
 
 
 def _norm(cfg: ModelConfig, x, w, b):
+    if cfg.act_f16_table and cfg.norm == "rmsnorm":
+        # parity gates: ggml accumulates the square sum in DOUBLE and
+        # scales by 1.0f/sqrtf (ggml.c:10424-10439); the f32-rsqrt
+        # default differs by ~1 ulp, which the next layer's activation
+        # quantizer amplifies (NOTES-NEXT-ROUND #16)
+        from ..ops.layers import rms_norm_ref
+
+        return rms_norm_ref(x, w, cfg.norm_eps)
     if cfg.norm == "rmsnorm":
         return rms_norm(x, w, cfg.norm_eps)
     if cfg.norm == "layernorm":

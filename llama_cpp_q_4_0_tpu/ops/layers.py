@@ -25,6 +25,30 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(dt)
 
 
+def rms_norm_ref(x: jax.Array, weight: jax.Array,
+                 eps: float = 1e-6) -> jax.Array:
+    """ggml_rms_norm bit-faithfully (ggml.c:10424-10439): f32 squares
+    summed in DOUBLE (emulated by a Kahan-compensated sequential sum —
+    equal after the final f32 cast except within half an ulp of a
+    rounding boundary), mean cast to f32, scale = 1.0f/sqrtf(mean+eps).
+    Parity-gate path (ModelConfig.act_f16_table); the default rms_norm
+    keeps the cheaper f32 rsqrt."""
+    xf = x.astype(jnp.float32)
+    xx = jnp.moveaxis(xf * xf, -1, 0)
+    z = jnp.zeros(xx.shape[1:], jnp.float32)
+
+    def step(carry, v):
+        s, c = carry
+        y = v - c
+        t = s + y
+        return (t, (t - s) - y), None
+
+    (s, _), _ = jax.lax.scan(step, (z, z), xx)
+    mean = s[..., None] / jnp.float32(x.shape[-1])
+    scale = jnp.float32(1.0) / jnp.sqrt(mean + jnp.float32(eps))
+    return (xf * scale) * weight.astype(jnp.float32)
+
+
 def rms_norm_bias(x, weight, bias, eps: float = 1e-6):
     """Bonsai's RMSNorm-with-bias (bonsai.cpp:1139-1166)."""
     dt = x.dtype

@@ -46,9 +46,10 @@ def _xla_qmm(x2: jax.Array, w: QTensor, compute_dtype) -> jax.Array:
     return out
 
 
-def _quantize_row_q8_0(x2: jax.Array, gsize: int):
-    """quantize_row_q8_0 semantics (ggml.c:1135-1169): per-group
-    d = amax/127 (stored fp16), q = C-roundf(x/d) half away from zero.
+def _quantize_row_q8_0(x2: jax.Array, gsize: int, f16_d: bool):
+    """quantize_row_q8_0 / _q8_1 semantics (ggml.c:1135-1169, 1283-1316):
+    per-group d = amax/127 (q8_0 stores it fp16, q8_1 keeps f32),
+    q = C-roundf(x/d) half away from zero.
     Returns (levels f32 [B, G, gsize], d f32 [B, G])."""
     b, k = x2.shape
     g = k // gsize
@@ -57,40 +58,87 @@ def _quantize_row_q8_0(x2: jax.Array, gsize: int):
     dq = amax / jnp.float32(127.0)
     idq = jnp.where(dq > 0, 1.0 / dq, 0.0)
     v = xf * idq[..., None]
-    xq = jnp.trunc(v + jnp.where(v >= 0, 0.5, -0.5))
-    return xq, dq.astype(jnp.float16).astype(jnp.float32)
+    # C roundf exactly: round-half-even except exact .5 ties go away from
+    # zero (trunc(v + .5) alone mis-rounds v one ulp below a tie, where
+    # the f32 add lands exactly on the integer)
+    t = jnp.trunc(v)
+    xq = jnp.where(jnp.abs(v - t) == 0.5, t + jnp.sign(v), jnp.round(v))
+    if f16_d:
+        dq = dq.astype(jnp.float16).astype(jnp.float32)
+    return xq, dq
+
+
+def _quantize_row_q8_K(x2: jax.Array):
+    """quantize_row_q8_K_reference semantics (k_quants.c:1133-1168):
+    per-256-superblock iscale = -128/(signed max-abs value),
+    q = min(127, nearest_int(iscale*x)) with nearest_int's
+    round-half-to-even (the 12582912.0f magic constant), d = 1/iscale f32.
+    Returns (levels f32 [B, G256, 256], d f32 [B, G256])."""
+    b, k = x2.shape
+    g = k // 256
+    xf = x2.astype(jnp.float32).reshape(b, g, 256)
+    am = jnp.argmax(jnp.abs(xf), axis=-1)
+    mx = jnp.take_along_axis(xf, am[..., None], axis=-1)[..., 0]
+    nonzero = mx != 0
+    iscale = jnp.where(nonzero, jnp.float32(-128.0) / mx, 0.0)
+    xq = jnp.minimum(127.0, jnp.round(xf * iscale[..., None]))
+    xq = jnp.where(nonzero[..., None], xq, 0.0)
+    d = jnp.where(nonzero, 1.0 / jnp.where(nonzero, iscale, 1.0), 0.0)
+    return xq, d
 
 
 def q_matmul_ref_int8(x: jax.Array, w) -> jax.Array:
-    """REFERENCE-EXACT quantized mul_mat: quantize the activations to
-    q8_0 per 32-group and take integer dots per group, rescaled by
-    d_x*d_w in f32 — what the reference actually computes for every
-    quantized matmul (ggml_compute_forward_mul_mat_q_f32's
-    quantize_row_q8_0 + ggml_vec_dot_q4_0_q8_0, ggml.c:11353-11367).
+    """REFERENCE-EXACT quantized mul_mat: quantize the activations the
+    way the reference does (q8_0 for the 32-group legacy formats, q8_1
+    for the affine ones, q8_K per-256 superblock for k-quants) and take
+    integer dots per group, rescaled by d_x*d_w in f32 + the affine
+    bias * group-sum term — what the reference actually computes for
+    every quantized matmul (ggml_compute_forward_mul_mat_q_f32's
+    quantize_row_q_dot + vec_dot_q, ggml.c:1618-1747, 11353-11367).
+
+    The planar QTensor levels ARE the reference's integer quants and
+    gscale/gbias the affine pair (quant/pack.py), so
+        out = sum_g gscale[g,n]*d_x[b,G(g)]*intdot + gbias[g,n]*d_x*bsum
+    is algebraically the reference's vec_dot for every format.
 
     Used by the parity gates (ModelConfig.compute_dtype == 'ref_int8') to
     compare logits against the compiled reference with NO activation-
-    precision slack, and as the model-level semantic spec for the
-    int8-activation Pallas kernel (ops/pallas/qmm.py qmm_packed_q8x).
-    Formats whose reference dot is not the plain q8_0 integer form
-    (affine q4_1/q5_1, k-quants with q8_K activations, dense f16/f32)
-    fall back to the f32 path."""
-    if (not isinstance(w, QTensor) or w.gbias_full() is not None
-            or w.gsize != 32):
+    precision slack (bit-exact for q8_0 models), and as the model-level
+    semantic spec for the int8-activation Pallas kernel
+    (ops/pallas/qmm.py qmm_packed_q8x).  Dense f16/f32 weights fall back
+    to the f32 path."""
+    from ..quant.types import GGMLType
+
+    K_QUANTS = (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                GGMLType.Q5_K, GGMLType.Q6_K)
+    if not isinstance(w, QTensor):
         return q_matmul(x, w, use_pallas=False, compute_dtype=jnp.float32)
     lead, k = x.shape[:-1], x.shape[-1]
     x2 = x.reshape(-1, k)
+    b = x2.shape[0]
     n, _ = w.shape
     g = k // w.gsize
     lv = w.levels_full().astype(jnp.float32).reshape(g, w.gsize, n)
-    sc = w.gscale_full()  # [G, N] f32 (fp16-origin scales already exact)
-    xq, d = _quantize_row_q8_0(x2, w.gsize)
-    # integer dot per group: |q8|<=127, |levels|<=16 -> products < 2^12,
-    # group sums < 2^17 — exact in f32
+    sc = w.gscale_full()  # [G, N] f32
+    gb = w.gbias_full()   # [G, N] f32 | None
+    if w.qtype in K_QUANTS:
+        xq, d = _quantize_row_q8_K(x2)
+        ratio = 256 // w.gsize
+    else:
+        xq, d = _quantize_row_q8_0(x2, w.gsize, f16_d=gb is None)
+        ratio = 1
+    xq = xq.reshape(b, g, w.gsize)
+    dg = jnp.repeat(d, ratio, axis=1) if ratio > 1 else d  # [B, G]
+    # integer dot per group: |q8|<=128, |levels|<=63 -> products < 2^13,
+    # group sums < 2^19 — exact in f32
     dot = jnp.einsum("bgk,gkn->bgn", xq, lv,
                      precision=jax.lax.Precision.HIGHEST)
-    out = jnp.einsum("bgn,bg,gn->bn", dot, d, sc,
+    out = jnp.einsum("bgn,bg,gn->bn", dot, dg, sc,
                      precision=jax.lax.Precision.HIGHEST)
+    if gb is not None:
+        bsum = jnp.sum(xq, axis=-1)  # [B, G] int sums, exact in f32
+        out = out + jnp.einsum("bg,bg,gn->bn", bsum, dg, gb,
+                               precision=jax.lax.Precision.HIGHEST)
     return out.reshape(*lead, n)
 
 
