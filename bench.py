@@ -142,20 +142,21 @@ def main():
             jax.block_until_ready(params)
             ms = bench_decode(cfg, params)
             scale = 32 / kw["n_layer"]  # baseline is whole-model
-            print(json.dumps({
+            rec = {
                 "metric": metric,
                 "value": round(ms, 3),
                 "unit": "ms/token",
                 "vs_baseline": round(BASELINE_MS_PER_TOK / (ms * scale), 3),
-            }))
-            print(f"# device={dev.device_kind} platform={dev.platform}",
-                  file=sys.stderr)
-            try:  # secondary: prefill throughput (stderr comment only)
+            }
+            try:  # secondary: prefill throughput (extra fields, same line)
                 pms = bench_prefill(cfg, params)
-                print(f"# prefill_512: {pms:.1f} ms ({512 / pms * 1e3:.0f} tok/s)",
-                      file=sys.stderr)
+                rec["prefill_512_ms"] = round(pms, 1)
+                rec["prefill_tok_s"] = round(512 / pms * 1e3)
             except Exception:
                 pass
+            print(json.dumps(rec))
+            print(f"# device={dev.device_kind} platform={dev.platform}",
+                  file=sys.stderr)
             return
         except Exception as e:  # OOM on small chips -> try half model
             last_err = e
