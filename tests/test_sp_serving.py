@@ -93,6 +93,22 @@ def test_engine_sp_mesh_matches_plain():
     assert got == want, (want, got)
 
 
+def test_engine_full_3axis_mesh():
+    """The whole serving stack on a dp=2 x sp=2 x tp=2 mesh (all three
+    axes at once): slots shard over dp, the KV context axis over sp,
+    weights Megatron-split over tp — same greedy tokens as single-chip.
+    This is SURVEY §7.7's 'multi-host continuous batching with sharded
+    quantized weights' shape, validated on the virtual 8-device mesh."""
+    from test_tp import _run_engine
+
+    cfg, params = tiny_q_model(n_layer=1)
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    prompts = [[3, 5, 7], [11, 13], [100, 90, 80, 70]]
+    want = _run_engine(cfg, params, prompts)
+    got = _run_engine(cfg, params, prompts, mesh=mesh)
+    assert got == want, (want, got)
+
+
 def test_sp_context_capacity_scales():
     """The sharded cache really is distributed: each device holds S/sp
     context slots (addressable HBM for the cache scales with the mesh)."""
