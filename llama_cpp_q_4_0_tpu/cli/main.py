@@ -119,6 +119,11 @@ def run(args) -> int:
             else:
                 ctx.reset()
                 n_match = 0
+            # truncate the session list to the reused prefix (the
+            # reference's session_tokens.resize, main.cpp:228): slots past
+            # n_match will be overwritten, so keeping the old tokens would
+            # desync the saved token list from the KV contents
+            session_tokens = session_tokens[:n_match]
             prompt_tokens = prompt_tokens[n_match:]
             print(f"session: reused {n_match} tokens", file=sys.stderr)
         if not prompt_tokens:

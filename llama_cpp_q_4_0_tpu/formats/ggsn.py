@@ -78,6 +78,13 @@ def save_session_ggsn(path: str, ctx, tokens: list[int], hparams: dict,
     reference context created with the same -c."""
     assert ctx.batch == 1, "GGSN sessions are single-stream"
     cfg = ctx.cfg
+    missing = [f for f in HPARAM_FIELDS
+               if f not in hparams and f not in ("n_ctx", "ftype")]
+    if missing:
+        raise ValueError(
+            f"GGSN sessions are llama-architecture only (the raw "
+            f"llama_hparams block needs {missing}; {cfg.arch} model "
+            f"headers do not carry them) — use the native zip format")
     ntok = ctx.n_past
     e, L, s = cfg.n_embd, cfg.n_layer, ctx.n_ctx
     elt = np.dtype(kv_dtype).itemsize
@@ -110,9 +117,11 @@ def save_session_ggsn(path: str, ctx, tokens: list[int], hparams: dict,
             f.write(v.astype(kv_dtype).tobytes())
 
 
-def load_session_ggsn(path: str, ctx, *, kv_dtype=np.float16) -> list[int]:
+def load_session_ggsn(path: str, ctx) -> list[int]:
     """Load a GGSN v1 file (reference- or self-written) into ctx: restores
     the KV cache, n_past and last logits; returns the token history.
+    The KV element size (f16 by default, f32 under the reference's
+    --memory-f32) is inferred from the recorded kv_self buffer size.
     Raises ValueError on magic/version/hparams-shape mismatch (the
     reference prints and returns false, llama.cpp:3299-3310)."""
     import jax.numpy as jnp
@@ -144,7 +153,14 @@ def load_session_ggsn(path: str, ctx, *, kv_dtype=np.float16) -> list[int]:
         kv_bytes, ntok = struct.unpack("<Qi", f.read(12))
         e, L, s = cfg.n_embd, cfg.n_layer, ctx.n_ctx
         if ntok:
-            elt = np.dtype(kv_dtype).itemsize
+            # kv_bytes records kv_self.buf.size = 2*L*s*e*elt + 2 MB
+            # (llama.cpp:745) — recover the element size instead of
+            # assuming f16 (the reference's --memory-f32 writes f32)
+            elt = (kv_bytes - 2 * _MB) // (2 * L * s * e)
+            if elt not in (2, 4):
+                raise ValueError(f"unrecognized KV element size {elt} "
+                                 f"(kv_bytes={kv_bytes})")
+            kv_dtype = np.float16 if elt == 2 else np.float32
             k = np.frombuffer(f.read(L * ntok * e * elt), kv_dtype)
             v = np.frombuffer(f.read(L * ntok * e * elt), kv_dtype)
             k = k.astype(np.float32).reshape(L, ntok, e)

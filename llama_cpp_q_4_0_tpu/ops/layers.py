@@ -265,7 +265,8 @@ def attention(
     assert n_head % n_kv == 0
     rep = n_head // n_kv
 
-    if _use_fused_decode(rep, t, s, hd):
+    # parity mode pins the fp16-table softmax — never the fused kernel
+    if not ref_f16_softmax and _use_fused_decode(rep, t, s, hd):
         from .pallas.attention import mha_decode
 
         return mha_decode(

@@ -241,8 +241,11 @@ def _quantize_q8x(x: jax.Array, gsize: int, k2p: int):
     dq = amax / jnp.float32(127.0)
     idq = jnp.where(dq > 0, 1.0 / dq, 0.0)
     v = xf * idq[..., None]
-    # C roundf (half away from zero), as quantize_row_q8_0 does
-    xq = jnp.trunc(v + jnp.where(v >= 0, 0.5, -0.5)).astype(jnp.int8)
+    # C roundf exactly (half away from zero): trunc(v + .5) alone
+    # mis-rounds one ulp below a tie — see qmatmul._quantize_row_q8_0
+    t = jnp.trunc(v)
+    xq = jnp.where(jnp.abs(v - t) == 0.5, t + jnp.sign(v),
+                   jnp.round(v)).astype(jnp.int8)
     # the reference stores block_q8_0.d as fp16 — fold that rounding in so
     # the kernel's scale product matches vec_dot_q4_0_q8_0 exactly
     d = dq.astype(jnp.float16).astype(jnp.float32)

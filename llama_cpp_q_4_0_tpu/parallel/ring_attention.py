@@ -29,24 +29,24 @@ except ImportError:  # pragma: no cover
 NEG_INF = -1e30
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def ring_prefill_fn(mesh: Mesh, axis: str = "sp"):
     """models.transformer.forward `attention_fn` adapter: full-prompt
     prefill attention rides the sp ring (one ppermute hop per KV block)
     instead of the cache-window einsum.  Valid for n_past == 0 whole-
-    sequence calls only (forward's attention_fn contract).  Module-level
-    + lru-cached per mesh so jits treating it as a static argument get a
-    stable hash across calls."""
-    import functools
+    sequence calls only (forward's attention_fn contract).  lru-cached at
+    MODULE level so jits treating the returned fn as a static argument
+    see one stable object per mesh (a per-call cache would return a fresh
+    fn each time and force a retrace per prefill)."""
 
-    @functools.lru_cache(maxsize=8)
-    def make(mesh, axis):
-        def fn(q, k, v, scale):
-            return ring_self_attention(q, k, v, mesh, scale=scale,
-                                       axis=axis).astype(jnp.float32)
+    def fn(q, k, v, scale):
+        return ring_self_attention(q, k, v, mesh, scale=scale,
+                                   axis=axis).astype(jnp.float32)
 
-        return fn
-
-    return make(mesh, axis)
+    return fn
 
 
 def _block_attend(q, k, v, q_pos, k_pos, scale):

@@ -92,113 +92,44 @@ def _bucket(n: int) -> int:
     return ((n + 2047) // 2048) * 2048
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
-                   donate_argnames=("cache_k", "cache_v"))
-def _engine_decode(cfg, params, tokens, n_past_v, cache_k, cache_v,
-                   kv_window):
-    """Module-level jit: one compile per (cfg, bucket) serves every engine
-    instance (a per-instance closure would recompile per engine)."""
-    return transformer.forward(
-        cfg, params, tokens, n_past_v, cache_k, cache_v,
-        last_only=True, kv_window=kv_window,
-    )
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "kv_window", "attention_fn"),
-                   donate_argnames=("cache_k", "cache_v"))
-def _engine_prefill(cfg, params, tokens, slot, n_real, cache_k, cache_v,
-                    kv_window, n_past=0, attention_fn=None):
-    """[1, T_pad] prefill against one slot's KV rows; returns the logits
-    of the last *real* token.  n_past > 0 continues after a cached
-    prefix already resident in the slot's rows.  attention_fn (static,
-    n_past == 0 admissions only): e.g. the TPU flash prefill kernel."""
-    take_row = lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
-    row_k = jax.tree.map(take_row, cache_k)
-    row_v = jax.tree.map(take_row, cache_v)
-    logits, row_k, row_v = transformer.forward(
-        cfg, params, tokens, jnp.int32(n_past), row_k, row_v,
-        last_only=False, kv_window=kv_window, attention_fn=attention_fn,
-    )
-    logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1, axis=1)
-    put_row = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
-        c, r.astype(c.dtype), slot, 0)
-    new_k = jax.tree.map(put_row, cache_k, row_k)
-    new_v = jax.tree.map(put_row, cache_v, row_v)
-    return logits, new_k, new_v
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "kv_window", "attention_fn"),
-                   donate_argnames=("cache_k", "cache_v"))
-def _engine_prefill_multi(cfg, params, tokens, slots, n_reals,
-                          cache_k, cache_v, kv_window, attention_fn=None):
-    """Batched admission: [M, T_pad] prompts prefill M slots in ONE
-    forward (the per-slot loop costs a full weight stream each).  Rows
-    padded with slot index >= n_slots scatter with mode='drop'.
-
-    Returns per-row last-real-token logits [M, V] and updated caches."""
-    m = tokens.shape[0]
-    take_rows = lambda c: jnp.take(c, jnp.clip(slots, 0, c.shape[0] - 1),
-                                   axis=0)
-    row_k = jax.tree.map(take_rows, cache_k)
-    row_v = jax.tree.map(take_rows, cache_v)
-    logits, row_k, row_v = transformer.forward(
-        cfg, params, tokens, jnp.int32(0), row_k, row_v,
-        last_only=False, kv_window=kv_window, attention_fn=attention_fn,
-    )
-    logits = jnp.take_along_axis(
-        logits, (n_reals - 1)[:, None, None], axis=1)[:, 0]  # [M, V]
-    put_rows = lambda c, r: c.at[slots].set(r.astype(c.dtype), mode="drop")
-    new_k = jax.tree.map(put_rows, cache_k, row_k)
-    new_v = jax.tree.map(put_rows, cache_v, row_v)
-    return logits, new_k, new_v
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "kv_window", "attention_fn"),
-                   donate_argnames=("cache_k", "cache_v"))
-def _prefix_prefill(cfg, params, tokens, cache_k, cache_v, kv_window,
-                    attention_fn=None):
-    """Prefill a standalone [1, S] row cache with a shared prefix."""
-    _, cache_k, cache_v = transformer.forward(
-        cfg, params, tokens, jnp.int32(0), cache_k, cache_v,
-        last_only=True, kv_window=kv_window, attention_fn=attention_fn,
-    )
-    return None, cache_k, cache_v
-
-
-def _prefill_attn_fn(cfg, t_pad: int):
-    """Flash prefill for n_past == 0 engine admissions when eligible."""
-    from ..ops.layers import flash_prefill_fn, use_flash_prefill
-
-    return flash_prefill_fn() if use_flash_prefill(t_pad, cfg.head_dim) \
-        else None
-
-
 @functools.lru_cache(maxsize=8)
-def _custom_engine_fns(forward_fn):
-    """Engine forwards routed through a custom forward_fn (same contract as
-    transformer.forward — e.g. parallel.tp.spec_forward(mesh) for explicit
-    shard_map tensor parallelism).  lru_cached per forward_fn so engines
-    sharing a mesh share compiles, mirroring the module-level defaults."""
+def _engine_fns(forward_fn):
+    """The four engine forwards (decode / slot prefill / batched prefill /
+    prefix prefill) over any forward with transformer.forward's contract.
+    The defaults are `_engine_fns(transformer.forward)` (module-level jits:
+    one compile per cfg/bucket serves every engine instance); custom
+    forwards — e.g. parallel.tp.spec_forward(mesh) for explicit shard_map
+    tensor parallelism — get their own lru-cached set.
+
+    attention_fn (static, n_past == 0 admissions only — e.g. the TPU
+    flash or sp-ring prefill kernel) is forwarded only when set, so
+    custom forward_fns that don't take the kwarg stay compatible."""
+
+    def fwd(*args, attention_fn=None, **kw):
+        if attention_fn is not None:
+            kw["attention_fn"] = attention_fn
+        return forward_fn(*args, **kw)
 
     @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
                        donate_argnames=("cache_k", "cache_v"))
     def decode(cfg, params, tokens, n_past_v, cache_k, cache_v, kv_window):
-        return forward_fn(cfg, params, tokens, n_past_v, cache_k, cache_v,
-                          last_only=True, kv_window=kv_window)
+        return fwd(cfg, params, tokens, n_past_v, cache_k, cache_v,
+                   last_only=True, kv_window=kv_window)
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+    @functools.partial(jax.jit,
+                       static_argnames=("cfg", "kv_window", "attention_fn"),
                        donate_argnames=("cache_k", "cache_v"))
     def prefill(cfg, params, tokens, slot, n_real, cache_k, cache_v,
-                kv_window, n_past=0):
+                kv_window, n_past=0, attention_fn=None):
+        """[1, T_pad] prefill against one slot's KV rows; returns the
+        logits of the last *real* token.  n_past > 0 continues after a
+        cached prefix already resident in the slot's rows."""
         take_row = lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
         row_k = jax.tree.map(take_row, cache_k)
         row_v = jax.tree.map(take_row, cache_v)
-        logits, row_k, row_v = forward_fn(
+        logits, row_k, row_v = fwd(
             cfg, params, tokens, jnp.int32(n_past), row_k, row_v,
-            last_only=False, kv_window=kv_window,
+            last_only=False, kv_window=kv_window, attention_fn=attention_fn,
         )
         logits = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1, axis=1)
         put_row = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
@@ -207,17 +138,22 @@ def _custom_engine_fns(forward_fn):
         new_v = jax.tree.map(put_row, cache_v, row_v)
         return logits, new_k, new_v
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+    @functools.partial(jax.jit,
+                       static_argnames=("cfg", "kv_window", "attention_fn"),
                        donate_argnames=("cache_k", "cache_v"))
     def prefill_multi(cfg, params, tokens, slots, n_reals, cache_k, cache_v,
-                      kv_window):
+                      kv_window, attention_fn=None):
+        """Batched admission: [M, T_pad] prompts prefill M slots in ONE
+        forward (the per-slot loop costs a full weight stream each).  Rows
+        padded with slot index >= n_slots scatter with mode='drop'.
+        Returns per-row last-real-token logits [M, V] + updated caches."""
         take_rows = lambda c: jnp.take(
             c, jnp.clip(slots, 0, c.shape[0] - 1), axis=0)
         row_k = jax.tree.map(take_rows, cache_k)
         row_v = jax.tree.map(take_rows, cache_v)
-        logits, row_k, row_v = forward_fn(
+        logits, row_k, row_v = fwd(
             cfg, params, tokens, jnp.int32(0), row_k, row_v,
-            last_only=False, kv_window=kv_window,
+            last_only=False, kv_window=kv_window, attention_fn=attention_fn,
         )
         logits = jnp.take_along_axis(
             logits, (n_reals - 1)[:, None, None], axis=1)[:, 0]
@@ -227,16 +163,38 @@ def _custom_engine_fns(forward_fn):
         new_v = jax.tree.map(put_rows, cache_v, row_v)
         return logits, new_k, new_v
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "kv_window"),
+    @functools.partial(jax.jit,
+                       static_argnames=("cfg", "kv_window", "attention_fn"),
                        donate_argnames=("cache_k", "cache_v"))
-    def prefix(cfg, params, tokens, cache_k, cache_v, kv_window):
-        _, cache_k, cache_v = forward_fn(
+    def prefix(cfg, params, tokens, cache_k, cache_v, kv_window,
+               attention_fn=None):
+        """Prefill a standalone [1, S] row cache with a shared prefix."""
+        _, cache_k, cache_v = fwd(
             cfg, params, tokens, jnp.int32(0), cache_k, cache_v,
-            last_only=True, kv_window=kv_window,
+            last_only=True, kv_window=kv_window, attention_fn=attention_fn,
         )
         return None, cache_k, cache_v
 
     return decode, prefill, prefill_multi, prefix
+
+
+(_engine_decode, _engine_prefill,
+ _engine_prefill_multi, _prefix_prefill) = _engine_fns(transformer.forward)
+
+
+def _prefill_attn_fn(cfg, t_pad: int, mesh=None):
+    """n_past == 0 admission attention: the sp-ring kernel on a
+    sequence-parallel mesh (docs/serving.md), else the TPU flash prefill
+    kernel when eligible, else the default cache-window einsum."""
+    if mesh is not None and mesh.shape.get("sp", 1) > 1 \
+            and t_pad % mesh.shape["sp"] == 0:
+        from ..parallel.ring_attention import ring_prefill_fn
+
+        return ring_prefill_fn(mesh)
+    from ..ops.layers import flash_prefill_fn, use_flash_prefill
+
+    return flash_prefill_fn() if use_flash_prefill(t_pad, cfg.head_dim) \
+        else None
 
 
 class BatchEngine:
@@ -292,14 +250,13 @@ class BatchEngine:
                       if mesh.shape.get("tp", 1) > 1
                       else replicate(params, mesh))
         if tp_mesh is not None:
-            from ..parallel.shard import shard_cache
             from ..parallel.tp import prepare_tp_params, spec_forward
 
             assert forward_fn is None, "pass tp_mesh OR forward_fn"
             params = prepare_tp_params(params, tp_mesh, cfg)
             forward_fn = spec_forward(tp_mesh)
         self.forward_fn = forward_fn
-        self._custom = (_custom_engine_fns(forward_fn)
+        self._custom = (_engine_fns(forward_fn)
                         if forward_fn is not None else None)
         self.cfg = cfg
         self.params = params
@@ -373,6 +330,13 @@ class BatchEngine:
                                cache_k, cache_v, kv_window=kv_window,
                                n_past=n_past, attention_fn=attention_fn)
 
+    def _admit_attn_fn(self, pad: int):
+        """attention_fn for n_past == 0 admissions on the DEFAULT forward
+        (custom forward_fns own their attention internally)."""
+        if self._custom:
+            return None
+        return _prefill_attn_fn(self.cfg, pad, self.mesh)
+
     # -------------------------------------------------------------- public
 
     def register_prefix(self, tokens: list[int]) -> None:
@@ -391,15 +355,10 @@ class BatchEngine:
         pad = min(_bucket(len(tokens)), self.n_ctx)
         toks = np.zeros((1, pad), np.int32)
         toks[0, : len(tokens)] = tokens
-        if self._custom:
-            _, row_k, row_v = self._custom[3](
-                self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
-                kv_window=pad)
-        else:
-            _, row_k, row_v = _prefix_prefill(
-                self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
-                kv_window=pad,
-                attention_fn=_prefill_attn_fn(self.cfg, pad))
+        fn = self._custom[3] if self._custom else _prefix_prefill
+        _, row_k, row_v = fn(
+            self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
+            kv_window=pad, attention_fn=self._admit_attn_fn(pad))
         self._prefix = (tokens, row_k, row_v)
 
     def submit(self, req: Request) -> Request:
@@ -515,8 +474,7 @@ class BatchEngine:
             jnp.int32(len(piece)), st["row_k"], st["row_v"],
             kv_window=min(_bucket(pos + pad), self.n_ctx),
             n_past=jnp.int32(pos),
-            attention_fn=(_prefill_attn_fn(self.cfg, pad)
-                          if pos == 0 else None),
+            attention_fn=(self._admit_attn_fn(pad) if pos == 0 else None),
         )
         st["pos"] = pos + len(piece)
         if st["pos"] >= len(prompt):
@@ -564,7 +522,7 @@ class BatchEngine:
                 self.params, jnp.asarray(toks), jnp.int32(slot.idx),
                 jnp.int32(len(prompt)), self.cache_k, self.cache_v,
                 kv_window=pad,
-                attention_fn=_prefill_attn_fn(self.cfg, pad),
+                attention_fn=self._admit_attn_fn(pad),
             )
         self._activate(slot, req, prompt, np.asarray(logits)[0, -1])
 
@@ -586,18 +544,12 @@ class BatchEngine:
             toks[i, : len(p)] = p
             slots[i] = slot.idx
             n_reals[i] = len(p)
-        if self._custom:
-            logits, self.cache_k, self.cache_v = self._custom[2](
-                self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
-                jnp.asarray(n_reals), self.cache_k, self.cache_v,
-                kv_window=pad,
-            )
-        else:
-            logits, self.cache_k, self.cache_v = _engine_prefill_multi(
-                self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
-                jnp.asarray(n_reals), self.cache_k, self.cache_v,
-                kv_window=pad, attention_fn=_prefill_attn_fn(self.cfg, pad),
-            )
+        fn = self._custom[2] if self._custom else _engine_prefill_multi
+        logits, self.cache_k, self.cache_v = fn(
+            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
+            jnp.asarray(n_reals), self.cache_k, self.cache_v,
+            kv_window=pad, attention_fn=self._admit_attn_fn(pad),
+        )
         logits = np.asarray(logits)
         for i, ((slot, req), p) in enumerate(zip(batch, prompts)):
             self._activate(slot, req, p, logits[i])

@@ -44,6 +44,36 @@ def test_main_cli_prompt_cache(model_path, tmp_path, capsys):
     err2 = capsys.readouterr().err
     assert "session: reused" in err2
 
+    # the saved token list must stay aligned with the KV contents across
+    # reuse cycles: run 2 rewound to |prompt|-1 and regenerated, so a
+    # stale (untruncated) list would exceed what the cache actually holds
+    # (the reference's session_tokens.resize, main.cpp:228) — verify by
+    # loading the session and replaying its token list against a fresh
+    # context: greedy continuation must match a third reuse run
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_transformer)
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+    from llama_cpp_q_4_0_tpu.runtime.session import load_session
+
+    gf = read_ggjt(model_path, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    ctx = Context(cfg, load_transformer(gf, cfg), n_ctx=64)
+    toks = load_session(cache, ctx)
+    assert ctx.n_past == len(toks)  # alignment invariant
+    # rewind + re-eval the last token (the reuse path): the logits must
+    # equal a from-scratch replay of the stored list — only true when the
+    # list matches the cache contents slot-for-slot
+    ctx.n_past = len(toks) - 1
+    got = np.asarray(ctx.eval(np.asarray([[toks[-1]]], np.int32)))
+    fresh = Context(cfg, load_transformer(gf, cfg), n_ctx=64)
+    fresh.eval(np.asarray([toks[:-1]], np.int32))
+    want = np.asarray(fresh.eval(np.asarray([[toks[-1]]], np.int32)))
+    np.testing.assert_allclose(got[0, -1], want[0, -1], rtol=2e-4,
+                               atol=2e-4)
+
 
 def test_quantize_cli(model_path, tmp_path, capsys):
     from llama_cpp_q_4_0_tpu.cli import quantize as quantize_cli
