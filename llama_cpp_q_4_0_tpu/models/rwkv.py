@@ -148,6 +148,129 @@ def _layer_step(cfg: ModelConfig, lay: RwkvLayer, st: dict, x):
     return x, new_st
 
 
+def _shift1(seq: jax.Array, init: jax.Array) -> jax.Array:
+    """[B, T, E] -> previous-step values: [init, seq[0], ..., seq[T-2]]."""
+    return jnp.concatenate([init[:, None], seq[:, :-1]], axis=1)
+
+
+def _linrec_scan(alpha, beta):
+    """Parallel linear recurrence y_t = alpha_t * y_{t-1} + beta_t over axis 1.
+
+    Returns the composed prefix maps (A_t, B_t) with y_t = A_t * y_0 + B_t —
+    the associative-scan form of the reference's per-token WKV accumulator
+    update (rwkv.cpp:1516-1559), log2(T) passes instead of T steps."""
+    def combine(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return a1 * a2, a2 * b1 + b2
+
+    return jax.lax.associative_scan(combine, (alpha, beta), axis=1)
+
+
+def _layer_parallel(cfg: ModelConfig, lay: RwkvLayer, st: dict, x, valid):
+    """One layer, ALL tokens at once. x: [B, T, E]; st: dict of [B, E].
+
+    TPU-first alternative to scanning ``_layer_step`` over tokens: the seven
+    per-token matmuls batch into [B*T, E] MXU GEMMs (weights stream from HBM
+    once per layer instead of once per token) and the only true sequential
+    dependency — the stable-WKV accumulator (rwkv.cpp:1500-1559) — runs as
+    two associative scans: the running max is a (max, +) tropical-affine
+    composition, then num/den are elementwise linear recurrences in the
+    shifted exponentials.  Per-position values match the sequential step up
+    to reassociation of the scan (the combine re-brackets the same sums).
+
+    ``valid`` must be a trailing-padding prefix mask (the only shape
+    RwkvContext produces): padded steps contribute identity maps to the
+    scans, so the final carried state is the last valid token's state.
+    Returns (x_out [B, T, E], new_st); x_out at padded positions is garbage
+    (as in the sequential path, whose padded outputs are also unused)."""
+    b, t, e = x.shape
+    cur = layer_norm(x, lay.ln1_g, lay.ln1_b, cfg.norm_eps)  # [B, T, E]
+    xp = _shift1(cur, st["attn_prev"])
+    x_r = cur * lay.att_time_mix_r + xp * (1.0 - lay.att_time_mix_r)
+    x_k = cur * lay.att_time_mix_k + xp * (1.0 - lay.att_time_mix_k)
+    x_v = cur * lay.att_time_mix_v + xp * (1.0 - lay.att_time_mix_v)
+    r = jax.nn.sigmoid(_mm(x_r, lay.att_receptance))
+    k = _mm(x_k, lay.att_key)
+    v = _mm(x_v, lay.att_value)
+
+    w = lay.att_time_decay  # [E], already -exp(decay)
+    keep = None if valid is None else ~valid[:, :, None]  # pad positions
+    # --- running-max trajectory: m_t = max(m_{t-1} + w, k_t) ---
+    # composition of f(m) = max(m + a, b): (a1,b1)∘(a2,b2) =
+    # (a1+a2, max(b1+a2, b2)); padded steps are the identity (0, -inf)
+    a_el = jnp.broadcast_to(w, (b, t, e))
+    b_el = k
+    if keep is not None:
+        a_el = jnp.where(keep, 0.0, a_el)
+        b_el = jnp.where(keep, -jnp.inf, b_el)
+
+    def mcomb(l, r_):
+        a1, b1 = l
+        a2, b2 = r_
+        return a1 + a2, jnp.maximum(b1 + a2, b2)
+
+    am, bm = jax.lax.associative_scan(mcomb, (a_el, b_el), axis=1)
+    m0 = st["maxv"]
+    m_full = jnp.maximum(m0[:, None] + am, bm)  # [B, T, E]
+    m_prev = _shift1(m_full, m0)
+
+    # --- num/den linear recurrences in the max-shifted frame ---
+    alpha = jnp.exp(m_prev + w - m_full)
+    beta_s = jnp.exp(k - m_full)
+    if keep is not None:
+        alpha = jnp.where(keep, 1.0, alpha)
+        beta_s = jnp.where(keep, 0.0, beta_s)
+    a2 = jnp.concatenate([alpha, alpha], axis=-1)
+    b2 = jnp.concatenate([beta_s * v, beta_s], axis=-1)
+    aa, bb = _linrec_scan(a2, b2)
+    y0 = jnp.concatenate([st["num"], st["den"]], axis=-1)
+    y_full = aa * y0[:, None] + bb
+    y_prev = _shift1(y_full, y0)
+    n_prev, d_prev = y_prev[..., :e], y_prev[..., e:]
+
+    # --- per-position WKV output from the PRE-update state ---
+    ktf = lay.att_time_first + k
+    p = jnp.maximum(m_prev, ktf)
+    e1 = jnp.exp(m_prev - p)
+    e2 = jnp.exp(ktf - p)
+    wkv = (e1 * n_prev + e2 * v) / (e1 * d_prev + e2)
+    x = x + _mm(r * wkv, lay.att_output)
+
+    # --- channel mixing, batched ---
+    ln2 = layer_norm(x, lay.ln2_g, lay.ln2_b, cfg.norm_eps)
+    fp = _shift1(ln2, st["ff_prev"])
+    x_r = ln2 * lay.ff_time_mix_r + fp * (1.0 - lay.ff_time_mix_r)
+    x_k = ln2 * lay.ff_time_mix_k + fp * (1.0 - lay.ff_time_mix_k)
+    r = jax.nn.sigmoid(_mm(x_r, lay.ff_receptance))
+    kk = jnp.square(jax.nn.relu(_mm(x_k, lay.ff_key)))
+    x = x + r * _mm(kk, lay.ff_value)
+
+    # carried state = last VALID position (scans already hold num/den/max
+    # through padded steps; cur/ln2 need an explicit gather)
+    if valid is None:
+        last = jnp.full((b,), t - 1, jnp.int32)
+        any_valid = jnp.ones((b, 1), bool)
+    else:
+        last = jnp.maximum(valid.sum(axis=1).astype(jnp.int32) - 1, 0)
+        any_valid = valid.any(axis=1)[:, None]
+    gi = last[:, None, None]
+
+    def _at_last(seq, init):
+        g = jnp.take_along_axis(seq, jnp.broadcast_to(gi, (b, 1, e)),
+                                axis=1)[:, 0]
+        return jnp.where(any_valid, g, init)
+
+    new_st = {
+        "ff_prev": _at_last(ln2, st["ff_prev"]),
+        "attn_prev": _at_last(cur, st["attn_prev"]),
+        "num": y_full[:, -1, :e],
+        "den": y_full[:, -1, e:],
+        "maxv": m_full[:, -1],
+    }
+    return x, new_st
+
+
 def _token_step(cfg: ModelConfig, params: RwkvParams, state: dict, emb):
     """All layers for one token. emb: [B, E] embedded+pre-normed input."""
     x = emb
@@ -171,21 +294,53 @@ def forward(
     *,
     last_only: bool = False,
     valid: jax.Array | None = None,  # [B, T] bool: padded steps hold state
+    parallel: bool | None = None,
 ):
     """Scan the prompt through the recurrence.
 
     `valid` lets callers pad prompts to bucketed lengths without corrupting
     the recurrent state (a padded step passes the carry through untouched) —
     the recurrence's answer to the transformer path's bucket padding, so a
-    handful of compilations serve any prompt length.
+    handful of compilations serve any prompt length.  It must be a prefix
+    (trailing-padding) mask when the parallel path is taken.
+
+    `parallel` selects the associative-scan prefill (`_layer_parallel`):
+    one weight stream per layer instead of per token — the RWKV prefill
+    answer to the transformer path's batched prompt eval.  Default (None)
+    auto-enables it for T >= 8 (every RwkvContext prompt bucket).
 
     Returns (logits [B, T|1, V] f32, new_state)."""
     b, t = tokens.shape
+    if parallel is None:
+        parallel = t >= 8
     if isinstance(params.wte, QTensor):
         emb = params.wte.rows(tokens)
     else:
         emb = jnp.take(params.wte, tokens, axis=0).astype(jnp.float32)
     emb = layer_norm(emb, params.ln_pre_g, params.ln_pre_b, cfg.norm_eps)
+
+    if parallel and t > 1:
+        x = emb  # [B, T, E]
+        new_state = {k: [] for k in state}
+        for i, lay in enumerate(params.layers):
+            st_i = {k: state[k][i] for k in state}
+            x, st_o = _layer_parallel(cfg, lay, st_i, x, valid)
+            for k in state:
+                new_state[k].append(st_o[k])
+            if cfg.rescale_every > 0 and (i + 1) % cfg.rescale_every == 0:
+                x = x * 0.5
+        state = {k: jnp.stack(v) for k, v in new_state.items()}
+        if last_only:
+            if valid is None:
+                x = x[:, -1:, :]
+            else:
+                # per-row last VALID position (padded outputs are garbage)
+                last = jnp.maximum(valid.sum(axis=1).astype(jnp.int32) - 1, 0)
+                x = jnp.take_along_axis(
+                    x, jnp.broadcast_to(last[:, None, None], (b, 1, x.shape[-1])),
+                    axis=1)
+        x = layer_norm(x, params.ln_out_g, params.ln_out_b, cfg.norm_eps)
+        return q_matmul(x, params.head), state
 
     def scan_fn(st, ev):  # ev: ([B, E], [B] bool | None)
         e_t, v_t = ev

@@ -100,6 +100,75 @@ def test_rwkv_parity_vs_reference(tmp_path, oracle_bin, qtype_name):
     assert agree >= (1.0 if qtype_name == "F32" else 0.6)
 
 
+@pytest.mark.parametrize("qtype_name", ["F32", "Q4_0"])
+def test_parallel_prefill_matches_sequential(tmp_path, qtype_name):
+    """Associative-scan prefill must match the sequential token scan:
+    logits at every valid position and the carried state (incl. ragged
+    batch rows via trailing-padding valid masks)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models import rwkv as rwkv_mod
+    from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_rwkv
+
+    path = _build_model(tmp_path, qtype_name, n_vocab=128, n_embd=64,
+                        n_layer=4, rescale_every=2)
+    gf = read_ggjt(path, "rwkv")
+    cfg = config_from_ggjt(gf)
+    params = load_rwkv(gf, cfg)
+
+    rng = np.random.default_rng(0)
+    t = 16
+    toks = jnp.asarray(rng.integers(1, 128, (2, t)), jnp.int32)
+    valid = jnp.asarray(np.arange(t)[None, :] < np.asarray([[13], [16]]))
+
+    seq_l, seq_st = rwkv_mod.forward(cfg, params, toks,
+                                     rwkv_mod.init_state(cfg, 2),
+                                     valid=valid, parallel=False)
+    par_l, par_st = rwkv_mod.forward(cfg, params, toks,
+                                     rwkv_mod.init_state(cfg, 2),
+                                     valid=valid, parallel=True)
+    mask = np.asarray(valid)[:, :, None]
+    np.testing.assert_allclose(np.where(mask, np.asarray(par_l), 0),
+                               np.where(mask, np.asarray(seq_l), 0),
+                               rtol=2e-4, atol=2e-5)
+    for k in seq_st:
+        np.testing.assert_allclose(np.asarray(par_st[k]),
+                                   np.asarray(seq_st[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_parallel_prefill_then_decode_greedy_parity(tmp_path):
+    """Greedy decode continued from a parallel prefill must emit the same
+    token chain as a fully sequential run."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models import rwkv as rwkv_mod
+    from llama_cpp_q_4_0_tpu.models.loading import config_from_ggjt, load_rwkv
+
+    path = _build_model(tmp_path, "F32", n_vocab=96, n_embd=48, n_layer=3)
+    gf = read_ggjt(path, "rwkv")
+    cfg = config_from_ggjt(gf)
+    params = load_rwkv(gf, cfg)
+    prompt = jnp.asarray([[3, 17, 42, 9, 61, 5, 28, 77, 11, 2]], jnp.int32)
+
+    def run(parallel):
+        lg, st = rwkv_mod.forward(cfg, params, prompt,
+                                  rwkv_mod.init_state(cfg, 1),
+                                  last_only=True, parallel=parallel)
+        out = []
+        for _ in range(12):
+            tok = int(np.asarray(lg)[0, -1].argmax())
+            out.append(tok)
+            lg, st = rwkv_mod.forward(
+                cfg, params, jnp.asarray([[tok]], jnp.int32), st,
+                parallel=False)
+        return out
+
+    assert run(True) == run(False)
+
+
 def test_rwkv_bucket_padding_state_exact(tmp_path):
     """Bucket-padded prompts must leave state and logits identical to the
     exact-length eval (padded steps pass the carry through)."""
