@@ -145,7 +145,33 @@ def run(args) -> int:
         )
 
         stats = SpecStats()
-        if args.ondevice_sampling and not args.draft_model:
+        from ..runtime.context import RwkvContext
+
+        if isinstance(ctx, RwkvContext):
+            # recurrent state can't rewind, so the host verify loop doesn't
+            # apply; the device chunk gathers the accepted-prefix state
+            # from the parallel verify (rwkv_spec_chunk)
+            from ..runtime.device_spec import generate_ondevice_spec_rwkv
+
+            if args.draft_model:
+                print("warning: --draft-model is not supported for rwkv; "
+                      "using prompt-lookup drafting", file=sys.stderr)
+
+            out = generate_ondevice_spec_rwkv(
+                ctx, prompt_tokens, args.n_predict,
+                sampling=DeviceSampling(
+                    temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+                    repeat_penalty=args.repeat_penalty,
+                    repeat_last_n=args.repeat_last_n,
+                    frequency_penalty=args.frequency_penalty,
+                    presence_penalty=args.presence_penalty,
+                    tfs_z=args.tfs, typical_p=args.typical,
+                    logit_bias=device_bias),
+                spec=SpecParams(n_draft=args.draft),
+                seed=max(0, args.seed), ignore_eos=args.ignore_eos,
+                stats=stats,
+            )
+        elif args.ondevice_sampling and not args.draft_model:
             # whole draft-verify loop on device (runtime/device_spec.py):
             # measured 204 tok/s on 7B q4_0 vs 25 tok/s host-loop
             from ..runtime.device_spec import generate_ondevice_spec

@@ -176,7 +176,7 @@ def detect_arch(path: str | Path) -> str:
         "llama": ("tok_embeddings.weight", "layers.0.attention.wq.weight"),
         "gptneox": ("gpt_neox.embed_in.weight",),
         "falcon": ("transformer.word_embeddings.weight",),
-        "rwkv": ("emb.weight", "blocks.0.att.key.weight"),
+        "rwkv": ("rwkv.embeddings.weight",),  # rwkv.cpp:130
         "bonsai": ("transformer.wte.weight", "model.embed_tokens.weight"),
     }
     for arch in HEADER_FIELDS:

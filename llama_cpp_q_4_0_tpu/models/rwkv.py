@@ -167,7 +167,8 @@ def _linrec_scan(alpha, beta):
     return jax.lax.associative_scan(combine, (alpha, beta), axis=1)
 
 
-def _layer_parallel(cfg: ModelConfig, lay: RwkvLayer, st: dict, x, valid):
+def _layer_parallel(cfg: ModelConfig, lay: RwkvLayer, st: dict, x, valid,
+                    all_states: bool = False):
     """One layer, ALL tokens at once. x: [B, T, E]; st: dict of [B, E].
 
     TPU-first alternative to scanning ``_layer_step`` over tokens: the seven
@@ -246,6 +247,18 @@ def _layer_parallel(cfg: ModelConfig, lay: RwkvLayer, st: dict, x, valid):
     kk = jnp.square(jax.nn.relu(_mm(x_k, lay.ff_key)))
     x = x + r * _mm(kk, lay.ff_value)
 
+    if all_states:
+        # per-position states (speculative decoding gathers the state at
+        # the accepted-prefix index): state AFTER consuming position t
+        new_st = {
+            "ff_prev": ln2,
+            "attn_prev": cur,
+            "num": y_full[..., :e],
+            "den": y_full[..., e:],
+            "maxv": m_full,
+        }
+        return x, new_st
+
     # carried state = last VALID position (scans already hold num/den/max
     # through padded steps; cur/ln2 need an explicit gather)
     if valid is None:
@@ -295,6 +308,7 @@ def forward(
     last_only: bool = False,
     valid: jax.Array | None = None,  # [B, T] bool: padded steps hold state
     parallel: bool | None = None,
+    all_states: bool = False,
 ):
     """Scan the prompt through the recurrence.
 
@@ -309,8 +323,15 @@ def forward(
     answer to the transformer path's batched prompt eval.  Default (None)
     auto-enables it for T >= 8 (every RwkvContext prompt bucket).
 
+    `all_states` (parallel path only, no `valid`) returns the state at
+    EVERY position — dict of [L, B, T, E] — so speculative decoding can
+    gather the accepted-prefix state (runtime/device_spec.rwkv_spec_chunk).
+
     Returns (logits [B, T|1, V] f32, new_state)."""
     b, t = tokens.shape
+    if all_states:
+        assert valid is None and t > 1
+        parallel = True
     if parallel is None:
         parallel = t >= 8
     if isinstance(params.wte, QTensor):
@@ -324,7 +345,7 @@ def forward(
         new_state = {k: [] for k in state}
         for i, lay in enumerate(params.layers):
             st_i = {k: state[k][i] for k in state}
-            x, st_o = _layer_parallel(cfg, lay, st_i, x, valid)
+            x, st_o = _layer_parallel(cfg, lay, st_i, x, valid, all_states)
             for k in state:
                 new_state[k].append(st_o[k])
             if cfg.rescale_every > 0 and (i + 1) % cfg.rescale_every == 0:

@@ -271,6 +271,166 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "k", "n_steps", "ds", "max_ngram", "min_ngram",
+                     "eos", "ignore_eos"),
+    donate_argnames=("hist", "state"),
+)
+def rwkv_spec_chunk(cfg: ModelConfig, params, hist, n_hist, state, key,
+                    done, *, k: int, n_steps: int, ds: DeviceSampling,
+                    max_ngram: int, min_ngram: int, eos: int,
+                    ignore_eos: bool):
+    """spec_chunk for the RWKV recurrence (no KV cache — recurrent state).
+
+    Made viable by the parallel prefill (models/rwkv.py _layer_parallel):
+    the T=k+1 verify forward streams each layer's weights ONCE, so a round
+    costs one weight pass for up to k+1 tokens — the same bandwidth
+    amortization the transformer verify gets from its KV cache (this
+    overturns NOTES-NEXT-ROUND #14, which analyzed the sequential scan).
+    Rollback is a gather: the verify runs with all_states=True and the
+    accepted-prefix index selects the state, replacing the transformer
+    path's kv-mask frontier arithmetic.
+
+    state: dict of [L, B, E]; other operands as spec_chunk."""
+    from ..models import rwkv as rwkv_mod
+
+    B, H = hist.shape
+    rows = jnp.arange(B)
+    tpos = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    eosed0 = jnp.zeros((B,), bool)
+
+    def body(carry, _):
+        hist, m, st, key, done, eosed = carry
+        last = hist[rows, m - 1]
+        drafts = jax.vmap(
+            functools.partial(_lookup_drafts, k=k, max_ngram=max_ngram,
+                              min_ngram=min_ngram)
+        )(hist, m)  # [B, k]
+        toks = jnp.concatenate([last[:, None], drafts], axis=1)  # [B, k+1]
+        logits, st_all = rwkv_mod.forward(cfg, params, toks, st,
+                                          all_states=True)
+        key, sub = jax.random.split(key)
+        rec = None
+        if ds.penalized:
+            offs = jnp.arange(ds.repeat_last_n, dtype=jnp.int32) \
+                - ds.repeat_last_n
+            idx = m[:, None] + offs[None, :]
+            rec = jnp.where(idx >= 0,
+                            hist[rows[:, None], jnp.clip(idx, 0, H - 1)],
+                            jnp.int32(cfg.n_vocab))
+        ids = _verify_sample(logits, toks, sub, ds, rec,
+                             base_pos=m - 1)  # [B, k+1]
+        acc = jnp.cumprod((ids[:, :k] == drafts).astype(jnp.int32), axis=1)
+        a = jnp.sum(acc, axis=1)  # [B] accepted drafts, 0..k
+        bonus = ids[rows, a]
+        drafts_ext = jnp.concatenate(
+            [drafts, jnp.zeros((B, 1), drafts.dtype)], axis=1)
+        emit = jnp.where(tpos < a[:, None], drafts_ext,
+                         jnp.where(tpos == a[:, None], bonus[:, None], 0))
+        if ignore_eos:
+            emit_n = a + 1
+            new_done = done
+        else:
+            hit = (emit == eos) & (tpos <= a[:, None])
+            emit_n = jnp.where(jnp.any(hit, axis=1),
+                               jnp.argmax(hit, axis=1).astype(jnp.int32),
+                               a + 1)
+            eosed = eosed | (jnp.any(hit, axis=1) & ~done)
+            new_done = done | jnp.any(hit, axis=1)
+        # next-round state covers exactly the EMITTED history — position
+        # index emit_n-1 (== a without EOS; an EOS truncation must not
+        # leave post-EOS draft tokens in the recurrent state).  Rows that
+        # emit nothing (frozen, or EOS at position 0) keep their state.
+        adv = (~done) & (emit_n > 0)
+        gi = jnp.broadcast_to(
+            jnp.maximum(emit_n - 1, 0)[None, :, None, None],
+            (cfg.n_layer, B, 1, cfg.n_embd))
+        st_new = jax.tree.map(
+            lambda s_all, s_old: jnp.where(
+                adv[None, :, None],
+                jnp.take_along_axis(s_all, gi, axis=2)[:, :, 0], s_old),
+            st_all, st)
+        emit_n = jnp.where(done, 0, emit_n)  # frozen rows emit nothing
+        widx = jnp.where(done, H, m)[:, None] + tpos
+        hist = hist.at[rows[:, None], widx].set(emit, mode="drop")
+        m = m + emit_n
+        new_done = new_done | (m + k + 1 > H)  # no room for another verify
+        return (hist, m, st_new, key, new_done, eosed), (emit, emit_n)
+
+    (hist, n_hist, state, key, done, eosed), (emit_toks, emit_ns) = \
+        jax.lax.scan(body, (hist, n_hist, state, key, done, eosed0),
+                     None, length=n_steps)
+    return hist, n_hist, state, key, done, eosed, emit_toks, emit_ns
+
+
+def generate_ondevice_spec_rwkv(
+    ctx,  # RwkvContext
+    prompt_tokens: list[int],
+    n_predict: int,
+    *,
+    sampling: DeviceSampling | None = None,
+    spec: SpecParams | None = None,
+    n_steps: int = 8,
+    seed: int = 0,
+    eos_token: int = TOKEN_EOS,
+    ignore_eos: bool = False,
+    stats: SpecStats | None = None,
+) -> list[int]:
+    """generate_ondevice_spec for RwkvContext — parallel prefill, then
+    device-resident draft-verify rounds over the recurrent state."""
+    ds = sampling or DeviceSampling(temp=-1.0)
+    sp = spec or SpecParams()
+    k = sp.n_draft
+    stats = stats if stats is not None else SpecStats()
+
+    logits = ctx.eval(np.asarray([prompt_tokens], np.int32))
+    key = jax.random.key(seed)
+    key, sub = jax.random.split(key)
+    first = first_sample(logits[0, -1], list(prompt_tokens), ds, sub,
+                         ctx.cfg.n_vocab)
+    if first == eos_token and not ignore_eos:
+        return []
+    out = [first]
+    stats.n_tokens += 1
+
+    n0 = len(prompt_tokens) + 1
+    # recurrence has no context limit — size the history to fit the run
+    H = _bucket(min(n0 + n_predict + n_steps * (k + 1) + 2, ctx.n_ctx))
+    hist_np = np.zeros((1, H), np.int32)
+    hist_np[0, :n0] = list(prompt_tokens) + [first]
+    hist = jnp.asarray(hist_np)
+    n_hist = jnp.asarray([n0], jnp.int32)
+    done = jnp.zeros((1,), bool)
+
+    while len(out) < n_predict:
+        start = int(np.asarray(n_hist)[0])
+        if start + k + 1 > H:
+            break
+        (hist, n_hist, ctx.state, key, done, eosed, emit_toks, emit_ns) = \
+            rwkv_spec_chunk(
+                ctx.cfg, ctx.params, hist, n_hist, ctx.state, key, done,
+                k=k, n_steps=n_steps, ds=ds,
+                max_ngram=sp.max_ngram, min_ngram=sp.min_ngram,
+                eos=eos_token, ignore_eos=ignore_eos,
+            )
+        toks_h = np.asarray(emit_toks)[:, 0]  # [n_steps, k+1]
+        ns_h = np.asarray(emit_ns)[:, 0]  # [n_steps]
+        ctx.n_past = int(np.asarray(n_hist)[0]) - 1
+        for s in range(len(ns_h)):
+            n = int(ns_h[s])
+            stats.n_verify += 1
+            stats.n_drafted += k
+            stats.n_accepted += max(0, n - 1)
+            stats.n_tokens += n
+            out.extend(toks_h[s, :n].tolist())
+        if bool(np.asarray(eosed)[0]):
+            break
+        if bool(np.asarray(done)[0]):
+            break
+    return out[:n_predict]
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg_t", "cfg_d", "k", "n_steps", "ds", "kv_window",
                      "eos", "ignore_eos"),
     donate_argnames=("ck_t", "cv_t", "ck_d", "cv_d"),

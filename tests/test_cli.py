@@ -269,6 +269,19 @@ def test_main_cli_speculative_draft_model(model_path, capsys):
     assert "100% drafts accepted" in err
 
 
+def test_main_cli_speculative_rwkv(tmp_path, capsys):
+    """--draft on an RWKV model routes to the recurrent-state spec chunk."""
+    import llama_cpp_q_4_0_tpu.cli.main as main_cli
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_rwkv_ggjt
+
+    path = str(tmp_path / "rwkv.ggjt")
+    make_rwkv_ggjt(path)
+    rc = main_cli.main(["-m", path, "-p", "hello", "-n", "6",
+                        "-s", "1", "--temp", "-1", "--draft", "4"])
+    assert rc == 0
+    assert "speculative:" in capsys.readouterr().err
+
+
 def test_main_cli_speculative_ondevice(model_path, capsys):
     import llama_cpp_q_4_0_tpu.cli.main as main_cli
 
