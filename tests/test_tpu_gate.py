@@ -155,6 +155,65 @@ def test_spec_chunk_tick_on_chip():
         assert got == want, (want, got)
 
 
+def test_rwkv_parallel_prefill_on_chip():
+    """Associative-scan prefill == sequential token scan ON CHIP (the
+    tropical-max / linear-recurrence scans have no interpret-mode
+    equivalent risk, but their XLA-TPU lowering does)."""
+    import dataclasses
+
+    from llama_cpp_q_4_0_tpu.formats import fixtures
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models import rwkv as rwkv_mod
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_rwkv)
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "r.bin")
+        fixtures.make_rwkv_ggjt(p, n_vocab=256, n_embd=64, n_layer=2)
+        gf = read_ggjt(p, "rwkv")
+        cfg = config_from_ggjt(gf)
+        params = load_rwkv(gf, cfg)
+        toks = jnp.asarray([[3, 9, 27, 6, 101, 7, 55, 2, 19, 19, 4, 88]],
+                           jnp.int32)
+        seq_l, seq_st = rwkv_mod.forward(cfg, params, toks,
+                                         rwkv_mod.init_state(cfg, 1),
+                                         parallel=False)
+        par_l, par_st = rwkv_mod.forward(cfg, params, toks,
+                                         rwkv_mod.init_state(cfg, 1),
+                                         parallel=True)
+        np.testing.assert_allclose(np.asarray(par_l), np.asarray(seq_l),
+                                   rtol=2e-3, atol=2e-3)
+        for k in seq_st:
+            np.testing.assert_allclose(np.asarray(par_st[k]),
+                                       np.asarray(seq_st[k]),
+                                       rtol=2e-3, atol=2e-3, err_msg=k)
+
+
+def test_rwkv_spec_tick_on_chip():
+    """RWKV device-resident speculative tick: greedy token parity with the
+    plain decode loop on chip (state-gather rollback included)."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+    from llama_cpp_q_4_0_tpu.runtime.device_spec import (
+        generate_ondevice_spec_rwkv,
+    )
+    from llama_cpp_q_4_0_tpu.runtime.generate import GenerateParams, generate
+    from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
+    from llama_cpp_q_4_0_tpu.runtime.speculative import SpecParams
+
+    greedy = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                            repeat_last_n=0)
+    with tempfile.TemporaryDirectory() as d:
+        ctx = _make_ctx("rwkv", d)
+        prompt = [3, 9, 27, 3, 9, 27, 3, 9]
+        want = list(generate(ctx, prompt, GenerateParams(
+            n_predict=8, sampling=greedy, ignore_eos=True), eos_token=-1))
+        ctx.reset()
+        got = generate_ondevice_spec_rwkv(
+            ctx, prompt, 8, sampling=DeviceSampling(temp=-1.0),
+            spec=SpecParams(n_draft=3), n_steps=2, ignore_eos=True)
+        assert got == want, (want, got)
+
+
 def test_mha_decode_kernel_on_chip():
     """Fused Pallas decode attention == einsum attention on the chip
     (f32 and scaled-int8 KV)."""
