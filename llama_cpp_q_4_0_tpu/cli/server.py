@@ -262,7 +262,24 @@ def make_handler(state: ServerState):
 def run(args) -> int:
     lm = load_model(args)
     engine = None
-    if getattr(args, "parallel", 1) > 1:
+    from ..runtime.context import RwkvContext
+
+    if getattr(args, "parallel", 1) > 1 and isinstance(lm.ctx, RwkvContext):
+        from ..runtime.rwkv_engine import RwkvBatchEngine
+
+        engine = RwkvBatchEngine(
+            lm.cfg, lm.ctx.params, n_slots=args.parallel, n_ctx=args.n_ctx,
+            chunk=max(getattr(args, "parallel_chunk", 1), 4),
+            spec_draft=getattr(args, "parallel_draft", 0) or 5,
+            per_request_sampling=not getattr(
+                args, "parallel_uniform_sampling", False))
+        if getattr(args, "system_prompt", None):
+            print("warning: --system-prompt prefix cache is not supported "
+                  "for rwkv serving", file=sys.stderr)
+        engine.start()
+        print(f"continuous batching (rwkv): {args.parallel} slots",
+              file=sys.stderr)
+    elif getattr(args, "parallel", 1) > 1:
         from ..runtime.batch_engine import BatchEngine
 
         kw = {}

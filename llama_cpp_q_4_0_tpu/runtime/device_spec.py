@@ -276,7 +276,8 @@ def spec_chunk(cfg: ModelConfig, params, hist, n_hist, cache_k, cache_v,
     donate_argnames=("hist", "state"),
 )
 def rwkv_spec_chunk(cfg: ModelConfig, params, hist, n_hist, state, key,
-                    done, *, k: int, n_steps: int, ds: DeviceSampling,
+                    done, sv: SamplingVec | None = None, *, k: int,
+                    n_steps: int, ds: DeviceSampling,
                     max_ngram: int, min_ngram: int, eos: int,
                     ignore_eos: bool):
     """spec_chunk for the RWKV recurrence (no KV cache — recurrent state).
@@ -310,14 +311,14 @@ def rwkv_spec_chunk(cfg: ModelConfig, params, hist, n_hist, state, key,
                                           all_states=True)
         key, sub = jax.random.split(key)
         rec = None
-        if ds.penalized:
-            offs = jnp.arange(ds.repeat_last_n, dtype=jnp.int32) \
-                - ds.repeat_last_n
+        if ds.penalized or sv is not None:
+            win = VEC_WINDOW if sv is not None else ds.repeat_last_n
+            offs = jnp.arange(win, dtype=jnp.int32) - win
             idx = m[:, None] + offs[None, :]
             rec = jnp.where(idx >= 0,
                             hist[rows[:, None], jnp.clip(idx, 0, H - 1)],
                             jnp.int32(cfg.n_vocab))
-        ids = _verify_sample(logits, toks, sub, ds, rec,
+        ids = _verify_sample(logits, toks, sub, ds, rec, sv,
                              base_pos=m - 1)  # [B, k+1]
         acc = jnp.cumprod((ids[:, :k] == drafts).astype(jnp.int32), axis=1)
         a = jnp.sum(acc, axis=1)  # [B] accepted drafts, 0..k
