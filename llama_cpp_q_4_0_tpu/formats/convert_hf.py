@@ -32,29 +32,109 @@ from .ggjt import GGJTWriter
 
 # --------------------------------------------------------------- state dicts
 
-def load_state_dict(model_dir: str) -> dict[str, np.ndarray]:
-    """Merge every weight shard in the dir (torch pickle or safetensors)."""
-    d = Path(model_dir)
-    sd: dict[str, np.ndarray] = {}
-    st_files = sorted(d.glob("*.safetensors"))
-    pt_files = sorted(d.glob("pytorch_model*.bin")) + sorted(d.glob("*.pt"))
-    if st_files:
-        from safetensors.numpy import load_file
+class LazyStateDict:
+    """Per-tensor lazy weight access — the reference convert.py's LazyModel
+    analogue (convert.py:420-610).  Peak memory stays at one tensor instead
+    of the whole checkpoint (a 7B f16 model no longer needs 26 GB of RAM to
+    convert):
 
-        for f in st_files:
-            sd.update(load_file(str(f)))
-    elif pt_files:
-        import torch
+      - safetensors shards: `safe_open` handles, each tensor read from disk
+        only when a converter asks for it
+      - torch zipfile checkpoints: `torch.load(mmap=True)` keeps shard data
+        page-mapped; legacy files fall back to resident shards (old
+        behavior, still shard-merged)
 
-        for f in pt_files:
-            shard = torch.load(str(f), map_location="cpu", weights_only=True)
-            # keep integer dtypes intact (GPTQ qweight/qzeros are int32)
-            sd.update({k: (v.float().numpy() if v.is_floating_point()
-                           else v.numpy())
-                       for k, v in shard.items()})
-    else:
-        raise FileNotFoundError(f"no weights found in {model_dir}")
-    return resolve_gptq({k: np.asarray(v) for k, v in sd.items()})
+    GPTQ tensor groups ({base}.qweight/qzeros/scales[/g_idx/zeros/bias])
+    are hidden and surfaced as a synthesized {base}.weight, dequantized on
+    access (same semantics as resolve_gptq/gptq_dense).  Float tensors come
+    out float32, integers unchanged — identical to the old eager loader.
+    """
+
+    def __init__(self, model_dir: str):
+        d = Path(model_dir)
+        self._get: dict[str, object] = {}  # name -> zero-arg loader
+        st_files = sorted(d.glob("*.safetensors"))
+        pt_files = sorted(d.glob("pytorch_model*.bin")) + sorted(d.glob("*.pt"))
+        if st_files:
+            from safetensors import safe_open
+
+            for f in st_files:
+                h = safe_open(str(f), framework="numpy")
+                for k in h.keys():
+                    self._get[k] = (lambda h=h, k=k: h.get_tensor(k))
+        elif pt_files:
+            import torch
+
+            for f in pt_files:
+                try:
+                    shard = torch.load(str(f), map_location="cpu",
+                                       weights_only=True, mmap=True)
+                except (TypeError, RuntimeError, ValueError):
+                    # legacy (non-zipfile) serialization: resident shard
+                    shard = torch.load(str(f), map_location="cpu",
+                                       weights_only=True)
+                for k, v in shard.items():
+                    self._get[k] = (lambda v=v: v.float().numpy()
+                                    if v.is_floating_point() else v.numpy())
+        else:
+            raise FileNotFoundError(f"no weights found in {model_dir}")
+
+        # GPTQ groups -> synthesized {base}.weight (resolve_gptq semantics)
+        hidden: set[str] = set()
+        synth: dict[str, object] = {}
+        for k in [k for k in self._get if k.endswith(".qweight")]:
+            b = k[: -len(".qweight")]
+            parts = {s: self._get.get(b + "." + s) for s in
+                     ("qweight", "scales", "qzeros", "zeros", "g_idx", "bias")}
+            hidden.update(b + "." + s for s, g in parts.items() if g is not None)
+
+            def dense(parts=parts, b=b):
+                bias = parts["bias"] and parts["bias"]()
+                if bias is not None:
+                    assert not np.any(bias), f"{b}: ggml formats carry no bias"
+                return gptq_dense(
+                    np.asarray(parts["qweight"]()),
+                    np.asarray(parts["scales"]()),
+                    qzeros=(np.asarray(parts["qzeros"]())
+                            if parts["qzeros"] else None),
+                    zeros=(np.asarray(parts["zeros"]())
+                           if parts["zeros"] else None),
+                    g_idx=(np.asarray(parts["g_idx"]())
+                           if parts["g_idx"] else None),
+                )
+
+            synth[b + ".weight"] = dense
+        for k in hidden:
+            del self._get[k]
+        self._get.update(synth)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        a = np.asarray(self._get[name]())
+        if a.dtype.kind == "f" and a.dtype != np.float32:
+            a = a.astype(np.float32)
+        return a
+
+    def __contains__(self, name) -> bool:
+        return name in self._get
+
+    def __iter__(self):
+        return iter(self._get)
+
+    def __len__(self) -> int:
+        return len(self._get)
+
+    def keys(self):
+        return self._get.keys()
+
+    def items(self):  # lazily — one materialized tensor at a time
+        for k in self._get:
+            yield k, self[k]
+
+
+def load_state_dict(model_dir: str) -> LazyStateDict:
+    """Open every weight shard in the dir (torch pickle or safetensors) as
+    one lazily-merged state dict."""
+    return LazyStateDict(model_dir)
 
 
 # ------------------------------------------------------------------- GPTQ

@@ -182,6 +182,16 @@ def q_matmul(
         # sweeps mislead: cross-op DMA overlap favors deeper k tiles)
         import os
 
+        # big-batch branch (the reference's dequant+BLAS sgemm analogue,
+        # ggml.c:11304-11351): at prefill batch sizes the matmul is
+        # compute-bound, so paying 4x weight bytes for a full-rate bf16
+        # MXU GEMM with XLA-fused dequant can beat the in-kernel VPU
+        # unpack.  Env-gated until model-level chip numbers land:
+        # QMM_PREFILL_XLA=<min_rows> (e.g. 256).
+        px = int(os.environ.get("QMM_PREFILL_XLA", "0"))
+        if px and b >= px:
+            return _xla_qmm(x2, w, compute_dtype).reshape(*lead, n)
+
         bn_env = int(os.environ.get("QMM_BLOCK_N", "0"))
         block_n = bn_env or (512 if n % 512 == 0 else 256 if n % 256 == 0 else 128)
         if n % block_n != 0:

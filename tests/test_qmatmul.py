@@ -203,3 +203,17 @@ def test_rows_gather():
     got = np.asarray(qt.rows(idx))
     ref = np.asarray(qt.dequantize())[np.asarray(idx)]
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_prefill_xla_dispatch_env(monkeypatch):
+    """QMM_PREFILL_XLA=<rows> routes big batches on the Pallas path to the
+    dequant+bf16-GEMM branch (the reference's dequant+BLAS sgemm analogue,
+    ggml.c:11304-11351); small batches keep the packed kernel."""
+    w, qt = _mk(256, 512, GGMLType.Q4_0, seed=11)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((16, 512)) * 0.5).astype(np.float32)
+    monkeypatch.setenv("QMM_PREFILL_XLA", "8")
+    # use_pallas=True on CPU: the env branch returns before any Pallas call
+    got = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=True))
+    ref = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

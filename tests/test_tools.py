@@ -219,3 +219,70 @@ def test_gptq_dense_roundtrip():
                        "other.weight"}
     np.testing.assert_allclose(
         sd["model.layers.0.self_attn.q_proj.weight"], want, atol=1e-6)
+
+
+def test_lazy_state_dict_safetensors(tmp_path):
+    """LazyStateDict over safetensors shards: per-tensor lazy reads, shard
+    merging, f16->f32 promotion, int dtypes preserved (the reference
+    convert.py LazyModel analogue, convert.py:420-610)."""
+    from safetensors.numpy import save_file
+
+    from llama_cpp_q_4_0_tpu.formats.convert_hf import load_state_dict
+
+    d = tmp_path / "hf"
+    d.mkdir()
+    a = np.arange(12, dtype=np.float16).reshape(3, 4)
+    b = np.arange(6, dtype=np.int32).reshape(2, 3)
+    c = np.ones((2, 2), np.float32) * 3
+    save_file({"a": a, "b": b}, str(d / "model-00001.safetensors"))
+    save_file({"c": c}, str(d / "model-00002.safetensors"))
+
+    sd = load_state_dict(str(d))
+    assert set(sd.keys()) == {"a", "b", "c"} and len(sd) == 3
+    assert "a" in sd and "nope" not in sd
+    assert sd["a"].dtype == np.float32  # promoted
+    np.testing.assert_allclose(sd["a"], a.astype(np.float32))
+    assert sd["b"].dtype == np.int32  # ints intact (GPTQ qweight contract)
+    np.testing.assert_array_equal(sd["b"], b)
+    got = dict(sd.items())
+    np.testing.assert_allclose(got["c"], c)
+
+
+def test_lazy_state_dict_gptq_synthesis(tmp_path):
+    """GPTQ groups inside a torch checkpoint surface as a synthesized dense
+    {base}.weight; the raw qweight/qzeros/scales/bias names are hidden."""
+    torch = pytest.importorskip("torch")
+    from llama_cpp_q_4_0_tpu.formats.convert_hf import (gptq_dense,
+                                                        load_state_dict)
+
+    rng = np.random.default_rng(1)
+    out_d, in_d, gs = 8, 64, 32
+    groups = in_d // gs
+    q = rng.integers(0, 16, (out_d, in_d)).astype(np.uint8)
+    scales = rng.uniform(0.01, 0.1, (groups, out_d)).astype(np.float32)
+    qz = rng.integers(0, 15, (groups, out_d)).astype(np.uint8)
+
+    def pack(nibs):
+        r, c = nibs.shape
+        u32 = np.zeros((r, c // 8), np.uint32)
+        for j in range(8):
+            u32 |= nibs[:, j::8].astype(np.uint32) << (4 * j)
+        return u32.view(np.int32)
+
+    qweight = pack(q).T.copy()
+    qzeros = pack(qz)
+    want = gptq_dense(qweight, scales, qzeros=qzeros)
+
+    d = tmp_path / "hf"
+    d.mkdir()
+    base = "model.layers.0.self_attn.q_proj"
+    torch.save({base + ".qweight": torch.from_numpy(qweight),
+                base + ".qzeros": torch.from_numpy(qzeros),
+                base + ".scales": torch.from_numpy(scales),
+                base + ".bias": torch.zeros(out_d),
+                "other.weight": torch.ones(2, 2)},
+               str(d / "pytorch_model.bin"))
+
+    sd = load_state_dict(str(d))
+    assert set(sd.keys()) == {base + ".weight", "other.weight"}
+    np.testing.assert_allclose(sd[base + ".weight"], want, atol=1e-6)
