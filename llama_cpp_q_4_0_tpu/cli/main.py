@@ -15,7 +15,7 @@ from ..runtime.generate import GenerateParams, generate
 from ..runtime.session import (
     load_session, save_session, session_prefix_match,
 )
-from ..runtime.tokenizer import TOKEN_EOS
+from ..runtime.tokenizer import TOKEN_BOS, TOKEN_EOS
 from .common import add_model_args, add_sampling_args, load_model, sampling_from_args
 
 
@@ -92,6 +92,10 @@ def run(args) -> int:
         prompt_tokens = frame_oasst(prompt)
     else:
         prompt_tokens = tok.tokenize(prompt, bos=(lm.arch != "rwkv"))
+        if not prompt_tokens and lm.arch != "rwkv":
+            # empty prompt tokenizes to NOTHING (llama.cpp:1788-1790);
+            # generation starts from a bare BOS (main.cpp:345)
+            prompt_tokens = [TOKEN_BOS]
     if args.verbose_prompt:
         for t in prompt_tokens:
             print(f"{t:6d} -> '{tok.token_text(t).decode(errors='replace')}'",

@@ -45,6 +45,10 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--allow-requantize", action="store_true")
     p.add_argument("--leave-output-tensor", action="store_true",
                    help="skip the output.weight -> Q6_K upgrade")
+    p.add_argument("--qkk64", action="store_true",
+                   help="write k-quants as 64-element super-blocks (the "
+                        "reference's -DGGML_QKK_64 build variant; for "
+                        "tensors 64- but not 256-divisible)")
     return p
 
 
@@ -60,6 +64,7 @@ def run(args) -> int:
         ftype=FTYPE_MAP[key],
         allow_requantize=args.allow_requantize,
         quantize_output_tensor=not args.leave_output_tensor,
+        qk_k=64 if getattr(args, "qkk64", False) else 256,
     )
     stats = quantize_model(args.model_in, args.model_out, qp, arch=arch)
     dt = time.perf_counter() - t0

@@ -29,6 +29,10 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("-L", "--exclude-layer", action="append", default=[])
     p.add_argument("-p", "--per-layer-stats", action="store_true")
     p.add_argument("--histogram", action="store_true")
+    p.add_argument("--qkk64", action="store_true",
+                   help="measure k-quants with 64-element super-blocks "
+                        "(the -DGGML_QKK_64 variant); admits rows that are "
+                        "64- but not 256-divisible")
     return p
 
 
@@ -75,9 +79,10 @@ def run(args) -> int:
     inc = [re.compile(r) for r in args.include_layer]
     exc = [re.compile(r) for r in args.exclude_layer]
 
+    qk_k = 64 if getattr(args, "qkk64", False) else 256
     names = []
     for name, t in gf.tensors.items():
-        if len(t.shape) != 2 or t.shape[1] % 256 != 0:
+        if len(t.shape) != 2 or t.shape[1] % qk_k != 0:
             continue
         if inc and not any(r.search(name) for r in inc):
             continue
@@ -90,7 +95,7 @@ def run(args) -> int:
         total = ErrorStats()
         for name in names:
             ref = gf.tensor_f32(name).astype(np.float32)
-            rt = dequantize(quantize(ref, qt), qt).reshape(ref.shape)
+            rt = dequantize(quantize(ref, qt, qk_k), qt, qk_k).reshape(ref.shape)
             if args.per_layer_stats:
                 st = ErrorStats()
                 st.update(ref, rt)

@@ -22,6 +22,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from ..runtime.generate import GenerateParams, generate
 from ..runtime.sampling import SamplingParams
 from ..runtime.session import session_prefix_match
+from ..runtime.tokenizer import TOKEN_BOS
 from .common import add_model_args, load_model
 
 
@@ -143,7 +144,7 @@ def make_handler(state: ServerState):
                     with state.lock:
                         lm.ctx.reset()
                         toks = lm.tokenizer.tokenize(body.get("content", ""),
-                                                     bos=True)
+                                                     bos=True) or [TOKEN_BOS]
                         emb = lm.ctx.embed(toks)
                     return self._json(200, {"embedding": emb[0].tolist()})
                 if self.path == "/completion":
@@ -163,7 +164,7 @@ def make_handler(state: ServerState):
             if state.engine is not None:
                 return self._completion_batched(body, prompt, gp, stop)
             with state.lock:
-                toks = lm.tokenizer.tokenize(prompt, bos=True)
+                toks = lm.tokenizer.tokenize(prompt, bos=True) or [TOKEN_BOS]
                 todo = state.load_prompt(toks)
                 antiprompts = tuple(lm.tokenizer.tokenize(s) for s in stop)
                 produced: list[int] = []
@@ -209,7 +210,7 @@ def make_handler(state: ServerState):
         def _completion_batched(self, body: dict, prompt: str, gp, stop):
             from ..runtime.batch_engine import Request
 
-            toks = lm.tokenizer.tokenize(prompt, bos=True)
+            toks = lm.tokenizer.tokenize(prompt, bos=True) or [TOKEN_BOS]
             req = state.engine.submit(Request(
                 prompt_tokens=toks,
                 n_predict=gp.n_predict,

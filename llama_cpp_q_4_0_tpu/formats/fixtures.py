@@ -33,7 +33,7 @@ def _emit(w: GGJTWriter, name: str, arr: np.ndarray, qtype: GGMLType):
         if qtype == GGMLType.F16:
             w.write_tensor(name, GGMLType.F16, ne, arr.astype(np.float16).tobytes())
         else:
-            w.write_tensor(name, qtype, ne, quantize_bytes(arr, qtype))
+            w.write_tensor(name, qtype, ne, quantize_bytes(arr, qtype, w.qk_k))
     else:
         w.write_tensor(name, GGMLType.F32, ne, arr.tobytes())
 
@@ -50,6 +50,7 @@ def make_llama_ggjt(
     ftype: int | None = None,
     seed: int = 0,
     vocab: list | None = None,
+    qk_k: int = 256,
 ) -> ModelConfig:
     if ftype is None:
         ftype = {GGMLType.F32: 0, GGMLType.F16: 1}.get(qtype, int(LlamaFType.MOSTLY_Q4_0))
@@ -66,7 +67,8 @@ def make_llama_ggjt(
     def r(*shape, scale=0.05):
         return (rng.standard_normal(shape) * scale).astype(np.float32)
 
-    with GGJTWriter(path, "llama", hp, ftype, vocab or _fake_vocab(n_vocab)) as w:
+    with GGJTWriter(path, "llama", hp, ftype, vocab or _fake_vocab(n_vocab),
+                    qk_k=qk_k) as w:
         _emit(w, "tok_embeddings.weight", r(n_vocab, n_embd, scale=0.1), qtype)
         _emit(w, "norm.weight", np.ones(n_embd), qtype)
         _emit(w, "output.weight", r(n_vocab, n_embd, scale=0.1), qtype)

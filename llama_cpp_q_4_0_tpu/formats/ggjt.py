@@ -25,7 +25,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..quant.types import GGMLType, TYPE_TRAITS, row_size_bytes
+from ..quant.types import GGMLType, row_size_bytes, type_traits
 
 MAGIC_GGML = 0x67676D6C  # 'ggml' — legacy, unversioned, no vocab scores
 MAGIC_GGMF = 0x67676D66  # 'ggmf' v1
@@ -75,6 +75,7 @@ class GGJTFile:
     vocab: list[tuple[bytes, float]]
     tensors: dict[str, TensorEntry]
     _mmap: np.memmap = field(repr=False, default=None)
+    qk_k: int = 256  # super-block variant that wrote the file (k_quants.h:10)
 
     def tensor_bytes(self, name: str) -> np.ndarray:
         """Zero-copy uint8 view of a tensor's raw block data."""
@@ -85,7 +86,7 @@ class GGJTFile:
         """Structured block-dtype view (quantized) or float view (f16/f32)."""
         t = self.tensors[name]
         raw = self.tensor_bytes(name)
-        tr = TYPE_TRAITS[t.qtype]
+        tr = type_traits(t.qtype, self.qk_k)
         if t.qtype == GGMLType.F32:
             return raw.view("<f4").reshape(t.shape)
         if t.qtype == GGMLType.F16:
@@ -100,7 +101,7 @@ class GGJTFile:
         blocks = self.tensor_blocks(name)
         if t.qtype in (GGMLType.F32, GGMLType.F16):
             return np.ascontiguousarray(blocks, dtype=np.float32)
-        return dequantize(blocks, t.qtype).reshape(t.shape)
+        return dequantize(blocks, t.qtype, self.qk_k).reshape(t.shape)
 
 
 def _read_header(f, arch: str):
@@ -111,7 +112,26 @@ def _read_header(f, arch: str):
     return hparams, ftype
 
 
-def read_ggjt(path: str | Path, arch: str = "llama") -> GGJTFile:
+def read_ggjt(path: str | Path, arch: str = "llama",
+              qk_k: int | None = None) -> GGJTFile:
+    """Parse a ggml/ggmf/ggjt file.
+
+    ``qk_k`` selects the k-quant super-block variant the file was written
+    with (the reference's compile-time GGML_QKK_64, k_quants.h:10-16).  The
+    container carries no marker, but the variants' block byte-sizes differ,
+    so the wrong choice derails tensor offsets — when qk_k is None we parse
+    as 256 and fall back to 64 if the stream misparses (a 64-variant file
+    read as 256 hits a divisibility error, a garbage tensor header, or a
+    final-offset mismatch with probability ~1)."""
+    if qk_k is None:
+        try:
+            return _read_ggjt(path, arch, 256)
+        except (ValueError, struct.error, UnicodeDecodeError):
+            return _read_ggjt(path, arch, 64)
+    return _read_ggjt(path, arch, qk_k)
+
+
+def _read_ggjt(path: str | Path, arch: str, qk_k: int) -> GGJTFile:
     path = str(path)
     with open(path, "rb") as f:
         (magic,) = struct.unpack("<I", f.read(4))
@@ -147,19 +167,27 @@ def read_ggjt(path: str | Path, arch: str = "llama") -> GGJTFile:
         file_size = Path(path).stat().st_size
         tensors: dict[str, TensorEntry] = {}
         while f.tell() < file_size:
-            n_dims, name_len, ttype = struct.unpack("<3I", f.read(12))
+            hdr = f.read(12)
+            if len(hdr) < 12:
+                raise ValueError("truncated tensor header (wrong QK_K?)")
+            n_dims, name_len, ttype = struct.unpack("<3I", hdr)
+            if not (1 <= n_dims <= 4) or name_len > 4096:
+                raise ValueError("implausible tensor header (wrong QK_K?)")
             ne = struct.unpack(f"<{n_dims}I", f.read(4 * n_dims))
             name = f.read(name_len).decode("utf-8")
             qtype = GGMLType(ttype)
             if file_version >= FILE_VERSION_GGJT_V1:
                 f.seek(-f.tell() & 31, 1)  # align to 32
-            size = row_size_bytes(qtype, int(np.prod(ne)))
+            size = row_size_bytes(qtype, int(np.prod(ne)), qk_k)
             off = f.tell()
             tensors[name] = TensorEntry(name, qtype, tuple(ne), off, size)
             f.seek(size, 1)
+        if f.tell() != file_size:
+            raise ValueError("tensor data overruns file (wrong QK_K?)")
 
     mm = np.memmap(path, dtype=np.uint8, mode="r")
-    return GGJTFile(path, file_version, arch, hparams, ftype, vocab, tensors, mm)
+    return GGJTFile(path, file_version, arch, hparams, ftype, vocab, tensors,
+                    mm, qk_k=qk_k)
 
 
 def detect_arch(path: str | Path) -> str:
@@ -198,11 +226,13 @@ class GGJTWriter:
     accordingly."""
 
     def __init__(self, path: str | Path, arch: str, hparams: dict[str, int], ftype: int,
-                 vocab: list[tuple[bytes, float]], version: int | None = None):
+                 vocab: list[tuple[bytes, float]], version: int | None = None,
+                 qk_k: int = 256):
         if version is None:
             version = 3 if arch == "llama" else 1
         self.f = open(path, "wb")
         self.arch = arch
+        self.qk_k = qk_k
         self.f.write(struct.pack("<II", MAGIC_GGJT, version))
         fields = HEADER_FIELDS[arch]
         self.f.write(struct.pack(f"<{len(fields)}I", *[hparams[k] for k in fields]))
@@ -216,7 +246,7 @@ class GGJTWriter:
                 self.f.write(struct.pack("<f", score))
 
     def write_tensor(self, name: str, qtype: GGMLType, ne: tuple[int, ...], data: bytes):
-        assert len(data) == row_size_bytes(qtype, int(np.prod(ne)))
+        assert len(data) == row_size_bytes(qtype, int(np.prod(ne)), self.qk_k)
         nb = name.encode("utf-8")
         self.f.write(struct.pack("<3I", len(ne), len(nb), int(qtype)))
         self.f.write(struct.pack(f"<{len(ne)}I", *ne))

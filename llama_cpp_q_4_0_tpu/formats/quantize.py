@@ -28,11 +28,16 @@ from .ggjt import GGJTWriter, read_ggjt
 
 @dataclass
 class QuantizeParams:
-    """llama_model_quantize_params (llama.h:130-135)."""
+    """llama_model_quantize_params (llama.h:130-135).
+
+    qk_k picks the k-quant super-block build variant (the reference's
+    compile-time GGML_QKK_64, k_quants.h:10-16) — 64 admits tensors whose
+    row sizes are 64- but not 256-divisible; readers auto-detect."""
 
     ftype: LlamaFType = LlamaFType.MOSTLY_Q4_0
     allow_requantize: bool = False
     quantize_output_tensor: bool = True
+    qk_k: int = 256
 
 
 def _use_more_bits(i_layer: int, num_layers: int) -> bool:
@@ -103,6 +108,7 @@ def quantize_model(
     gf = read_ggjt(fname_inp, arch)
     ftype = LlamaFType(params.ftype)
     quantized_type = FTYPE_BASE_TYPE[ftype]
+    qk_k = params.qk_k
 
     names = list(gf.tensors)
     n_attention_wv = sum("attention.wv.weight" in n for n in names)
@@ -114,7 +120,8 @@ def quantize_model(
     total_new = 0
     hist_all = np.zeros(16, dtype=np.int64)
 
-    with GGJTWriter(fname_out, gf.arch, gf.hparams, int(ftype), gf.vocab) as w:
+    with GGJTWriter(fname_out, gf.arch, gf.hparams, int(ftype), gf.vocab,
+                    qk_k=qk_k) as w:
         for idx, name in enumerate(names):
             t = gf.tensors[name]
             do_quant = (
@@ -134,13 +141,13 @@ def quantize_model(
             new_type = quantized_type
             if quantized_type in _KQ:
                 nx, ny = t.ne[0], t.ne[1]
-                if nx % QK_K != 0 or ny % QK_K != 0:
+                if nx % qk_k != 0 or ny % qk_k != 0:
                     raise ValueError(
-                        f"tensor {name} sizes {nx}x{ny} not divisible by {QK_K} "
-                        "(required for k-quants)"
+                        f"tensor {name} sizes {nx}x{ny} not divisible by {qk_k} "
+                        "(required for k-quants; try qk_k=64)"
                     )
             if name == "output.weight":
-                if t.ne[0] % QK_K == 0 and t.ne[1] % QK_K == 0 and quantized_type in _KQ:
+                if t.ne[0] % qk_k == 0 and t.ne[1] % qk_k == 0 and quantized_type in _KQ:
                     new_type = GGMLType.Q6_K
             elif "attention.wv.weight" in name:
                 if ftype in (LlamaFType.MOSTLY_Q3_K_M, LlamaFType.MOSTLY_Q2_K):
@@ -178,9 +185,10 @@ def quantize_model(
                 data = f32.astype(np.float16).tobytes()
                 blocks = None
             else:
-                blocks = quantize(f32, new_type)
+                blocks = quantize(f32, new_type, qk_k)
                 data = blocks.tobytes()
-                hist_all += _histogram(blocks, new_type)
+                if qk_k == 256 or new_type not in _KQ:
+                    hist_all += _histogram(blocks, new_type)
             w.write_tensor(name, new_type, t.ne, data)
             total_new += len(data)
             progress(

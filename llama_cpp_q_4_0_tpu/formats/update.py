@@ -13,7 +13,8 @@ def update_model(fname_inp: str, fname_out: str, arch: str | None = None,
     arch = arch or detect_arch(fname_inp)
     gf = read_ggjt(fname_inp, arch)
     n = 0
-    with GGJTWriter(fname_out, arch, gf.hparams, gf.ftype, gf.vocab) as w:
+    with GGJTWriter(fname_out, arch, gf.hparams, gf.ftype, gf.vocab,
+                    qk_k=gf.qk_k) as w:
         for name, t in gf.tensors.items():
             w.write_tensor(name, t.qtype, t.ne, bytes(gf.tensor_bytes(name)))
             n += 1

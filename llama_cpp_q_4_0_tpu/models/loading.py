@@ -62,7 +62,8 @@ def load_tensor(gf: GGJTFile, name: str, dense_dtype=jnp.bfloat16):
         if qt is not None:
             return qt
     blocks = gf.tensor_blocks(name)
-    return QTensor.from_planar(pack_planar(blocks, t.qtype, t.shape))
+    return QTensor.from_planar(pack_planar(blocks, t.qtype, t.shape,
+                                           qk_k=gf.qk_k))
 
 
 def _load_rows(gf: GGJTFile, name: str, row_groups: list[np.ndarray],
@@ -73,12 +74,13 @@ def _load_rows(gf: GGJTFile, name: str, row_groups: list[np.ndarray],
     if t.qtype in (GGMLType.F32, GGMLType.F16):
         arr = gf.tensor_f32(name)
         return [_dense(arr[g], dense_dtype) for g in row_groups]
-    from ..quant.types import TYPE_TRAITS
+    from ..quant.types import type_traits
 
-    nb = k // TYPE_TRAITS[t.qtype].block_size
+    nb = k // type_traits(t.qtype, gf.qk_k).block_size
     blocks = gf.tensor_blocks(name).reshape(n, nb)
     return [
-        QTensor.from_planar(pack_planar(blocks[g], t.qtype, (len(g), k)))
+        QTensor.from_planar(pack_planar(blocks[g], t.qtype, (len(g), k),
+                                        qk_k=gf.qk_k))
         for g in row_groups
     ]
 

@@ -239,10 +239,13 @@ void* gt_vocab_create(const uint8_t* bytes, const int64_t* offsets,
 void gt_vocab_free(void* vp) { delete static_cast<GtVocab*>(vp); }
 
 static inline int utf8_len(uint8_t b) {
-  if ((b & 0xE0) == 0xC0) return 2;
-  if ((b & 0xF0) == 0xE0) return 3;
-  if ((b & 0xF8) == 0xF0) return 4;
-  return 1;
+  // high-nibble TABLE, exactly as the reference (llama-util.h utf8_len):
+  // invalid leads 0xF8-0xFF also map to 4 — "proper" UTF-8 classification
+  // diverges from the reference on malformed bytes (caught by the fuzz
+  // oracle, tests/test_tokenizer_fuzz.py)
+  static const int lookup[16] = {1, 1, 1, 1, 1, 1, 1, 1,
+                                 1, 1, 1, 1, 2, 2, 3, 4};
+  return lookup[b >> 4];
 }
 
 struct Bigram {
@@ -259,8 +262,10 @@ int32_t gt_tokenize(const void* vp, const uint8_t* text, int64_t text_len,
                     int32_t add_bos, int32_t* out, int64_t out_cap) {
   const GtVocab* v = static_cast<const GtVocab*>(vp);
   int64_t n_out = 0;
+  // empty input -> NO tokens, not even BOS: the reference early-returns
+  // before the bos push (llama.cpp:1788-1793)
+  if (text_len == 0) return 0;
   if (add_bos && n_out < out_cap) out[n_out++] = 1;  // TOKEN_BOS
-  if (text_len == 0) return (int32_t)n_out;
 
   std::vector<std::string> sym;
   sym.reserve(text_len);

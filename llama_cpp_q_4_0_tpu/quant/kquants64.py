@@ -33,31 +33,18 @@ from .kquants import (
     make_qx_quants,
     nearest_int,
 )
-from .types import GGMLType
+from .types import (
+    BLOCK_Q2_K64,
+    BLOCK_Q3_K64,
+    BLOCK_Q4_K64,
+    BLOCK_Q5_K64,
+    BLOCK_Q6_K64,
+    BLOCK_Q8_K64,
+    GGMLType,
+)
 
 F32 = np.float32
 QK_K64 = 64
-
-# --- block struct dtypes (byte-compatible with the -DGGML_QKK_64 structs) ---
-
-BLOCK_Q2_K64 = np.dtype(
-    [("scales", "u1", (4,)), ("qs", "u1", (16,)), ("d", "<f2"), ("dmin", "<f2")]
-)
-BLOCK_Q3_K64 = np.dtype(
-    [("hmask", "u1", (8,)), ("qs", "u1", (16,)), ("scales", "u1", (2,)), ("d", "<f2")]
-)
-BLOCK_Q4_K64 = np.dtype(
-    [("d", "<f2", (2,)), ("scales", "u1", (2,)), ("qs", "u1", (32,))]
-)
-BLOCK_Q5_K64 = np.dtype(
-    [("d", "<f2"), ("scales", "i1", (4,)), ("qh", "u1", (8,)), ("qs", "u1", (32,))]
-)
-BLOCK_Q6_K64 = np.dtype(
-    [("ql", "u1", (32,)), ("qh", "u1", (16,)), ("scales", "i1", (4,)), ("d", "<f2")]
-)
-BLOCK_Q8_K64 = np.dtype(
-    [("d", "<f4"), ("qs", "i1", (64,)), ("bsums", "<i2", (4,))]
-)
 
 # the k_quants.h static_asserts, QKK_64 build
 assert BLOCK_Q2_K64.itemsize == 4 + 4 + 16

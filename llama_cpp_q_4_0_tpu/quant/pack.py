@@ -159,14 +159,91 @@ _PLANNERS = {
 }
 
 
-def pack_planar(blocks: np.ndarray, qtype: GGMLType, shape: tuple[int, int]) -> PlanarQuant:
+# --- GGML_QKK_64 planners: same unified schema, 64-element super-blocks ---
+
+def _plan_q2_K64(b):
+    from . import kquants64
+
+    L = kquants64._unpack2_64(b["qs"]).astype(np.int8)
+    sc = (b["scales"] & 0xF).astype(F32)
+    mn = (b["scales"] >> 4).astype(F32)
+    d = blockq.f16_to_f32(b["d"])[:, None]
+    dmin = blockq.f16_to_f32(b["dmin"])[:, None]
+    return L, d * sc, -(dmin * mn), 16
+
+
+def _plan_q3_K64(b):
+    from . import kquants64
+
+    nb = b.shape[0]
+    L = kquants64._unpack2_64(b["qs"])
+    bits = np.zeros((nb, 64), dtype=np.int32)
+    for bit in range(8):
+        bits[:, bit * 8 : (bit + 1) * 8] = (b["hmask"] >> bit) & 1
+    q = (L - np.where(bits == 1, 0, 4)).astype(np.int8)
+    s_lo = (b["scales"][:, [0, 0, 1, 1]] >> np.array([0, 4, 0, 4])) & 0xF
+    sc = (s_lo.astype(np.int32) - 8).astype(F32)
+    d = blockq.f16_to_f32(b["d"])[:, None]
+    return q, d * sc, None, 16
+
+
+def _plan_q4_K64(b):
+    q = b["qs"]
+    L = np.concatenate([(q & 0xF), (q >> 4)], axis=-1).astype(np.int8)
+    sd = (b["scales"] & 0xF).astype(F32)
+    sm = (b["scales"] >> 4).astype(F32)
+    dall = blockq.f16_to_f32(b["d"][:, 0])[:, None]
+    mall = blockq.f16_to_f32(b["d"][:, 1])[:, None]
+    return L, dall * sd, -(mall * sm), 32
+
+
+def _plan_q5_K64(b):
+    nb = b.shape[0]
+    L = np.zeros((nb, 64), dtype=np.int8)
+    ql = b["qs"].astype(np.int32)
+    for is_ in range(4):
+        sl = slice(is_ * 8, (is_ + 1) * 8)
+        hb1 = ((b["qh"] >> is_) & 1).astype(np.int32)
+        hb2 = ((b["qh"] >> (4 + is_)) & 1).astype(np.int32)
+        L[:, is_ * 8 : (is_ + 1) * 8] = (
+            (ql[:, sl] & 0xF) - np.where(hb1 == 1, 0, 16)).astype(np.int8)
+        L[:, 32 + is_ * 8 : 32 + (is_ + 1) * 8] = (
+            (ql[:, sl] >> 4) - np.where(hb2 == 1, 0, 16)).astype(np.int8)
+    d = blockq.f16_to_f32(b["d"])[:, None]
+    return L, d * b["scales"].astype(F32), None, 16
+
+
+def _plan_q6_K64(b):
+    from . import kquants64
+
+    nb = b.shape[0]
+    q = kquants64._q6_levels_64(b, nb).astype(np.int8)
+    d = blockq.f16_to_f32(b["d"])[:, None]
+    return q, d * b["scales"].astype(F32), None, 16
+
+
+_PLANNERS_64 = {
+    GGMLType.Q2_K: _plan_q2_K64,
+    GGMLType.Q3_K: _plan_q3_K64,
+    GGMLType.Q4_K: _plan_q4_K64,
+    GGMLType.Q5_K: _plan_q5_K64,
+    GGMLType.Q6_K: _plan_q6_K64,
+}
+
+
+def pack_planar(blocks: np.ndarray, qtype: GGMLType, shape: tuple[int, int],
+                qk_k: int = 256) -> PlanarQuant:
     """Blocks of a [N, K] row-major weight -> planar device layout."""
+    from .types import type_traits
+
     n, k = shape
-    tr = TYPE_TRAITS[qtype]
+    tr = type_traits(qtype, qk_k)
     flat = blocks.reshape(-1)
     nblocks_per_row = k // tr.block_size
     assert flat.shape[0] == n * nblocks_per_row
-    levels, gscale_b, gbias_b, gsize = _PLANNERS[qtype](flat)
+    planner = (_PLANNERS_64[qtype] if qk_k == 64 and qtype in _PLANNERS_64
+               else _PLANNERS[qtype])
+    levels, gscale_b, gbias_b, gsize = planner(flat)
     levels = levels.reshape(n, k)
     per_block = tr.block_size // gsize
     gscale = np.ascontiguousarray(gscale_b.reshape(n, nblocks_per_row * per_block), dtype=F32)
@@ -176,9 +253,9 @@ def pack_planar(blocks: np.ndarray, qtype: GGMLType, shape: tuple[int, int]) -> 
     return PlanarQuant(qtype, (n, k), gsize, np.ascontiguousarray(levels), gscale, gbias)
 
 
-def quantize_planar(w: np.ndarray, qtype: GGMLType) -> PlanarQuant:
+def quantize_planar(w: np.ndarray, qtype: GGMLType, qk_k: int = 256) -> PlanarQuant:
     """float32 [N, K] weight -> blocks -> planar (convenience for tests/convert)."""
     from .registry import quantize
 
     n, k = w.shape
-    return pack_planar(quantize(w, qtype), qtype, (n, k))
+    return pack_planar(quantize(w, qtype, qk_k), qtype, (n, k), qk_k)

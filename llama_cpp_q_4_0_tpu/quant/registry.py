@@ -180,8 +180,20 @@ QUANT_FNS: dict[GGMLType, QuantFns] = {
 }
 
 
-def quantize(x: np.ndarray, t: GGMLType) -> np.ndarray:
-    """Quantize float32 rows to blocks of type t."""
+def _fns_64(t: GGMLType):
+    from .kquants64 import QUANT_FNS_64
+
+    if t not in QUANT_FNS_64:
+        raise ValueError(f"{t.name} has no GGML_QKK_64 variant")
+    return QUANT_FNS_64[t]
+
+
+def quantize(x: np.ndarray, t: GGMLType, qk_k: int = 256) -> np.ndarray:
+    """Quantize float32 rows to blocks of type t (qk_k selects the k-quant
+    super-block build variant; non-K formats are variant-independent)."""
+    if qk_k == 64 and t in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                            GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K):
+        return _fns_64(t)[0](x)
     # C++ fast path for the flagship format (native/ggjt_native.cpp);
     # bit-exact with the numpy quantizer below (tests/test_native.py)
     if t == GGMLType.Q4_0 and getattr(x, "ndim", 0) == 2 and x.shape[1] % 32 == 0:
@@ -197,20 +209,24 @@ def quantize(x: np.ndarray, t: GGMLType) -> np.ndarray:
     return QUANT_FNS[t].quantize_row(x)
 
 
-def dequantize(blocks: np.ndarray, t: GGMLType) -> np.ndarray:
+def dequantize(blocks: np.ndarray, t: GGMLType, qk_k: int = 256) -> np.ndarray:
+    if qk_k == 64 and t in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                            GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K):
+        return _fns_64(t)[1](blocks)
     return QUANT_FNS[t].dequantize_row(blocks)
 
 
-def quantize_bytes(x: np.ndarray, t: GGMLType) -> bytes:
+def quantize_bytes(x: np.ndarray, t: GGMLType, qk_k: int = 256) -> bytes:
     """Quantize and serialize to the exact ggml on-disk byte layout."""
-    return quantize(x, t).tobytes()
+    return quantize(x, t, qk_k).tobytes()
 
 
-def dequantize_bytes(raw: bytes | np.ndarray, t: GGMLType, shape) -> np.ndarray:
+def dequantize_bytes(raw: bytes | np.ndarray, t: GGMLType, shape,
+                     qk_k: int = 256) -> np.ndarray:
     """Parse ggml block bytes into float32 of the given element shape."""
-    from .types import TYPE_TRAITS
+    from .types import type_traits
 
-    tr = TYPE_TRAITS[t]
+    tr = type_traits(t, qk_k)
     if t == GGMLType.F32:
         return np.frombuffer(raw, dtype="<f4").reshape(shape).astype(F32)
     if t == GGMLType.F16:
@@ -218,4 +234,4 @@ def dequantize_bytes(raw: bytes | np.ndarray, t: GGMLType, shape) -> np.ndarray:
     buf = np.frombuffer(raw, dtype=tr.block_dtype)
     n = int(np.prod(shape))
     assert buf.shape[0] * tr.block_size == n
-    return dequantize(buf, t).reshape(shape)
+    return dequantize(buf, t, qk_k).reshape(shape)

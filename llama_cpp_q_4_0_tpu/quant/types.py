@@ -5,8 +5,11 @@ Mirrors the type enums and block structs of the reference
 k_quants.h:26-118 super-block structs) but re-expressed as numpy structured
 dtypes for file IO plus *planar* SoA layouts for TPU compute (see pack.py).
 
-Only QK_K == 256 super-blocks are supported (the reference's default build;
-GGML_QKK_64 is a compile-time variant, k_quants.h:10-16).
+QK_K is the reference's compile-time super-block size (k_quants.h:10-16):
+256 in the default build, 64 under ``-DGGML_QKK_64``.  Here both variants
+are first-class — ``type_traits(t, qk_k)`` / ``row_size_bytes(..., qk_k)``
+select the block layout, and file readers auto-detect which variant wrote
+a file (formats/ggjt.py) since the container itself carries no marker.
 """
 
 from __future__ import annotations
@@ -85,6 +88,28 @@ BLOCK_Q8_K = np.dtype(
     [("d", "<f4"), ("qs", "i1", (QK_K,)), ("bsums", "<i2", (QK_K // 16,))]
 )
 
+# --- GGML_QKK_64 build-variant super-block structs (k_quants.h #ifdef arms).
+# q3/q4/q5_K change layout, not just size: 2-byte 4-bit scales (q3), two fp16
+# scales + 4-bit codes (q4), symmetric int8 scales with no mins (q5).
+BLOCK_Q2_K64 = np.dtype(
+    [("scales", "u1", (4,)), ("qs", "u1", (16,)), ("d", "<f2"), ("dmin", "<f2")]
+)
+BLOCK_Q3_K64 = np.dtype(
+    [("hmask", "u1", (8,)), ("qs", "u1", (16,)), ("scales", "u1", (2,)), ("d", "<f2")]
+)
+BLOCK_Q4_K64 = np.dtype(
+    [("d", "<f2", (2,)), ("scales", "u1", (2,)), ("qs", "u1", (32,))]
+)
+BLOCK_Q5_K64 = np.dtype(
+    [("d", "<f2"), ("scales", "i1", (4,)), ("qh", "u1", (8,)), ("qs", "u1", (32,))]
+)
+BLOCK_Q6_K64 = np.dtype(
+    [("ql", "u1", (32,)), ("qh", "u1", (16,)), ("scales", "i1", (4,)), ("d", "<f2")]
+)
+BLOCK_Q8_K64 = np.dtype(
+    [("d", "<f4"), ("qs", "i1", (64,)), ("bsums", "<i2", (4,))]
+)
+
 
 @dataclass(frozen=True)
 class TypeTraits:
@@ -132,13 +157,35 @@ assert BLOCK_Q6_K.itemsize == 210
 assert BLOCK_Q8_K.itemsize == 292
 
 
+# QKK_64 trait table: k-quant rows swap to 64-element super-blocks, every
+# other type is identical to the default build
+TYPE_TRAITS_64: dict[GGMLType, TypeTraits] = dict(TYPE_TRAITS)
+TYPE_TRAITS_64.update({
+    GGMLType.Q2_K: TypeTraits("q2_K", 64, BLOCK_Q2_K64.itemsize, BLOCK_Q2_K64, True),
+    GGMLType.Q3_K: TypeTraits("q3_K", 64, BLOCK_Q3_K64.itemsize, BLOCK_Q3_K64, True),
+    GGMLType.Q4_K: TypeTraits("q4_K", 64, BLOCK_Q4_K64.itemsize, BLOCK_Q4_K64, True),
+    GGMLType.Q5_K: TypeTraits("q5_K", 64, BLOCK_Q5_K64.itemsize, BLOCK_Q5_K64, True),
+    GGMLType.Q6_K: TypeTraits("q6_K", 64, BLOCK_Q6_K64.itemsize, BLOCK_Q6_K64, True),
+    GGMLType.Q8_K: TypeTraits("q8_K", 64, BLOCK_Q8_K64.itemsize, BLOCK_Q8_K64, True),
+})
+
+
+def type_traits(t: GGMLType, qk_k: int = 256) -> TypeTraits:
+    """Per-type metadata under the given super-block build variant."""
+    assert qk_k in (256, 64), qk_k
+    return (TYPE_TRAITS if qk_k == 256 else TYPE_TRAITS_64)[t]
+
+
 def is_quantized(t: GGMLType) -> bool:
     return TYPE_TRAITS[t].is_quantized
 
 
-def row_size_bytes(t: GGMLType, n_elements: int) -> int:
-    tr = TYPE_TRAITS[t]
-    assert n_elements % tr.block_size == 0
+def row_size_bytes(t: GGMLType, n_elements: int, qk_k: int = 256) -> int:
+    tr = type_traits(t, qk_k)
+    if n_elements % tr.block_size != 0:
+        raise ValueError(
+            f"{tr.name}: {n_elements} elements not divisible by block size "
+            f"{tr.block_size} (QK_K={qk_k})")
     return n_elements // tr.block_size * tr.type_size
 
 

@@ -60,13 +60,15 @@ class Tokenizer:
     def tokenize(self, text: str | bytes, bos: bool = False) -> list[int]:
         if isinstance(text, str):
             text = text.encode("utf-8")
+        if not text:
+            # empty input returns NO tokens, not even BOS — the reference
+            # early-returns before the bos push (llama.cpp:1788-1790)
+            return []
         if self._native is not None:
             return self._native.tokenize(bytes(text), bos)
         out: list[int] = []
         if bos:
             out.append(TOKEN_BOS)
-        if not text:
-            return out
 
         # split into utf-8 characters (doubly-linked symbol list)
         sym_text: list[bytes] = []

@@ -54,3 +54,21 @@ _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_runtest_teardown(item, nextitem):
+    """Drop jit caches at module boundaries.
+
+    Full-suite runs segfault in jaxlib's executable serialize/deserialize
+    once ~30 min of compiled executables have accumulated in one process
+    (victim test moves as the suite grows: tp engine shard_map compiles,
+    then tp per-row, then test_training's first grad compile — always the
+    first LARGE cache op reached late in the process, frames in
+    backend_compile_and_load / put_executable_and_time).  Freeing live
+    executables between modules keeps XLA-CPU/LLVM JIT state bounded; the
+    persistent disk cache makes the resulting recompiles cheap."""
+    if nextitem is None or item.module is not getattr(nextitem, "module", None):
+        import gc
+
+        jax.clear_caches()
+        gc.collect()

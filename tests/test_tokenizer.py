@@ -42,5 +42,7 @@ def test_detokenize_roundtrip(tok):
 
 
 def test_empty(tok):
-    assert tok.tokenize("", bos=True) == [1]
+    # empty text returns NOTHING, not even BOS — the reference early-returns
+    # before the bos push (llama.cpp:1788-1793; fuzz-oracle-confirmed)
+    assert tok.tokenize("", bos=True) == []
     assert tok.tokenize("", bos=False) == []

@@ -1,9 +1,24 @@
 """Explicit shard_map tensor-parallel forward (parallel/tp.py) vs the
 single-device forward — the multi-chip hot path with manual psum/all_gather
-placement, validated on the virtual CPU mesh."""
+placement, validated on the virtual CPU mesh.
+
+WHOLE-MODULE PROCESS ISOLATION: compiling this module's large shard_map
+executables segfaults inside jaxlib when the full suite's process state has
+accumulated — observed repeatedly, always at the first big compile REACHED
+in this file (first staggered_occupancy 4/4 runs, then — after those were
+isolated — per_row_n_past), with the native frame varying
+(backend_compile_and_load, executable serialize AND deserialize), while
+every test passes in a fresh process.  That pattern (any large native
+compile entry point, late-process only, victim moves as the suite grows)
+points at XLA-CPU/LLVM-JIT state exhaustion, not at our code.  Per-test
+isolation was whack-a-mole, so ``test_tp_module_isolated`` runs this WHOLE
+file in one fresh pytest child; every other test skips in the parent and
+runs for real inside the child."""
 
 import dataclasses
 import os
+import subprocess
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +31,31 @@ from llama_cpp_q_4_0_tpu.parallel.tp import prepare_tp_params, tp_forward
 from llama_cpp_q_4_0_tpu.quant.types import GGMLType
 
 from test_parallel import tiny_q_model
+
+_CHILD = os.environ.get("_LLAMA_TP_CHILD") == "1"
+
+
+@pytest.fixture(autouse=True)
+def _module_child_only(request):
+    if not _CHILD and request.node.name != "test_tp_module_isolated":
+        pytest.skip("runs inside test_tp_module_isolated's fresh process")
+    yield
+
+
+def test_tp_module_isolated():
+    """Gate: every test in this file, green, in one fresh child process
+    (see module docstring for why)."""
+    if _CHILD:
+        pytest.skip("already in the module child")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", __file__, "-q",
+         "-p", "no:cacheprovider"],
+        env={**os.environ, "_LLAMA_TP_CHILD": "1"},
+        capture_output=True, text=True, timeout=3000,
+    )
+    assert r.returncode == 0, (
+        f"isolated test_tp module failed (rc={r.returncode}):\n"
+        f"{r.stdout[-6000:]}\n{r.stderr[-2000:]}")
 
 
 def _tiny_mqa(seed=0, n_vocab=256, e=128, n_head=4, n_layer=1, f=256):
@@ -205,38 +245,6 @@ def test_tp_forward_per_row_n_past_and_window():
                                    rtol=2e-4, atol=2e-4)
 
 
-def _isolated(test_name: str) -> bool:
-    """Run `test_name` in a fresh pytest subprocess and return True (the
-    caller then skips its own body); inside the child, return False so the
-    body actually runs.
-
-    Why: compiling this module's large shard_map engine executables
-    segfaults inside jaxlib when the whole suite's process state has
-    accumulated — observed 4/4 full-suite runs, always at
-    test_tp_engine_staggered_occupancy's first big compile, with the native
-    frame varying (backend_compile_and_load, executable serialize AND
-    deserialize), while the same test always passes in a fresh process.
-    That pattern (any large native compile entry point, late-process only)
-    points at XLA-CPU/LLVM-JIT state exhaustion, not at our code or any
-    single cache entry; a fresh child process is the reliable fix and keeps
-    the gate real."""
-    import subprocess
-    import sys
-
-    if os.environ.get("_LLAMA_TP_CHILD") == "1":
-        return False
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", f"{__file__}::{test_name}",
-         "-x", "-q", "-p", "no:cacheprovider"],
-        env={**os.environ, "_LLAMA_TP_CHILD": "1"},
-        capture_output=True, text=True, timeout=1800,
-    )
-    assert r.returncode == 0, (
-        f"isolated {test_name} failed (rc={r.returncode}):\n"
-        f"{r.stdout[-4000:]}\n{r.stderr[-2000:]}")
-    return True
-
-
 def _run_engine(cfg, params, prompts, **kw):
     from llama_cpp_q_4_0_tpu.runtime.batch_engine import BatchEngine, Request
     from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
@@ -259,8 +267,6 @@ def test_tp_engine_staggered_occupancy():
     emits the same greedy tokens as the plain engine.  3 requests of
     different lengths onto 2 slots force queueing, so the decode ticks run
     at staggered per-slot positions (VERDICT #7)."""
-    if _isolated("test_tp_engine_staggered_occupancy"):
-        return
     cfg, params = tiny_q_model(n_layer=1)
     mesh = make_mesh(dp=1, sp=1, tp=4)
     prompts = [[3, 5, 7], [11, 13], [100, 90, 80, 70, 60]]
@@ -272,8 +278,6 @@ def test_tp_engine_staggered_occupancy():
 def test_tp_engine_chunked_ticks():
     """Chunked device-sampled ticks (decode_chunk) routed through the TP
     forward match the plain chunked engine token-for-token."""
-    if _isolated("test_tp_engine_chunked_ticks"):
-        return
     from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
 
     cfg, params = tiny_q_model(n_layer=1)
