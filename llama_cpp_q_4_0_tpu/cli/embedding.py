@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import argparse
 
+from ..runtime.tokenizer import TOKEN_BOS
 from .common import add_model_args, load_model
 
 
@@ -17,7 +18,7 @@ def build_parser(p: argparse.ArgumentParser | None = None):
 
 def run(args) -> int:
     lm = load_model(args)
-    toks = lm.tokenizer.tokenize(args.prompt, bos=True)
+    toks = lm.tokenizer.tokenize(args.prompt, bos=True) or [TOKEN_BOS]
     emb = lm.ctx.embed(toks)  # [1, n_embd]
     print(" ".join(f"{x:f}" for x in emb[0]))
     print("\n" + lm.ctx.timings.report())

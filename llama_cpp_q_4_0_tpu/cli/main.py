@@ -131,7 +131,8 @@ def run(args) -> int:
             prompt_tokens = prompt_tokens[n_match:]
             print(f"session: reused {n_match} tokens", file=sys.stderr)
         if not prompt_tokens:
-            prompt_tokens = [tok.tokenize(prompt, bos=True)[-1]]
+            prompt_tokens = [(tok.tokenize(prompt, bos=True)
+                              or [TOKEN_BOS])[-1]]
 
     antiprompts = tuple(tok.tokenize(a) for a in args.antiprompt)
 

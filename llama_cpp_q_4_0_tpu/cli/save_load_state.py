@@ -13,6 +13,7 @@ import numpy as np
 from ..runtime.context import Context
 from ..runtime.sampling import Candidates, sample_token
 from ..runtime.session import get_state, set_state, state_from_bytes, state_to_bytes
+from ..runtime.tokenizer import TOKEN_BOS
 from .common import add_model_args, load_model
 
 
@@ -39,7 +40,7 @@ def _sample_n(ctx, first_logits, n, rng):
 def run(args) -> int:
     lm = load_model(args)
     ctx, tok = lm.ctx, lm.tokenizer
-    prompt_tokens = tok.tokenize(args.prompt, bos=True)
+    prompt_tokens = tok.tokenize(args.prompt, bos=True) or [TOKEN_BOS]
     logits = ctx.eval(np.asarray([prompt_tokens], np.int32))
 
     # snapshot (llama_copy_state_data, save-load-state.cpp:69)

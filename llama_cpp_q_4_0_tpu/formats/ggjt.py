@@ -126,8 +126,13 @@ def read_ggjt(path: str | Path, arch: str = "llama",
     if qk_k is None:
         try:
             return _read_ggjt(path, arch, 256)
-        except (ValueError, struct.error, UnicodeDecodeError):
-            return _read_ggjt(path, arch, 64)
+        except (ValueError, struct.error, UnicodeDecodeError) as e256:
+            try:
+                return _read_ggjt(path, arch, 64)
+            except (ValueError, struct.error, UnicodeDecodeError):
+                # neither variant parses: the file is corrupt/mis-arch'd,
+                # not a QK_K mismatch — surface the original error
+                raise e256 from None
     return _read_ggjt(path, arch, qk_k)
 
 

@@ -187,8 +187,8 @@ def quantize_model(
             else:
                 blocks = quantize(f32, new_type, qk_k)
                 data = blocks.tobytes()
-                if qk_k == 256 or new_type not in _KQ:
-                    hist_all += _histogram(blocks, new_type)
+                # k-quants collect no histogram either way (k_quants.c:405)
+                hist_all += _histogram(blocks, new_type)
             w.write_tensor(name, new_type, t.ne, data)
             total_new += len(data)
             progress(

@@ -15,7 +15,7 @@ import numpy as np
 
 from .context import Context
 from .sampling import Sampler, SamplingParams
-from .tokenizer import TOKEN_EOS, Tokenizer
+from .tokenizer import TOKEN_BOS, TOKEN_EOS, Tokenizer
 
 
 @dataclass
@@ -81,6 +81,8 @@ def generate_text(
     bos: bool = True,
 ) -> str:
     gp = gp or GenerateParams()
-    toks = tokenizer.tokenize(prompt, bos=bos)
+    # empty text tokenizes to NOTHING (llama.cpp:1788-1790); start from a
+    # bare BOS like the reference's empty-input path (main.cpp:345)
+    toks = tokenizer.tokenize(prompt, bos=bos) or [TOKEN_BOS]
     out = list(generate(ctx, toks, gp))
     return tokenizer.detokenize(out).decode("utf-8", errors="replace")

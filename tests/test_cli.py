@@ -112,6 +112,40 @@ def test_embedding_cli(model_path, capsys):
     assert len(vals) == 64 and all(np.isfinite(float(v)) for v in vals)
 
 
+def test_empty_prompt_starts_from_bos(model_path, capsys):
+    """Empty text tokenizes to NOTHING (llama.cpp:1788-1790); every entry
+    point must fall back to a bare BOS (main.cpp:345) instead of evaluating
+    a zero-token batch and sampling padded-slot logits."""
+    import llama_cpp_q_4_0_tpu.cli.main as main_cli
+    from llama_cpp_q_4_0_tpu.cli import embedding as emb_cli
+
+    rc = main_cli.main(["-m", model_path, "-p", "", "-n", "3", "-c", "64",
+                        "-s", "1", "--temp", "-1"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = emb_cli.main(["-m", model_path, "-p", "", "-c", "64"])
+    assert rc == 0
+    vals = capsys.readouterr().out.splitlines()[0].split()
+    assert len(vals) == 64 and all(np.isfinite(float(v)) for v in vals)
+
+    # library surface: generate_text("") == generate over [BOS]
+    import llama_cpp_q_4_0_tpu as pkg
+    from llama_cpp_q_4_0_tpu.runtime.generate import (
+        GenerateParams, generate, generate_text,
+    )
+    from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
+    from llama_cpp_q_4_0_tpu.runtime.tokenizer import TOKEN_BOS
+
+    ctx, tok = pkg.load(model_path, n_ctx=64)
+    gp = GenerateParams(n_predict=4, sampling=SamplingParams(temp=-1.0),
+                        seed=1)
+    txt = generate_text(ctx, tok, "", gp)
+    ctx.reset()
+    want = tok.detokenize(
+        list(generate(ctx, [TOKEN_BOS], gp))).decode(errors="replace")
+    assert txt == want
+
+
 def test_save_load_state_cli(model_path, capsys):
     from llama_cpp_q_4_0_tpu.cli import save_load_state as sls
 

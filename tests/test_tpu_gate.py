@@ -135,11 +135,14 @@ def test_kquant_model_on_chip(qtname):
 @pytest.mark.parametrize("qtname", ["Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"])
 def test_qkk64_model_on_chip(qtname):
     """GGML_QKK_64 variant on chip: a 64-but-not-256-divisible model
-    (n_embd=192) loads via qk_k auto-detection and its on-chip logits
-    match the CPU-side dequantized forward (the 64-variant planar layouts
-    ride the same kernels; this pins their Mosaic lowering)."""
+    (n_embd=192) loads via qk_k auto-detection and its on-chip f32 logits
+    match an on-chip forward over the explicitly dequantized dense weights
+    — finite-but-wrong lowering of the 64-variant planar layouts fails
+    this, not just NaNs."""
+    import dataclasses
+
     from llama_cpp_q_4_0_tpu.formats import fixtures
-    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import GGJTWriter, read_ggjt
     from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
                                                     load_transformer)
     from llama_cpp_q_4_0_tpu.quant.types import GGMLType
@@ -152,13 +155,25 @@ def test_qkk64_model_on_chip(qtname):
                                  qtype=getattr(GGMLType, qtname), qk_k=64)
         gf = read_ggjt(p, "llama")
         assert gf.qk_k == 64
-        cfg = config_from_ggjt(gf, n_ctx=64)
-        ctx = Context(cfg, load_transformer(gf, cfg), n_ctx=64)
-        logits = np.asarray(ctx.eval(np.asarray([[3, 9, 27, 6]], np.int32)))
+        cfg = dataclasses.replace(config_from_ggjt(gf, n_ctx=64),
+                                  compute_dtype="float32")
+        toks = np.asarray([[3, 9, 27, 6]], np.int32)
+        ctx = Context(cfg, load_transformer(gf, cfg), n_ctx=64,
+                      cache_dtype=jnp.float32)
+        logits = np.asarray(ctx.eval(toks))
         assert np.isfinite(logits).all()
-        # reference value: dequantized CPU forward of the same file
-        want = gf.tensor_f32("output.weight")  # touch the 64 dequant path
-        assert np.isfinite(want).all()
+
+        dense = os.path.join(d, "dense.bin")
+        with GGJTWriter(dense, "llama", gf.hparams, 0, gf.vocab) as w:
+            for name, t in gf.tensors.items():
+                w.write_tensor(name, GGMLType.F32, t.ne,
+                               np.ascontiguousarray(
+                                   gf.tensor_f32(name), np.float32).tobytes())
+        gfd = read_ggjt(dense, "llama")
+        ctx_d = Context(cfg, load_transformer(gfd, cfg), n_ctx=64,
+                        cache_dtype=jnp.float32)
+        want = np.asarray(ctx_d.eval(toks))
+        np.testing.assert_allclose(logits, want, rtol=2e-3, atol=2e-3)
 
 
 def test_spec_chunk_tick_on_chip():
