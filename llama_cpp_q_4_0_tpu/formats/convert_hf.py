@@ -269,19 +269,40 @@ def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
              .swapaxes(1, 2).reshape(r, k))
 
 
-def _emit(w: GGJTWriter, name: str, arr: np.ndarray, f16: bool):
+def _emit(w: GGJTWriter, name: str, arr: np.ndarray, f16: bool,
+          qtype: GGMLType | None = None):
     arr = np.ascontiguousarray(arr, dtype=np.float32)
     ne = tuple(reversed(arr.shape))
-    if f16 and arr.ndim > 1:
+    if qtype is not None and arr.ndim > 1:
+        # --outtype q4_0/q4_1: quantize 2-D weights at conversion time
+        # (convert.py GGMLFileType.MostlyQ4_0/Q4_1; 1-D stays f32)
+        from ..quant.registry import quantize_bytes
+
+        w.write_tensor(name, qtype, ne, quantize_bytes(arr, qtype))
+    elif f16 and arr.ndim > 1:
         w.write_tensor(name, GGMLType.F16, ne, arr.astype(np.float16).tobytes())
     else:
         w.write_tensor(name, GGMLType.F32, ne, arr.tobytes())
 
 
+def write_vocab_only(out_path: str, vocab: list) -> None:
+    """--vocab-only: a ggjt v1 file carrying just the vocab (the reference's
+    OutputFile.write_vocab_only, convert.py:997-1004) — usable for
+    tokenizer work without weights (e.g. models/ggml-vocab.bin)."""
+    hp = {"n_vocab": len(vocab), "n_embd": 0, "n_mult": 0, "n_head": 1,
+          "n_layer": 0, "n_rot": 0}
+    with GGJTWriter(out_path, "llama", hp, 0, vocab, version=1):
+        pass
+
+
 # ------------------------------------------------------------------ per arch
 
 def convert_llama(model_dir: str, out_path: str, *, f16: bool = True,
-                  vocab: list | None = None) -> None:
+                  vocab: list | None = None,
+                  outtype: str | None = None) -> None:
+    qt = {"q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1}.get(outtype or "")
+    if outtype in ("f16", "f32"):
+        f16 = outtype == "f16"
     cfg = load_config(model_dir)
     sd = load_state_dict(model_dir)
     n_embd = cfg["hidden_size"]
@@ -298,7 +319,9 @@ def convert_llama(model_dir: str, out_path: str, *, f16: bool = True,
     hparams = {"n_vocab": n_vocab, "n_embd": n_embd, "n_mult": n_mult,
                "n_head": n_head, "n_layer": n_layer, "n_rot": n_embd // n_head}
     vocab = vocab or auto_vocab(model_dir, n_vocab)
-    ftype = LlamaFType.MOSTLY_F16 if f16 else LlamaFType.ALL_F32
+    ftype = (LlamaFType.MOSTLY_Q4_0 if qt == GGMLType.Q4_0
+             else LlamaFType.MOSTLY_Q4_1 if qt == GGMLType.Q4_1
+             else LlamaFType.MOSTLY_F16 if f16 else LlamaFType.ALL_F32)
     name_map = [
         ("model.embed_tokens.weight", "tok_embeddings.weight"),
         ("model.norm.weight", "norm.weight"),
@@ -306,20 +329,20 @@ def convert_llama(model_dir: str, out_path: str, *, f16: bool = True,
     ]
     with GGJTWriter(out_path, "llama", hparams, int(ftype), vocab) as w:
         for src, dst in name_map:
-            _emit(w, dst, sd[src], f16)
+            _emit(w, dst, sd[src], f16, qt)
         for i in range(n_layer):
             p, q = f"model.layers.{i}.", f"layers.{i}."
             _emit(w, q + "attention_norm.weight", sd[p + "input_layernorm.weight"], f16)
             _emit(w, q + "attention.wq.weight",
-                  permute_rope(sd[p + "self_attn.q_proj.weight"], n_head), f16)
+                  permute_rope(sd[p + "self_attn.q_proj.weight"], n_head), f16, qt)
             _emit(w, q + "attention.wk.weight",
-                  permute_rope(sd[p + "self_attn.k_proj.weight"], n_head), f16)
-            _emit(w, q + "attention.wv.weight", sd[p + "self_attn.v_proj.weight"], f16)
-            _emit(w, q + "attention.wo.weight", sd[p + "self_attn.o_proj.weight"], f16)
+                  permute_rope(sd[p + "self_attn.k_proj.weight"], n_head), f16, qt)
+            _emit(w, q + "attention.wv.weight", sd[p + "self_attn.v_proj.weight"], f16, qt)
+            _emit(w, q + "attention.wo.weight", sd[p + "self_attn.o_proj.weight"], f16, qt)
             _emit(w, q + "ffn_norm.weight", sd[p + "post_attention_layernorm.weight"], f16)
-            _emit(w, q + "feed_forward.w1.weight", sd[p + "mlp.gate_proj.weight"], f16)
-            _emit(w, q + "feed_forward.w2.weight", sd[p + "mlp.down_proj.weight"], f16)
-            _emit(w, q + "feed_forward.w3.weight", sd[p + "mlp.up_proj.weight"], f16)
+            _emit(w, q + "feed_forward.w1.weight", sd[p + "mlp.gate_proj.weight"], f16, qt)
+            _emit(w, q + "feed_forward.w2.weight", sd[p + "mlp.down_proj.weight"], f16, qt)
+            _emit(w, q + "feed_forward.w3.weight", sd[p + "mlp.up_proj.weight"], f16, qt)
 
 
 _GPTNEOX_SKIP = ("attention.masked_bias", "attention.rotary_emb.inv_freq",

@@ -286,3 +286,63 @@ def test_lazy_state_dict_gptq_synthesis(tmp_path):
     sd = load_state_dict(str(d))
     assert set(sd.keys()) == {base + ".weight", "other.weight"}
     np.testing.assert_allclose(sd[base + ".weight"], want, atol=1e-6)
+
+
+def test_convert_outtype_q4_and_vocab_only(tmp_path):
+    """convert.py parity extras: --outtype q4_0 quantizes 2-D weights at
+    conversion time (GGMLFileType.MostlyQ4_0, 1-D stays f32) and
+    --vocab-only writes a weightless ggjt v1 vocab file
+    (convert.py:997-1004)."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from llama_cpp_q_4_0_tpu.formats.convert_hf import (convert_llama,
+                                                        write_vocab_only)
+    from llama_cpp_q_4_0_tpu.formats.fixtures import _fake_vocab
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_transformer)
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType, LlamaFType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    e, heads, layers, ff, v = 64, 4, 2, 192, 300
+    d = tmp_path / "hf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(
+        {"model_type": "llama", "hidden_size": e,
+         "num_attention_heads": heads, "num_hidden_layers": layers,
+         "vocab_size": v, "intermediate_size": ff}))
+    g = torch.Generator().manual_seed(3)
+    sd = {"model.embed_tokens.weight": torch.randn(v, e, generator=g),
+          "model.norm.weight": torch.ones(e),
+          "lm_head.weight": torch.randn(v, e, generator=g)}
+    for i in range(layers):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = torch.ones(e)
+        sd[p + "post_attention_layernorm.weight"] = torch.ones(e)
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[p + f"self_attn.{nm}.weight"] = \
+                torch.randn(e, e, generator=g) * 0.05
+        sd[p + "mlp.gate_proj.weight"] = torch.randn(ff, e, generator=g) * 0.05
+        sd[p + "mlp.down_proj.weight"] = torch.randn(e, ff, generator=g) * 0.05
+        sd[p + "mlp.up_proj.weight"] = torch.randn(ff, e, generator=g) * 0.05
+    torch.save(sd, str(d / "pytorch_model.bin"))
+
+    out = str(tmp_path / "q4.bin")
+    convert_llama(str(d), out, vocab=_fake_vocab(v), outtype="q4_0")
+    gf = read_ggjt(out, "llama")
+    assert gf.ftype == int(LlamaFType.MOSTLY_Q4_0)
+    assert gf.tensors["layers.0.attention.wq.weight"].qtype == GGMLType.Q4_0
+    assert gf.tensors["tok_embeddings.weight"].qtype == GGMLType.Q4_0
+    assert gf.tensors["norm.weight"].qtype == GGMLType.F32  # 1-D stays f32
+    cfg = config_from_ggjt(gf, n_ctx=32)
+    ctx = Context(cfg, load_transformer(gf, cfg), n_ctx=32)
+    logits = ctx.eval(np.asarray([[1, 5, 9]], np.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+    vout = str(tmp_path / "vocab.bin")
+    write_vocab_only(vout, _fake_vocab(v))
+    gfv = read_ggjt(vout, "llama")
+    assert len(gfv.vocab) == v
+    assert not gfv.tensors
+    assert gfv.hparams["n_embd"] == 0 and gfv.hparams["n_layer"] == 0
