@@ -174,10 +174,11 @@ NEOX_ORACLE = f"{BUILD}/ref_gptneox_logits"
 def neox_oracle_bin():
     if not os.path.isdir(REF):
         pytest.skip("reference unavailable")
-    if not os.path.exists(NEOX_ORACLE):
+    src = os.path.join(os.path.dirname(__file__), "oracle",
+                       "ref_gptneox_logits.cpp")
+    if (not os.path.exists(NEOX_ORACLE)
+            or os.path.getmtime(NEOX_ORACLE) < os.path.getmtime(src)):
         os.makedirs(BUILD, exist_ok=True)
-        src = os.path.join(os.path.dirname(__file__), "oracle",
-                           "ref_gptneox_logits.cpp")
         flags = ["-O2", "-fPIC", "-pthread", "-DGGML_USE_K_QUANTS", f"-I{REF}"]
         try:
             for cf in ("ggml.c", "k_quants.c"):
@@ -302,10 +303,11 @@ FALCON_ORACLE = f"{BUILD}/ref_falcon_logits"
 def falcon_oracle_bin():
     if not os.path.isdir(REF):
         pytest.skip("reference unavailable")
-    if not os.path.exists(FALCON_ORACLE):
+    src = os.path.join(os.path.dirname(__file__), "oracle",
+                       "ref_falcon_logits.cpp")
+    if (not os.path.exists(FALCON_ORACLE)
+            or os.path.getmtime(FALCON_ORACLE) < os.path.getmtime(src)):
         os.makedirs(BUILD, exist_ok=True)
-        src = os.path.join(os.path.dirname(__file__), "oracle",
-                           "ref_falcon_logits.cpp")
         flags = ["-O2", "-fPIC", "-pthread", "-DGGML_USE_K_QUANTS", f"-I{REF}"]
         try:
             for cf in ("ggml.c", "k_quants.c"):
@@ -501,3 +503,68 @@ def test_bonsai_reference_layers_are_dead_code(tmp_path, bonsai_oracle_bin):
     ctx = Context(cfg, params, cache_dtype=jnp.float32)
     got = ctx.eval(np.asarray([toks], np.int32), logits_all=True)[0]
     assert np.abs(got - ref).max() > 0.5
+
+
+def _oracle_logits(bin_path, model_path, spec: str) -> np.ndarray:
+    res = subprocess.run([bin_path, model_path, spec],
+                         check=True, capture_output=True, text=True)
+    lines = res.stdout.strip().splitlines()
+    hdr = max(i for i, l in enumerate(lines)
+              if len(l.split()) == 2 and all(t.isdigit() for t in l.split()))
+    n_tok, _ = map(int, lines[hdr].split())
+    return np.array([[float(x) for x in l.split()]
+                     for l in lines[hdr + 1:hdr + 1 + n_tok]])
+
+
+@pytest.mark.parametrize("arch", ["gptneox", "falcon"])
+def test_incremental_decode_chain_parity(tmp_path, arch, request):
+    """Sequential evals (prefill + two decode steps) against the compiled
+    arch runtimes: the fork stores UN-roped K and re-ropes the whole cache
+    every step (gptneox.cpp:1220-1230, falcon.cpp:1260-1274) so shifted
+    positions stay consistent; our design ropes at insert (slot ==
+    position).  Equal logits across an incremental chain — not just one
+    n_past=0 eval — proves the two cache designs equivalent, including
+    cache REUSE of slots written by a previous eval."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.formats.fixtures import (
+        make_falcon_like_ggjt, make_gptneox_ggjt,
+    )
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (
+        config_from_ggjt, load_transformer,
+    )
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    path = str(tmp_path / f"{arch}_inc.bin")
+    if arch == "gptneox":
+        oracle = request.getfixturevalue("neox_oracle_bin")
+        make_gptneox_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=16,
+                          qtype=GGMLType.F32, ftype=0)
+    else:
+        oracle = request.getfixturevalue("falcon_oracle_bin")
+        make_falcon_like_ggjt(path, "falcon", n_vocab=256, n_embd=64,
+                              n_head=4, n_layer=32, qtype=GGMLType.F32,
+                              ftype=0)
+    segs = [[1, 5, 42, 200], [17], [9, 33]]
+    spec = ";".join(",".join(map(str, s)) for s in segs)
+    ref = _oracle_logits(oracle, path, spec)
+
+    gf = read_ggjt(path, arch)
+    cfg = dataclasses.replace(config_from_ggjt(gf, n_ctx=128),
+                              compute_dtype="float32", act_f16_table=True)
+    ctx = Context(cfg, load_transformer(gf, cfg), cache_dtype=jnp.float32)
+    got = np.concatenate([
+        np.asarray(ctx.eval(np.asarray([s], np.int32), logits_all=True)[0])
+        for s in segs])
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 2e-3, f"{arch}: max abs logit err {err}"
+    assert np.array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+    # sanity: the chain must equal the single-shot eval too
+    flat = [t for s in segs for t in s]
+    ref_flat = _oracle_logits(oracle, path, ",".join(map(str, flat)))
+    assert np.abs(ref - ref_flat).max() < 1e-5
