@@ -6,6 +6,14 @@ Endpoints (same JSON contract as the reference):
   POST /tokenize   — {"content"} -> {"tokens": [...]}
   POST /embedding  — {"content"} -> {"embedding": [...]}
 
+Beyond-reference: an OpenAI-compatible surface so existing clients/SDKs
+point at this server unchanged —
+  GET  /v1/models
+  POST /v1/completions       (prompt, max_tokens, stream, logit_bias, ...)
+  POST /v1/chat/completions  (messages -> "### User/Assistant" template)
+both with standard SSE streaming ("data: {...}" chunks, final
+"data: [DONE]") and usage accounting.
+
 Stdlib http.server replaces httplib.h/json.hpp; one model context guarded by
 a lock (the reference is likewise single-session), with the same
 prompt-prefix reuse between requests (server.cpp loadPrompt)."""
@@ -81,15 +89,74 @@ def sampling_from_json(body: dict) -> SamplingParams:
     return sp
 
 
+def render_chat(messages: list[dict]) -> str:
+    """messages -> a plain instruct template (the reference era predates
+    model-carried chat templates; this mirrors the alpaca-style framing the
+    fork's chat scripts use)."""
+    parts = []
+    for m in messages:
+        role = m.get("role", "user")
+        content = m.get("content", "") or ""
+        if role == "system":
+            parts.append(content + "\n\n")
+        elif role == "assistant":
+            parts.append(f"### Assistant:\n{content}\n\n")
+        else:
+            parts.append(f"### User:\n{content}\n\n")
+    parts.append("### Assistant:\n")
+    return "".join(parts)
+
+
+class _Utf8Stream:
+    """Incremental UTF-8 decoder: emit only complete characters so SSE
+    deltas never split a multi-byte sequence into replacement chars."""
+
+    def __init__(self):
+        self.buf = b""
+
+    def push(self, b: bytes) -> str:
+        self.buf += b
+        for cut in range(len(self.buf), max(len(self.buf) - 4, 0) - 1, -1):
+            try:
+                s = self.buf[:cut].decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            self.buf = self.buf[cut:]
+            return s
+        return ""
+
+    def flush(self) -> str:
+        s = self.buf.decode("utf-8", errors="replace")
+        self.buf = b""
+        return s
+
+
+def sampling_from_openai(body: dict) -> SamplingParams:
+    sp = SamplingParams()
+    if "temperature" in body:
+        sp.temp = float(body["temperature"])
+    if "top_p" in body:
+        sp.top_p = float(body["top_p"])
+    if "frequency_penalty" in body:
+        sp.frequency_penalty = float(body["frequency_penalty"])
+    if "presence_penalty" in body:
+        sp.presence_penalty = float(body["presence_penalty"])
+    if body.get("logit_bias"):
+        sp.logit_bias = {int(t): float(b)
+                         for t, b in body["logit_bias"].items()}
+    return sp
+
+
 class ServerState:
     """llama_server_context (server.cpp:40-200): one model, one lock,
     last-evaluated tokens kept for prefix reuse.  With engine != None,
     /completion requests run through the continuous-batching engine
     concurrently instead (runtime/batch_engine.py)."""
 
-    def __init__(self, lm, engine=None):
+    def __init__(self, lm, engine=None, model_id: str = "model"):
         self.lm = lm
         self.engine = engine
+        self.model_id = model_id
         self.lock = threading.Lock()
         self.last_tokens: list[int] = []
 
@@ -132,6 +199,10 @@ def make_handler(state: ServerState):
                 return self._json(200, state.engine.stats())
             if self.path in ("/", "/health"):
                 return self._json(200, {"status": "ok"})
+            if self.path == "/v1/models":
+                return self._json(200, {"object": "list", "data": [
+                    {"id": state.model_id, "object": "model",
+                     "owned_by": "llama_cpp_q_4_0_tpu"}]})
             return self._json(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
@@ -149,6 +220,10 @@ def make_handler(state: ServerState):
                     return self._json(200, {"embedding": emb[0].tolist()})
                 if self.path == "/completion":
                     return self._completion(body)
+                if self.path == "/v1/completions":
+                    return self._v1(body, chat=False)
+                if self.path == "/v1/chat/completions":
+                    return self._v1(body, chat=True)
                 return self._json(404, {"error": "unknown endpoint"})
             except Exception as e:  # noqa: BLE001
                 return self._json(500, {"error": str(e)})
@@ -257,7 +332,140 @@ def make_handler(state: ServerState):
                     "generation_settings": {"n_predict": gp.n_predict},
                 })
 
+        # ------------------------------------------------ OpenAI surface
+
+        def _sse_chunk(self, obj):
+            data = b"data: " + json.dumps(obj).encode() + b"\n\n"
+            self.wfile.write(hex(len(data))[2:].encode() + b"\r\n"
+                             + data + b"\r\n")
+
+        def _v1(self, body: dict, chat: bool):
+            import time
+            import uuid
+
+            if chat:
+                prompt = render_chat(body.get("messages", []))
+                auto_stop = ["### User:"]
+                default_n = 256
+            else:
+                prompt = body.get("prompt", "")
+                auto_stop = []
+                default_n = 16  # the OpenAI completions default
+            stop = body.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
+            stop = list(stop) + auto_stop
+            gp = GenerateParams(
+                n_predict=int(body.get("max_tokens") or default_n),
+                sampling=sampling_from_openai(body),
+                seed=int(body.get("seed", -1)),
+            )
+            rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:12]
+            created = int(time.time())
+            obj_kind = "chat.completion" if chat else "text_completion"
+            toks = lm.tokenizer.tokenize(prompt, bos=True) or [TOKEN_BOS]
+            antiprompts = tuple(lm.tokenizer.tokenize(s) for s in stop)
+
+            def meta(**extra):
+                return {"id": rid, "object": obj_kind, "created": created,
+                        "model": state.model_id, **extra}
+
+            if body.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                dec = _Utf8Stream()
+                n_out = 0
+
+                def delta_obj(piece, fin=None):
+                    if chat:
+                        d = {"content": piece} if piece else {}
+                        return meta(object="chat.completion.chunk", choices=[
+                            {"index": 0, "delta": d, "finish_reason": fin}])
+                    return meta(choices=[{"index": 0, "text": piece,
+                                          "finish_reason": fin}])
+
+                try:
+                    if chat:
+                        self._sse_chunk(meta(
+                            object="chat.completion.chunk",
+                            choices=[{"index": 0,
+                                      "delta": {"role": "assistant"},
+                                      "finish_reason": None}]))
+                    for t in self._v1_tokens(toks, gp, antiprompts):
+                        n_out += 1
+                        piece = dec.push(lm.tokenizer.token_text(t))
+                        if piece:
+                            self._sse_chunk(delta_obj(piece))
+                    tail = dec.flush()
+                    if tail:
+                        self._sse_chunk(delta_obj(tail))
+                    fin = "length" if n_out >= gp.n_predict else "stop"
+                    self._sse_chunk(delta_obj("", fin))
+                    done = b"data: [DONE]\n\n"
+                    self.wfile.write(hex(len(done))[2:].encode() + b"\r\n"
+                                     + done + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                return None
+
+            produced = list(self._v1_tokens(toks, gp, antiprompts))
+            text = _strip_stops(lm.tokenizer.detokenize(produced)
+                                .decode("utf-8", errors="replace"), stop)
+            fin = "length" if len(produced) >= gp.n_predict else "stop"
+            usage = {"prompt_tokens": len(toks),
+                     "completion_tokens": len(produced),
+                     "total_tokens": len(toks) + len(produced)}
+            if chat:
+                choice = {"index": 0, "finish_reason": fin,
+                          "message": {"role": "assistant", "content": text}}
+            else:
+                choice = {"index": 0, "finish_reason": fin, "text": text}
+            return self._json(200, meta(choices=[choice], usage=usage))
+
+        def _v1_tokens(self, toks, gp, antiprompts):
+            """Token source shared by both OpenAI endpoints: the batching
+            engine when running, else the locked single session."""
+            if state.engine is not None:
+                from ..runtime.batch_engine import Request
+
+                req = state.engine.submit(Request(
+                    prompt_tokens=toks, n_predict=gp.n_predict,
+                    sampling=gp.sampling, seed=gp.seed,
+                    stop_sequences=antiprompts))
+                try:
+                    yield from req.tokens()
+                except GeneratorExit:
+                    req.cancel()
+                    for _ in req.tokens():
+                        pass
+                    raise
+                return
+            with state.lock:
+                todo = state.load_prompt(toks)
+                produced = []
+                try:
+                    for t in generate(lm.ctx, todo, gp,
+                                      antiprompts=antiprompts):
+                        produced.append(t)
+                        yield t
+                finally:
+                    state.last_tokens = toks + produced
+
     return Handler
+
+
+def _strip_stops(text: str, stops: list[str]) -> str:
+    """Cut the response at the first stop sequence (OpenAI excludes it)."""
+    cut = len(text)
+    for s in stops:
+        if s:
+            i = text.find(s)
+            if i != -1:
+                cut = min(cut, i)
+    return text[:cut]
 
 
 def run(args) -> int:
@@ -304,7 +512,10 @@ def run(args) -> int:
         print(f"continuous batching: {args.parallel} slots"
               + (f", chunk {args.parallel_chunk}" if kw else ""),
               file=sys.stderr)
-    state = ServerState(lm, engine)
+    import os
+
+    state = ServerState(lm, engine,
+                        model_id=os.path.basename(getattr(args, "model", "model")))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"server listening on http://{args.host}:{args.port}",
           file=sys.stderr)

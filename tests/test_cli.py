@@ -235,6 +235,81 @@ def test_server_endpoints(model_path):
         httpd.shutdown()
 
 
+def test_server_openai_endpoints(model_path):
+    """The OpenAI-compatible surface: /v1/models, /v1/completions (plain +
+    SSE with [DONE]), /v1/chat/completions with usage accounting."""
+    from http.server import ThreadingHTTPServer
+
+    from llama_cpp_q_4_0_tpu.cli.common import load_model
+    from llama_cpp_q_4_0_tpu.cli.server import ServerState, make_handler
+
+    class A:
+        model, arch, n_ctx, n_batch = model_path, None, 64, 64
+        lora = lora_base = None
+        memory_f32 = False
+
+    lm = load_model(A())
+    state = ServerState(lm, model_id="tiny.ggjt")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+        conn.request("GET", "/v1/models")
+        r = conn.getresponse()
+        assert r.status == 200
+        models = json.loads(r.read())
+        assert models["data"][0]["id"] == "tiny.ggjt"
+
+        def post(path, obj):
+            conn.request("POST", path, json.dumps(obj),
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            return r.status, r.read()
+
+        st, body = post("/v1/completions",
+                        {"prompt": "hello", "max_tokens": 4, "seed": 3,
+                         "temperature": 0.8})
+        assert st == 200
+        res = json.loads(body)
+        assert res["object"] == "text_completion"
+        assert res["choices"][0]["finish_reason"] in ("stop", "length")
+        assert isinstance(res["choices"][0]["text"], str)
+        u = res["usage"]
+        assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+        assert u["completion_tokens"] <= 4
+
+        st, body = post("/v1/chat/completions",
+                        {"messages": [
+                            {"role": "system", "content": "Be brief."},
+                            {"role": "user", "content": "hi"}],
+                         "max_tokens": 4, "seed": 1})
+        assert st == 200
+        res = json.loads(body)
+        assert res["object"] == "chat.completion"
+        msg = res["choices"][0]["message"]
+        assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+
+        # streaming: role chunk first, deltas, then [DONE]
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn2.request("POST", "/v1/chat/completions",
+                      json.dumps({"messages": [{"role": "user",
+                                                "content": "hi"}],
+                                  "max_tokens": 3, "stream": True}),
+                      {"Content-Type": "application/json"})
+        r = conn2.getresponse()
+        assert r.status == 200
+        assert "text/event-stream" in r.getheader("Content-Type", "")
+        raw = r.read().decode()
+        assert '"delta": {"role": "assistant"}' in raw
+        assert "chat.completion.chunk" in raw
+        assert raw.rstrip().endswith("data: [DONE]")
+    finally:
+        httpd.shutdown()
+
+
 def test_toplevel_load_api(model_path):
     import llama_cpp_q_4_0_tpu as pkg
 
