@@ -129,7 +129,31 @@ def bench_prefill(cfg, params, t: int = 512, iters: int = 4) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def _probe_device(timeout_s: int = 240) -> bool:
+    """Touch the device in a SUBPROCESS first: on this platform a wedged
+    axon tunnel hangs backend init indefinitely (NOTES-NEXT-ROUND.md), and
+    the parent process can only stay responsive if it has not touched the
+    device yet — so probe before the first in-process device op and fail
+    fast with a diagnostic instead of hanging the driver."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp;"
+             "print(float(np.asarray(jnp.ones((8,128)) @ jnp.ones((128,8)))[0,0]))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print("bench: TPU tunnel unresponsive (backend init did not answer "
+              "within 240 s — wedged axon tunnel); refusing to hang",
+              file=sys.stderr)
+        raise SystemExit(3)
     dev = jax.devices()[0]
     configs = [
         ("decode_ms_per_token_llama7b_q4_0", dict(n_layer=32)),

@@ -4,6 +4,7 @@ batched server endpoint (SURVEY.md §7.7 — capability the reference lacks)."""
 
 import http.client
 import json
+import queue
 import threading
 
 import jax.numpy as jnp
@@ -497,3 +498,76 @@ def test_chunked_prefill_long_prompt(model):
         eng.stop()
     assert out1 == want_long, (want_long, out1)
     assert out2 == want_short, (want_short, out2)
+
+
+def test_engine_randomized_differential(model):
+    """Randomized engine fuzz: 10 requests with random prompts, lengths,
+    n_predict, and greedy sampler knobs (penalties/windows), submitted in
+    two waves onto 3 slots with one mid-flight cancellation, across three
+    engine modes (plain, chunked device ticks, speculative ticks) — every
+    surviving request must match a fresh single-session generate()
+    token-for-token.  Broadens the fixed-scenario parity gates with seeded
+    randomized coverage of admission order x knob combinations."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+    from llama_cpp_q_4_0_tpu.runtime.generate import GenerateParams, generate
+
+    cfg, params, _ = model
+    rng = np.random.default_rng(77)
+    cases = []
+    for _ in range(10):
+        prompt = rng.integers(3, 250, int(rng.integers(1, 12))).tolist()
+        sp = SamplingParams(
+            temp=-1.0, top_k=0,
+            repeat_penalty=float(rng.choice([1.0, 1.1, 1.4])),
+            repeat_last_n=int(rng.choice([0, 4, 16])),
+            frequency_penalty=float(rng.choice([0.0, 0.2])),
+            presence_penalty=float(rng.choice([0.0, 0.3])),
+        )
+        cases.append((prompt, sp, int(rng.integers(1, 8))))
+
+    def host(prompt, sp, n):
+        ctx = Context(cfg, params, n_ctx=64)
+        return list(generate(ctx, prompt,
+                             GenerateParams(n_predict=n, sampling=sp)))
+
+    refs = [host(*c) for c in cases]
+
+    for engine_kw in (dict(), dict(chunk=3), dict(spec_draft=3, chunk=2)):
+        kw = dict(engine_kw)
+        if kw:
+            kw.update(per_request_sampling=True,
+                      device_sampling=DeviceSampling(temp=-1.0))
+        eng = BatchEngine(cfg, params, n_slots=3, n_ctx=64, **kw)
+        eng.start()
+        try:
+            wave1 = [eng.submit(Request(p, n_predict=n, sampling=sp))
+                     for p, sp, n in cases[:6]]
+            victim = wave1[2]
+            victim.cancel()
+            for _ in victim.tokens():
+                pass
+            wave2 = [eng.submit(Request(p, n_predict=n, sampling=sp))
+                     for p, sp, n in cases[6:]]
+            outs = []
+            for i, r in enumerate(wave1 + wave2):
+                if i == 2:
+                    outs.append([])
+                    continue
+                out = []
+                while True:
+                    try:
+                        t = r.out.get(timeout=120)
+                    except queue.Empty:  # fail with state, don't hang CI
+                        raise AssertionError(
+                            f"engine starved request {i} (mode={engine_kw}, "
+                            f"stats={eng.stats()})") from None
+                    if t is None:
+                        break
+                    out.append(t)
+                outs.append(out)
+        finally:
+            eng.stop()
+        for i, (out, ref) in enumerate(zip(outs, refs[:6] + refs[6:])):
+            if i == 2:
+                continue  # the cancelled request may stop anywhere
+            assert out == ref, (engine_kw, i, cases[i], out, ref)
