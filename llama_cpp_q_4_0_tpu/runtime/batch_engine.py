@@ -48,7 +48,11 @@ class Request:
         self.cancelled = True
 
     def tokens(self):
-        """Iterate generated ids until completion (blocking)."""
+        """Iterate generated ids until completion (blocking).
+
+        SINGLE-CONSUMER: the stream ends with one terminal sentinel, so
+        call this once per request — a second iteration after the first
+        completed blocks forever on the empty queue."""
         while True:
             t = self.out.get()
             if t is None:
