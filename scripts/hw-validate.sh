@@ -34,19 +34,20 @@ run() { # run <name> <timeout_s> <cmd...>
 probe >>"$LOG" 2>&1 || { echo "probe failed — tunnel still wedged" | tee -a "$LOG"; exit 1; }
 echo "tunnel alive — starting queue $(date +%T)" | tee -a "$LOG"
 
-# 2026-08-18 morning run: bench+smoke PASSED, flash-bench measured 59.5 ms
-# (vs 63.2), QMM_PREFILL_XLA RULED OUT (152 ms), tune-q8x hit the arith.subi
-# Mosaic bug (since fixed: int32 arith), engine-16 OOM'd at N_CTX=2048
-# (since fixed: default 512 + inbox-drain bug).  Remaining queue:
+# Round-3 queue (2026-08-19).  Ordering rationale: cheap/known-good first,
+# the OOM-risky 16x2048 engine runs LAST so a wedge can't starve the rest.
+# smoke re-added per ADVICE.md (kernel fixes landed after it last passed).
 run bench          700  python bench.py
+run smoke          700  python scripts/tpu-smoke.py
 run tpu-gate       2400 env LLAMA_TPU_TESTS=1 python -m pytest tests/test_tpu_gate.py -q
+run flash-bench    700  env FLASH_PREFILL=1 python bench.py
 run tune-q8x       1800 env SKIP_CHECK=1 python scripts/tune-q8x.py
-run engine-16      1500 python scripts/engine-bench.py
-run engine-16-q8   1500 env CACHE=q8 python scripts/engine-bench.py
-run engine-16-q8-fused 1500 env CACHE=q8 FUSED_ATTN=1 python scripts/engine-bench.py
 run hbm-stream     700  python -m llama_cpp_q_4_0_tpu benchmark-matmult --stream
 run rwkv-bench     1200 python scripts/rwkv-bench.py
-run flash-bench    700  env FLASH_PREFILL=1 python bench.py
+run engine-16      1500 python scripts/engine-bench.py
+# q8 KV at 16x2048 = 8.6 GB cache + 4.2 GB weights — fits; bf16 (17.2 GB) does not.
+run engine-16-q8   1500 env CACHE=q8 N_CTX=2048 python scripts/engine-bench.py
+run engine-16-q8-fused 1500 env CACHE=q8 N_CTX=2048 FUSED_ATTN=1 python scripts/engine-bench.py
 
 echo "=== QUEUE DONE $(date +%T) ===" | tee -a "$LOG"
 grep -E "RESULT|metric|passed|failed|GB/s" "$LOG" | tail -40
