@@ -51,6 +51,11 @@ class EmbdInput:
     def eval_text(self, text: str, bos: bool = False) -> None:
         self.eval_tokens(self.tokenizer.tokenize(text, bos=bos))
 
+    def eval_token(self, token: int) -> None:
+        """Single special-token injection (embd_input.py:34 eval_id —
+        adapters use it for <im_start>/<im_patch>/<im_end> markers)."""
+        self.eval_tokens([int(token)])
+
     def eval_float(self, embeddings: np.ndarray) -> None:
         """embeddings: [T, n_embd] (or [1, T, n_embd]) raw input vectors."""
         emb = np.asarray(embeddings, np.float32)
@@ -74,6 +79,14 @@ class EmbdInput:
                 break
             logits = self.ctx.eval(np.asarray([[tok]], np.int32))
 
-    def generate_text(self, n_predict: int = 128) -> str:
-        ids = list(self.generate(n_predict))
-        return self.tokenizer.detokenize(ids).decode("utf-8", errors="replace")
+    def generate_text(self, n_predict: int = 128, end: str | None = None) -> str:
+        """Decode to text, stopping when the output ends with ``end``
+        (embd_input.py:42-49 stream_generate's `ret.endswith(end)` contract;
+        the MiniGPT-4/PandaGPT adapters stop on "###")."""
+        out = b""
+        end_b = end.encode() if end else None
+        for tok in self.generate(n_predict):
+            out += self.tokenizer.detokenize([tok])
+            if end_b and out.endswith(end_b):
+                break
+        return out.decode("utf-8", errors="replace")
