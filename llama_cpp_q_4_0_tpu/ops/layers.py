@@ -200,7 +200,9 @@ def flash_prefill_fn():
 
 def _use_fused_decode(rep: int, t: int, s: int, hd: int) -> bool:
     """Fused Pallas decode-attention eligibility (see pallas/attention.py).
-    Env-gated (FUSED_ATTN=1) while model-level numbers are collected."""
+    Env-gated (FUSED_ATTN=1) while model-level numbers are collected.
+    Covers MQA/GQA (rep > 1, grouped MXU contraction in-kernel) as well as
+    rep == 1; FUSED_MAX_T widens to speculative-verify shapes."""
     import os
 
     if not os.environ.get("FUSED_ATTN"):
@@ -209,7 +211,8 @@ def _use_fused_decode(rep: int, t: int, s: int, hd: int) -> bool:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         on_tpu = False
-    return (on_tpu and rep == 1 and t <= 8 and hd % 64 == 0
+    max_t = int(os.environ.get("FUSED_MAX_T", "8"))
+    return (on_tpu and t <= max_t and hd % 64 == 0
             and s % min(256, s) == 0 and s >= 128)
 
 

@@ -40,7 +40,7 @@ NEG = -1e30
 
 def _mha_decode_kernel(
     qpos_ref, q_ref, kd_ref, vd_ref, mask_ref, *rest,
-    n_s: int, t: int, scale: float, has_ks: bool, has_vs: bool,
+    n_s: int, t: int, rep: int, scale: float, has_ks: bool, has_vs: bool,
 ):
     idx = 0
     ks_ref = vs_ref = None
@@ -54,7 +54,7 @@ def _mha_decode_kernel(
 
     j = pl.program_id(1)
     bs = kd_ref.shape[1]
-    h, d = kd_ref.shape[2], kd_ref.shape[3]
+    g_heads = kd_ref.shape[2]  # n_kv heads (== n_head when rep == 1)
 
     @pl.when(j == 0)
     def _():
@@ -62,16 +62,33 @@ def _mha_decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    kf = kd_ref[0].astype(jnp.float32)  # [BS, H, D]
+    kf = kd_ref[0].astype(jnp.float32)  # [BS, G, D]
     vf = vd_ref[0].astype(jnp.float32)
     maskv = mask_ref[0] > 0  # [BS, 1]
     slot = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0) + j * bs
 
     for ti in range(t):
         valid = maskv & (slot <= qpos_ref[0, ti])  # [BS, 1]
-        s = jnp.sum(q_ref[0, ti][None] * kf, axis=-1) * scale  # [BS, H]
-        if has_ks:
-            s = s * ks_ref[0]
+        if rep == 1:
+            # per-head dot: H in sublanes-of-scores, lane reduction over D
+            s = jnp.sum(q_ref[0, ti][None] * kf, axis=-1) * scale  # [BS, H]
+            if has_ks:
+                s = s * ks_ref[0]
+        else:
+            # MQA/GQA: the rep query heads of a group share one stored KV
+            # head, so scores are a real [BS, D] x [D, R] MXU matmul per
+            # group — the grouped-einsum analogue of ops.layers.attention's
+            # rep>1 branch; K/V stream at G-head width, no q-head repeat
+            parts = []
+            for g in range(g_heads):
+                qg = q_ref[0, ti, g * rep : (g + 1) * rep, :]  # [R, D]
+                sg = jax.lax.dot_general(
+                    kf[:, g, :], qg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [BS, R]
+                if has_ks:
+                    sg = sg * ks_ref[0][:, g : g + 1]
+                parts.append(sg)
+            s = (jnp.concatenate(parts, axis=1) if g_heads > 1 else parts[0]) * scale
         s = jnp.where(valid, s, NEG)
         m_prev = m_ref[ti : ti + 1]  # [1, H]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
@@ -82,11 +99,23 @@ def _mha_decode_kernel(
             p, axis=0, keepdims=True
         )
         m_ref[ti : ti + 1] = m_new
-        if has_vs:
-            p = p * vs_ref[0]
-        # [BS, H] -> [BS, H, 1]: the one lane->sublane relayout (see module
-        # docstring); contraction over BS is then a cheap major-dim reduce
-        pv = jnp.sum(p[:, :, None] * vf, axis=0)  # [H, D]
+        if rep == 1:
+            if has_vs:
+                p = p * vs_ref[0]
+            # [BS, H] -> [BS, H, 1]: the one lane->sublane relayout (see
+            # module docstring); contraction over BS is a cheap major reduce
+            pv = jnp.sum(p[:, :, None] * vf, axis=0)  # [H, D]
+        else:
+            pv_parts = []
+            for g in range(g_heads):
+                pg = p[:, g * rep : (g + 1) * rep]  # [BS, R]
+                if has_vs:
+                    pg = pg * vs_ref[0][:, g : g + 1]
+                pv_parts.append(jax.lax.dot_general(
+                    pg, vf[:, g, :], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))  # [R, D]
+            pv = (jnp.concatenate(pv_parts, axis=0)
+                  if g_heads > 1 else pv_parts[0])  # [H, D]
         acc_ref[ti] = acc_ref[ti] * jnp.swapaxes(corr, 0, 1) + pv
 
     @pl.when(j == n_s - 1)
@@ -113,14 +142,19 @@ def mha_decode(
     block_s: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused streaming attention for the decode path (small T, rep == 1).
+    """Fused streaming attention for the decode/verify path (small T).
 
     Semantics identical to ops.layers.attention: causal masking by absolute
     position (cache slot index == position), kv_mask gating, K scale folded
     into scores and V scale into probabilities (exact — scale multiplies
-    are associative over the softmax-weighted sum)."""
+    are associative over the softmax-weighted sum).  MQA/GQA (n_kv < n_head)
+    contracts the grouped query heads against the single stored KV head on
+    the MXU — the reference materializes the repeat instead
+    (falcon.cpp:1194-1227 "cheap hack", ggml_repeat)."""
     b, t, h, d = q.shape
-    s = kd.shape[1]
+    s, g = kd.shape[1], kd.shape[2]
+    assert h % g == 0, (h, g)
+    rep = h // g
     bs = min(block_s, s)
     assert s % bs == 0, (s, bs)
     n_s = s // bs
@@ -133,27 +167,27 @@ def mha_decode(
     in_specs = [
         pl.BlockSpec((1, t), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, t, h, d), lambda i, j: (i, 0, 0, 0)),
-        pl.BlockSpec((1, bs, h, d), lambda i, j: (i, j, 0, 0)),
-        pl.BlockSpec((1, bs, h, d), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, bs, g, d), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, bs, g, d), lambda i, j: (i, j, 0, 0)),
         pl.BlockSpec((1, bs, 1), lambda i, j: (i, j, 0)),
     ]
     args = [q_positions, q, kd, vd, maske]
     if has_ks:
-        in_specs.append(pl.BlockSpec((1, bs, h), lambda i, j: (i, j, 0)))
+        in_specs.append(pl.BlockSpec((1, bs, g), lambda i, j: (i, j, 0)))
         args.append(ks)
     if has_vs:
-        in_specs.append(pl.BlockSpec((1, bs, h), lambda i, j: (i, j, 0)))
+        in_specs.append(pl.BlockSpec((1, bs, g), lambda i, j: (i, j, 0)))
         args.append(vs)
 
     kv_bytes = kd.dtype.itemsize
     bytes_accessed = (
-        2 * b * s * h * d * kv_bytes
-        + (4 * b * s * h * 2 if has_ks else 0)
+        2 * b * s * g * d * kv_bytes
+        + (4 * b * s * g * 2 if has_ks else 0)
         + 8 * b * t * h * d
     )
     return pl.pallas_call(
         functools.partial(
-            _mha_decode_kernel, n_s=n_s, t=t, scale=scale,
+            _mha_decode_kernel, n_s=n_s, t=t, rep=rep, scale=scale,
             has_ks=has_ks, has_vs=has_vs,
         ),
         grid=grid,

@@ -119,16 +119,21 @@ def first_sample(logits_row, history, ds: DeviceSampling, key,
     jax.tree_util.register_dataclass,
     data_fields=["temp", "top_k", "top_p", "tfs_z", "typical_p",
                  "repeat_penalty", "repeat_last_n", "frequency_penalty",
-                 "presence_penalty", "seed"],
+                 "presence_penalty", "seed", "mirostat", "mirostat_tau",
+                 "mirostat_eta", "bias_ids", "bias_vals"],
     meta_fields=[],
 )
 @dataclass
 class SamplingVec:
     """PER-ROW sampling parameters for batched device ticks: each slot of
     a continuous-batching engine keeps its own request's temp/top-k/top-p/
-    tfs/typical/penalties (the scalar DeviceSampling applies one setting
-    engine-wide).  All fields [B]; neutral values (temp<=0 greedy, top_k 0,
-    p/z 1.0, penalties 1.0/0.0) switch a knob off per row."""
+    tfs/typical/penalties/mirostat/logit-bias (the scalar DeviceSampling
+    applies one setting engine-wide).  All fields [B]; neutral values
+    (temp<=0 greedy, top_k 0, p/z 1.0, penalties 1.0/0.0, mirostat 0)
+    switch a knob off per row.  The optional fields stay None (statically
+    absent — zero compiled cost) unless some row uses them:
+    mirostat* [B] with carried per-row mu, and bias_ids/bias_vals
+    [B, NB] dense-padded per-row logit bias (pad id = _BIAS_PAD drops)."""
 
     temp: jax.Array
     top_k: jax.Array
@@ -140,19 +145,49 @@ class SamplingVec:
     frequency_penalty: jax.Array
     presence_penalty: jax.Array
     seed: jax.Array  # [B] int32; >=0 makes the row's stream REPRODUCIBLE
+    mirostat: jax.Array | None = None  # [B] int32 (0 off / 1 v1 / 2 v2)
+    mirostat_tau: jax.Array | None = None  # [B] f32
+    mirostat_eta: jax.Array | None = None  # [B] f32
+    bias_ids: jax.Array | None = None  # [B, NB] int32 (pad = _BIAS_PAD)
+    bias_vals: jax.Array | None = None  # [B, NB] f32
+
+
+_BIAS_PAD = 1 << 30  # out-of-vocab id: scatter mode='drop' discards it
 
 
 def make_sampling_vec(rows, seeds=None) -> SamplingVec:
     """Host: build a SamplingVec from per-row SamplingParams (None rows
     get neutral greedy settings).  seeds[i] >= 0 gives row i a sampling
     stream that depends only on (seed, absolute position) — reproducible
-    regardless of which other requests share its ticks."""
+    regardless of which other requests share its ticks.  Rows with
+    mirostat or logit_bias populate the optional per-row fields (bias
+    width buckets to powers of two to bound recompiles)."""
     def col(get, default, dtype=np.float32):
         return jnp.asarray([get(r) if r is not None else default
                             for r in rows], dtype)
 
     if seeds is None:
         seeds = [-1] * len(rows)
+    mirostat = None
+    mirostat_tau = None
+    mirostat_eta = None
+    if any(r is not None and r.mirostat for r in rows):
+        mirostat = col(lambda r: r.mirostat, 0, np.int32)
+        mirostat_tau = col(lambda r: r.mirostat_tau, 5.0)
+        mirostat_eta = col(lambda r: r.mirostat_eta, 0.1)
+    bias_ids = bias_vals = None
+    widest = max((len(r.logit_bias) for r in rows
+                  if r is not None and r.logit_bias), default=0)
+    if widest:
+        nb = 1 << (widest - 1).bit_length()  # bucket to power of two
+        ids = np.full((len(rows), nb), _BIAS_PAD, np.int32)
+        vals = np.zeros((len(rows), nb), np.float32)
+        for i, r in enumerate(rows):
+            if r is not None and r.logit_bias:
+                for j, (tid, bv) in enumerate(sorted(r.logit_bias.items())):
+                    ids[i, j] = tid
+                    vals[i, j] = bv
+        bias_ids, bias_vals = jnp.asarray(ids), jnp.asarray(vals)
     return SamplingVec(
         seed=jnp.asarray([s if s is not None else -1 for s in seeds],
                          jnp.int32),
@@ -165,6 +200,9 @@ def make_sampling_vec(rows, seeds=None) -> SamplingVec:
         repeat_last_n=col(lambda r: r.repeat_last_n, 0, np.int32),
         frequency_penalty=col(lambda r: r.frequency_penalty, 0.0),
         presence_penalty=col(lambda r: r.presence_penalty, 0.0),
+        mirostat=mirostat, mirostat_tau=mirostat_tau,
+        mirostat_eta=mirostat_eta,
+        bias_ids=bias_ids, bias_vals=bias_vals,
     )
 
 
@@ -191,42 +229,98 @@ def _apply_penalties_vec(logits: jax.Array, recent: jax.Array,
 
 
 def sample_logits_vec(logits: jax.Array, key, sv: SamplingVec,
-                      recent: jax.Array, position=None) -> jax.Array:
+                      recent: jax.Array, position=None, mu=None):
     """Per-row sampling chain over a 256-candidate support, exact host
-    semantics per knob (top_k -> tfs -> typical -> top_p -> temp; greedy
-    rows take the penalized argmax).  logits [B, V] -> [B] int32.
+    semantics per knob (bias -> penalties -> top_k -> tfs -> typical ->
+    top_p -> temp; greedy rows take the penalized argmax; mirostat rows
+    replace the truncation filters with the adaptive-surprise cut, exactly
+    like the host chain's separate mirostat branch, llama.cpp:2009-2090).
+    logits [B, V] -> [B] int32, or (tok, mu') when `mu` [B] is passed
+    (required when sv.mirostat is set; carried across ticks per row).
 
     position [B] (with sv.seed >= 0): rows draw from a key folded from
     (seed, absolute position) instead of the shared stream — each
     request's sampled text is reproducible no matter which other requests
     shared its ticks."""
+    if sv.bias_ids is not None:
+        b = logits.shape[0]
+        logits = logits.at[jnp.arange(b)[:, None], sv.bias_ids].add(
+            sv.bias_vals, mode="drop")
     logits = _apply_penalties_vec(logits, recent, sv)
     k = min(logits.shape[-1], _VEC_SUPPORT)
-    vals, idx = jax.lax.top_k(logits, k)  # sorted desc
+    vals0, idx = jax.lax.top_k(logits, k)  # sorted desc, pre-filter
     tk = jnp.where((sv.top_k <= 0) | (sv.top_k > k), k, sv.top_k)
-    vals = jnp.where(jnp.arange(k)[None, :] < tk[:, None], vals, -jnp.inf)
+    vals = jnp.where(jnp.arange(k)[None, :] < tk[:, None], vals0, -jnp.inf)
     vals = _tfs_mask(vals, sv.tfs_z[:, None], n_valid=tk)
     vals = _typical_mask(vals, sv.typical_p[:, None])
     vals = _top_p_mask(vals, sv.top_p[:, None])
     denom = jnp.where(sv.temp > 0, sv.temp, 1.0)[:, None]
+    final = vals / denom
+    if sv.mirostat is not None:
+        assert mu is not None, "mirostat rows need the carried mu state"
+        scaled = vals0 / denom  # mirostat skips the truncation filters
+        m2 = _mirostat2_mask_vec(scaled, mu)
+        m1 = _mirostat1_mask_vec(scaled, mu, logits.shape[-1])
+        final = jnp.where((sv.mirostat == 2)[:, None], m2,
+                          jnp.where((sv.mirostat == 1)[:, None], m1, final))
     if position is not None:
         seeded = jax.vmap(
             lambda s, p: jax.random.fold_in(jax.random.fold_in(
                 jax.random.key(0), s.astype(jnp.uint32)), p.astype(jnp.uint32))
         )(jnp.maximum(sv.seed, 0), position)
-        shared = jax.random.split(key, vals.shape[0])
+        shared = jax.random.split(key, final.shape[0])
         keys = jnp.where((sv.seed >= 0)[:, None],
                          jax.random.key_data(seeded),
                          jax.random.key_data(shared))
         choice = jax.vmap(
             lambda kd, v: jax.random.categorical(
                 jax.random.wrap_key_data(kd), v)
-        )(keys, vals / denom)
+        )(keys, final)
     else:
-        choice = jax.random.categorical(key, vals / denom, axis=-1)
+        choice = jax.random.categorical(key, final, axis=-1)
     sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
     greedy = jnp.argmax(logits, axis=-1)
-    return jnp.where(sv.temp > 0, sampled, greedy).astype(jnp.int32)
+    tok = jnp.where(sv.temp > 0, sampled, greedy).astype(jnp.int32)
+    if mu is None:
+        return tok
+    if sv.mirostat is not None:
+        logp2 = jax.nn.log_softmax(final, axis=-1)
+        observed = -jnp.take_along_axis(
+            logp2, choice[:, None], axis=-1)[:, 0] / jnp.log(2.0)
+        mu2 = mu - sv.mirostat_eta * (observed - sv.mirostat_tau)
+        mu = jnp.where((sv.mirostat > 0) & (sv.temp > 0), mu2, mu)
+    return tok, mu
+
+
+def _mirostat2_mask_vec(scaled: jax.Array, mu: jax.Array) -> jax.Array:
+    """Per-row mirostat-v2 truncation over temp-scaled sorted logits
+    [B, K]: drop candidates with surprise > mu[row], always keep the top
+    one (llama_sample_token_mirostat_v2, llama.cpp:2065-2090)."""
+    logp = jax.nn.log_softmax(scaled, axis=-1)
+    surprise = -logp / jnp.log(2.0)
+    keep = (surprise <= mu[:, None]) | (jnp.arange(scaled.shape[-1]) == 0)
+    return jnp.where(keep, scaled, -jnp.inf)
+
+
+def _mirostat1_mask_vec(scaled: jax.Array, mu: jax.Array,
+                        n_vocab: int) -> jax.Array:
+    """Per-row mirostat-v1 truncation (llama_sample_token_mirostat,
+    llama.cpp:2009-2063): Zipf exponent s_hat from the top m=100
+    probabilities, k from the surprise target, keep the first k."""
+    k_sup = scaled.shape[-1]
+    p = jax.nn.softmax(scaled, axis=-1)
+    n = min(100 - 1, k_sup - 1)
+    i = jnp.arange(n, dtype=jnp.float32)
+    t_i = jnp.log((i + 2.0) / (i + 1.0))
+    b_i = jnp.log(p[:, :n] / jnp.maximum(p[:, 1:n + 1], 1e-38))
+    s_hat = jnp.sum(t_i * b_i, axis=-1) / jnp.sum(t_i * t_i)
+    eps_hat = s_hat - 1.0
+    kk = ((eps_hat * jnp.exp2(mu))
+          / (1.0 - jnp.float32(n_vocab) ** (-eps_hat))) ** (1.0 / s_hat)
+    kk = jnp.clip(jnp.nan_to_num(kk, nan=1.0, posinf=k_sup),
+                  1, k_sup).astype(jnp.int32)
+    return jnp.where(jnp.arange(k_sup)[None, :] < kk[:, None], scaled,
+                     -jnp.inf)
 
 
 def _tfs_mask(vals: jax.Array, z, n_valid=None) -> jax.Array:
@@ -399,9 +493,14 @@ def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
         row = _apply_logit_bias(logits[:, -1], ds)
         key, sub = jax.random.split(key)
         if sv is not None:
-            # per-row sampling chain (penalties handled inside); the key
-            # for seeded rows folds (seed, absolute position)
-            nxt = sample_logits_vec(row, sub, sv, rec, position=n_past + 1)
+            # per-row sampling chain (bias/penalties/mirostat handled
+            # inside); the key for seeded rows folds (seed, abs position)
+            if sv.mirostat is not None:
+                nxt, mu = sample_logits_vec(row, sub, sv, rec,
+                                            position=n_past + 1, mu=mu)
+            else:
+                nxt = sample_logits_vec(row, sub, sv, rec,
+                                        position=n_past + 1)
             rec = _recent_push(rec, nxt)
         else:
             if ds.penalized:

@@ -15,11 +15,12 @@ from llama_cpp_q_4_0_tpu.ops.layers import attention
 from llama_cpp_q_4_0_tpu.ops.pallas.attention import mha_decode
 
 
-def _case(b=2, t=1, s=512, h=8, d=128, n_past=100, seed=0, quant=False):
+def _case(b=2, t=1, s=512, h=8, d=128, n_past=100, seed=0, quant=False, g=None):
+    g = g or h  # n_kv heads: g < h exercises the MQA/GQA grouped branch
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, g, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, g, d)), jnp.float32)
     pos = jnp.broadcast_to(n_past + jnp.arange(t), (b, t)).astype(jnp.int32)
     mask = (jnp.arange(s) < n_past + t)[None, :] & jnp.ones((b, 1), bool)
     scale = 1.0 / np.sqrt(d)
@@ -41,6 +42,35 @@ def test_fused_matches_einsum(t, quant):
         mha_decode(q, kd, ks, vd, vs, pos, mask, scale,
                    block_s=128, interpret=True)
     )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("t", [1, 5, 16])
+@pytest.mark.parametrize("g", [1, 2], ids=["mqa", "gqa"])
+@pytest.mark.parametrize("quant", [False, True], ids=["f32", "q8kv"])
+def test_fused_grouped_heads(t, g, quant):
+    """MQA (g=1, falcon.cpp:1194-1227) and GQA (1<g<h) decode/verify shapes:
+    the kernel's grouped MXU contraction must equal the grouped einsum of
+    ops.layers.attention, with K/V streamed at n_kv width."""
+    q, kc, vc, raw, pos, mask, scale = _case(
+        t=t, h=8, g=g, quant=quant, seed=10 * t + g)
+    kd, ks, vd, vs = raw
+    assert kd.shape[2] == g
+    want = np.asarray(attention(q, kc, vc, pos, mask, scale))
+    got = np.asarray(
+        mha_decode(q, kd, ks, vd, vs, pos, mask, scale,
+                   block_s=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_verify_t16():
+    """Speculative-verify shape: t=16 queries over one shared cache."""
+    q, kc, vc, raw, pos, mask, scale = _case(t=16, seed=77)
+    kd, ks, vd, vs = raw
+    want = np.asarray(attention(q, kc, vc, pos, mask, scale))
+    got = np.asarray(mha_decode(q, kd, ks, vd, vs, pos, mask, scale,
+                                block_s=128, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 

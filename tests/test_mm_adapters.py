@@ -25,11 +25,11 @@ def loaded(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("mm") / "m.bin")
     make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
     gf = read_ggjt(path, "llama")
-    cfg = config_from_ggjt(gf, n_ctx=128)
+    cfg = config_from_ggjt(gf, n_ctx=512)
     return cfg, load_transformer(gf, cfg), gf
 
 
-def _fresh(loaded, n_ctx=128):
+def _fresh(loaded, n_ctx=512):
     cfg, params, gf = loaded
     ctx = Context(cfg, params, n_ctx=n_ctx)
     tok = Tokenizer(Vocab.from_ggjt(gf))
@@ -99,15 +99,17 @@ def test_llava_protocol(loaded, proj_weights):
     out = lv.chat_with_image("IMG", "q", n_predict=4)
     assert encoder_calls == ["IMG"]
     assert isinstance(out, str)
-    # n_past advanced by the full protocol plus one eval per sampled token
-    n_gen = len(model._last_tokens) - n_prompt
+    # n_past advanced by the full protocol plus one eval per sampled token;
+    # _last_tokens excludes the n_patches raw-embedding rows (no token ids)
+    n_gen = len(model._last_tokens) - (n_prompt - n_patches)
     assert ctx.n_past == n_prompt + n_gen and 0 <= n_gen <= 4
-    # the image markers landed in the transcript in order
+    # the image markers landed in the transcript in order (the transcript
+    # holds im_start, the im_patch padding, im_end — not the embd rows)
     ids = model._last_tokens
     i_start = ids.index(251)
-    assert ids[i_start + 1 + image_token_len] == 252
-    assert ids[i_start + 1 + n_patches: i_start + 1 + image_token_len] == \
-        [250] * (image_token_len - n_patches)
+    n_pad = image_token_len - n_patches
+    assert ids[i_start + 1: i_start + 1 + n_pad] == [250] * n_pad
+    assert ids[i_start + 1 + n_pad] == 252
 
 
 def test_llava_text_only_chat(loaded, proj_weights):
