@@ -69,6 +69,7 @@ class _Slot:
         self.produced = 0
         self.n_past = 0
         self.ready = True  # False while a chunked prefill is in flight
+        self.mu_fresh = False  # reset device mirostat mu at next window
 
     @property
     def free(self) -> bool:
@@ -573,6 +574,7 @@ class BatchEngine:
         slot.last_tokens = list(prompt)
         slot.produced = 0
         slot.n_past = len(prompt)
+        slot.mu_fresh = True  # per-request mirostat starts at mu = 2*tau
         self._emit(slot, row_logits)
         if self.spec_draft > 0 and slot.req is not None:
             # seed the device-side history row for draft lookups
@@ -651,6 +653,19 @@ class BatchEngine:
                 self._recent = make_recent(
                     [s.last_tokens if s.active else []
                      for s in self.slots], VEC_WINDOW, self.cfg.n_vocab)
+                if self._sv.mirostat is not None:
+                    # per-row mu: persists on device across windows, reset
+                    # to 2*tau for slots admitted since the last window
+                    mu_h = (np.array(self._mu)  # writable host copy
+                            if self._mu is not None else np.full(
+                                (self.n_slots,), 10.0, np.float32))
+                    for s in self.slots:
+                        if s.mu_fresh:
+                            sp = s.req.sampling if s.active else None
+                            mu_h[s.idx] = 2.0 * (
+                                sp.mirostat_tau if sp is not None else 5.0)
+                            s.mu_fresh = False
+                    self._mu = jnp.asarray(mu_h, jnp.float32)
             else:
                 self._recent = (
                     make_recent([s.last_tokens if s.active else []
@@ -751,6 +766,12 @@ class BatchEngine:
             [s.req.sampling if s.active else None for s in self.slots],
             seeds=[s.req.seed if s.active else -1 for s in self.slots])
         return dataclasses_replace_rln(sv, VEC_WINDOW)
+
+    def _mirostat_active(self) -> bool:
+        """Any active slot sampling with mirostat (per-request mode)."""
+        return self.per_request_sampling and any(
+            s.active and s.req.sampling is not None
+            and s.req.sampling.mirostat for s in self.slots)
 
     def _issue_spec(self):
         """Issue one speculative tick without waiting: the whole state
@@ -896,8 +917,12 @@ class BatchEngine:
                 # until the final scatter)
                 self._continue_prefill()
             if any(s.active for s in self.slots):
+                # mirostat is stateful-per-token: acceptance-based verify
+                # has no well-defined mu stream, so mirostat batches ride
+                # chunked ticks (still fully on device)
                 use_spec = (self.spec_draft > 0
-                            and self.n_active <= self.spec_max_active)
+                            and self.n_active <= self.spec_max_active
+                            and not self._mirostat_active())
                 if use_spec:
                     if self._mode != "spec":
                         self._flush_inflight()

@@ -103,6 +103,15 @@ class RwkvBatchEngine:
         if self._error is not None:
             raise RuntimeError(
                 "engine thread died; restart the engine") from self._error
+        if (self.per_request_sampling and req.sampling is not None
+                and req.sampling.mirostat):
+            # RWKV serving is speculative-verify only; mirostat's carried
+            # mu has no well-defined stream under acceptance-based verify
+            # (the transformer engine routes such batches to chunked ticks
+            # instead — RWKV has no chunked tick to fall back to)
+            raise ValueError(
+                "mirostat sampling is not supported by the speculative "
+                "RWKV engine; use a single-stream context instead")
         req.id = next(self._req_ids)
         self._inbox.put(req)
         if self._error is not None and self._thread is not None \

@@ -166,3 +166,160 @@ def test_seeded_request_identical_plain_vs_speculative(model):
     spec = run(spec_draft=3, chunk=2)
     assert chunked == spec, (chunked, spec)
     assert len(chunked) > 0
+
+
+def test_sample_logits_vec_per_row_logit_bias():
+    """Per-row logit bias lands before penalties with host semantics:
+    +big forces a token, -inf bans one, rows without bias untouched."""
+    rng = np.random.default_rng(3)
+    v = 96
+    logits = rng.normal(0, 2.0, (3, v)).astype(np.float32)
+    argmax1 = int(np.argmax(logits[1]))
+    rows = [
+        SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                       repeat_last_n=0, logit_bias={7: 100.0}),
+        SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                       repeat_last_n=0, logit_bias={argmax1: float("-inf")}),
+        SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                       repeat_last_n=0),
+    ]
+    histories = [[], [], []]
+    sv = make_sampling_vec(rows)
+    assert sv.bias_ids is not None and sv.bias_ids.shape[1] == 1
+    rec = make_recent(histories, 16, v)
+    got = np.asarray(sample_logits_vec(
+        jnp.asarray(logits), jax.random.key(0), sv, rec))
+    for i in range(3):
+        want = Sampler(rows[i], v, seed=1).sample(logits[i], histories[i])
+        assert int(got[i]) == want, (i, got[i], want)
+    assert int(got[0]) == 7 and int(got[1]) != argmax1
+
+
+def test_sample_logits_vec_per_row_mirostat():
+    """Mixed batch: a mirostat-v2 row truncates by its own mu (low mu ->
+    argmax, mu update formula), a v1 row picks the dominant token like the
+    host chain, and plain rows are bit-identical to a mirostat-free batch."""
+    rng = np.random.default_rng(4)
+    v = 256
+    logits = rng.normal(0, 0.1, (3, v)).astype(np.float32)
+    logits[1, 7] = 25.0  # dominant token for the v1 row
+    rows = [
+        SamplingParams(temp=1.0, mirostat=2, mirostat_tau=5.0,
+                       mirostat_eta=0.1),
+        SamplingParams(temp=1.0, mirostat=1, mirostat_tau=5.0,
+                       mirostat_eta=0.1),
+        SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                       repeat_last_n=0),
+    ]
+    sv = make_sampling_vec(rows)
+    assert sv.mirostat is not None
+    rec = make_recent([[], [], []], 16, v)
+    mu = jnp.asarray([0.01, 10.0, 10.0], jnp.float32)
+    tok, mu2 = sample_logits_vec(jnp.asarray(logits), jax.random.key(0),
+                                 sv, rec, mu=mu)
+    tok, mu2 = np.asarray(tok), np.asarray(mu2)
+    # v2 row, mu ~ 0: only the argmax survives; observed surprise = 0 bits
+    assert int(tok[0]) == int(np.argmax(logits[0]))
+    np.testing.assert_allclose(mu2[0], 0.01 - 0.1 * (0.0 - 5.0), rtol=1e-5)
+    # v1 row: dominant token; host-chain mu update
+    from llama_cpp_q_4_0_tpu.runtime.sampling import (
+        Candidates, sample_temperature, sample_token_mirostat)
+    c = Candidates.from_logits(logits[1])
+    sample_temperature(c, 1.0)
+    tok_h, mu_h = sample_token_mirostat(
+        c, np.random.default_rng(1), 5.0, 0.1, 100, 10.0, v)
+    assert int(tok[1]) == tok_h == 7
+    np.testing.assert_allclose(mu2[1], mu_h, rtol=1e-3)
+    # plain greedy row: unaffected by the mirostat rows, mu untouched
+    assert int(tok[2]) == int(np.argmax(logits[2]))
+    assert mu2[2] == 10.0
+
+
+def test_engine_per_request_logit_bias(model):
+    """A banned-token request and a plain request share device ticks; the
+    ban holds for the whole stream and the plain row matches its host
+    chain exactly."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params = model
+    p1, p2 = [3, 5, 7, 11], [13, 17, 19]
+    sp_plain = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                              repeat_last_n=0)
+    want_plain = _host_generate(cfg, params, p1, sp_plain, 8)
+    # ban the plain chain's most frequent token for the biased request
+    ban = max(set(want_plain), key=want_plain.count)
+    sp_ban = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                            repeat_last_n=0,
+                            logit_bias={ban: float("-inf"), 2: float("-inf")})
+    want_ban = _host_generate(cfg, params, p1, sp_ban, 8)
+
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64, chunk=3,
+                      per_request_sampling=True,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    try:
+        r1 = eng.submit(Request(p1, n_predict=8, sampling=sp_ban))
+        r2 = eng.submit(Request(p1, n_predict=8, sampling=sp_plain))
+        out1, out2 = list(r1.tokens()), list(r2.tokens())
+    finally:
+        eng.stop()
+
+    def cut(ref):
+        return ref[:ref.index(2)] if 2 in ref else ref
+
+    assert ban not in out1
+    assert out1 == want_ban, (want_ban, out1)  # -inf EOS bias: no cut
+    assert out2 == cut(want_plain), (want_plain, out2)
+
+
+def test_engine_per_request_mirostat_routes_to_chunked(model):
+    """A mirostat request in a SPECULATIVE engine rides chunked device
+    ticks (no host downgrade), produces tokens, and a concurrent greedy
+    request still matches its host chain."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params = model
+    sp_miro = SamplingParams(temp=0.9, mirostat=2, mirostat_tau=4.0,
+                             mirostat_eta=0.2)
+    sp_plain = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                              repeat_last_n=0)
+    p1, p2 = [3, 5, 7, 11], [13, 17, 19]
+    want2 = _host_generate(cfg, params, p2, sp_plain, 8)
+
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64, chunk=3,
+                      spec_draft=3, per_request_sampling=True,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    try:
+        r1 = eng.submit(Request(p1, n_predict=8, sampling=sp_miro))
+        r2 = eng.submit(Request(p2, n_predict=8, sampling=sp_plain))
+        out1, out2 = list(r1.tokens()), list(r2.tokens())
+        assert eng.stats()["mode"] == "chunked"  # spec suppressed
+    finally:
+        eng.stop()
+
+    def cut(ref):
+        return ref[:ref.index(2)] if 2 in ref else ref
+
+    assert len(out1) > 0 and all(0 <= t < cfg.n_vocab for t in out1)
+    assert out2 == cut(want2), (want2, out2)
+
+
+def test_rwkv_engine_rejects_mirostat(tmp_path):
+    from llama_cpp_q_4_0_tpu.formats.fixtures import make_rwkv_ggjt
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_rwkv)
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+    from llama_cpp_q_4_0_tpu.runtime.rwkv_engine import RwkvBatchEngine
+
+    path = str(tmp_path / "r.bin")
+    make_rwkv_ggjt(path, n_vocab=128, n_embd=32, n_layer=1)
+    gf = read_ggjt(path, "rwkv")
+    cfg = config_from_ggjt(gf, n_ctx=64)
+    eng = RwkvBatchEngine(cfg, load_rwkv(gf, cfg), n_slots=2,
+                          per_request_sampling=True,
+                          device_sampling=DeviceSampling(temp=-1.0))
+    with pytest.raises(ValueError, match="mirostat"):
+        eng.submit(Request([1, 2, 3], n_predict=4,
+                           sampling=SamplingParams(temp=0.9, mirostat=1)))
