@@ -88,6 +88,32 @@ def dataclasses_replace_rln(sv, window: int):
         sv, repeat_last_n=jnp.minimum(sv.repeat_last_n, window))
 
 
+def estimate_engine_hbm(params, cfg, n_slots: int, n_ctx: int,
+                        cache_dtype) -> tuple[int, int]:
+    """(weight_bytes, kv_bytes) for a single-device engine.  The KV term
+    mirrors init_cache's layout (kv_cache_init sizing,
+    /root/reference/llama.cpp:733-776): 2 x [slots, ctx, kv_heads, hd] per
+    layer, plus the [slots, ctx, kv_heads] f32 scale planes for int8."""
+    weights = sum(a.size * a.dtype.itemsize
+                  for a in jax.tree_util.tree_leaves(params)
+                  if hasattr(a, "dtype"))
+    per = n_slots * n_ctx * cfg.kv_heads * cfg.n_layer
+    itemsize = jnp.dtype(cache_dtype).itemsize
+    kv = 2 * per * cfg.head_dim * itemsize
+    if itemsize == 1:
+        kv += 2 * per * 4  # QuantKV per-token-head f32 scales
+    return weights, kv
+
+
+# fraction of HBM the engine may plan to (the rest covers activations,
+# prefill gather temps — measured ~20x256MB on a 16x2048 bf16 prefill_multi
+# compile — and XLA scratch); exceeding it OOM-wedges mid-serving instead
+# of failing fast here.  0.85 of a 15.75 GiB v5e = 13.4 GiB: admits the
+# 7B q4_0 16x2048 q8-KV flagship config (4.2 + 8.9 GiB), refuses the
+# 17.2 GiB bf16 cache that OOM'd it
+_HBM_PLAN_FRACTION = 0.85
+
+
 def _bucket(n: int) -> int:
     from .context import PREFILL_BUCKETS
 
@@ -212,7 +238,8 @@ class BatchEngine:
                  device_sampling=None, pipeline_depth: int = 2,
                  spec_draft: int = 0, spec_max_active: int = 8,
                  per_request_sampling: bool = False,
-                 forward_fn=None, tp_mesh=None, mesh=None):
+                 forward_fn=None, tp_mesh=None, mesh=None,
+                 hbm_limit_bytes: int | None = None):
         """chunk > 1 enables throughput mode: `chunk` tokens per engine tick
         are decoded and sampled ON DEVICE (runtime/device_sample.py) with
         one host round-trip per chunk — engine-wide uniform sampling
@@ -287,6 +314,33 @@ class BatchEngine:
             self._hist = jnp.zeros((n_slots, self.n_ctx), jnp.int32)
             self._n_hist = jnp.zeros((n_slots,), jnp.int32)
             self._done = jnp.ones((n_slots,), bool)  # frozen until admitted
+        # fail fast on configurations that cannot fit: a mid-serving OOM
+        # kills the tick thread (and, on the tunnel, wedges the device).
+        # Mesh-sharded engines skip the check — capacity scales with chips.
+        if mesh is None and tp_mesh is None:
+            limit = hbm_limit_bytes
+            if limit is None:
+                try:
+                    if jax.default_backend() == "tpu":
+                        stats = jax.devices()[0].memory_stats() or {}
+                        limit = stats.get("bytes_limit")
+                except Exception:  # pragma: no cover - stats unavailable
+                    limit = None
+            if limit:
+                weights, kv = estimate_engine_hbm(
+                    params, cfg, n_slots, self.n_ctx, cache_dtype)
+                budget = int(limit * _HBM_PLAN_FRACTION)
+                if weights + kv > budget:
+                    raise ValueError(
+                        f"engine config does not fit HBM: weights "
+                        f"{weights / 2**30:.2f} GiB + KV cache "
+                        f"{kv / 2**30:.2f} GiB ({n_slots} slots x "
+                        f"{self.n_ctx} ctx, {jnp.dtype(cache_dtype).name}) "
+                        f"> {budget / 2**30:.2f} GiB plan budget "
+                        f"({_HBM_PLAN_FRACTION:.0%} of "
+                        f"{limit / 2**30:.2f} GiB). Use cache_dtype=jnp.int8 "
+                        f"(--cache-type q8), fewer slots, or a smaller "
+                        f"n_ctx.")
         self.cache_k, self.cache_v = init_cache(cfg, n_slots, self.n_ctx,
                                                 cache_dtype)
         if tp_mesh is not None or mesh is not None:

@@ -571,3 +571,28 @@ def test_engine_randomized_differential(model):
             if i == 2:
                 continue  # the cancelled request may stop anywhere
             assert out == ref, (engine_kw, i, cases[i], out, ref)
+
+
+def test_engine_hbm_capacity_guard(model):
+    """A slots x ctx x dtype plan past the HBM budget refuses loudly at
+    construction (kv_cache_init sizing, llama.cpp:733-776) instead of
+    OOM-wedging mid-serving; the q8 cache halves the KV term and fits."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from llama_cpp_q_4_0_tpu.runtime.batch_engine import estimate_engine_hbm
+
+    cfg, params, _ = model
+    weights, kv_bf16 = estimate_engine_hbm(params, cfg, 16, 2048,
+                                           jnp.bfloat16)
+    _, kv_q8 = estimate_engine_hbm(params, cfg, 16, 2048, jnp.int8)
+    # int8 + scale planes vs bf16: (hd + 4) / 2*hd -> 0.625 at hd=16
+    assert kv_q8 < 0.65 * kv_bf16
+    # a limit that admits the q8 plan but not the bf16 one
+    limit = int((weights + (kv_q8 + kv_bf16) / 2) / 0.85)
+    with _pytest.raises(ValueError, match="does not fit HBM"):
+        BatchEngine(cfg, params, n_slots=16, n_ctx=2048, chunk=2,
+                    hbm_limit_bytes=limit)
+    eng = BatchEngine(cfg, params, n_slots=16, n_ctx=2048, chunk=2,
+                      cache_dtype=jnp.int8, hbm_limit_bytes=limit)
+    assert eng.n_ctx == 2048  # constructed fine; never started
