@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -75,7 +76,12 @@ def build_llama(n_layer: int = 32, n_embd: int = 4096, n_head: int = 32,
     )
     from llama_cpp_q_4_0_tpu.models.fuse import fuse_projections
 
-    return cfg, fuse_projections(cfg, params)
+    params = fuse_projections(cfg, params)
+    if os.environ.get("QMM_ZERO_FOLD"):
+        from llama_cpp_q_4_0_tpu.ops.qtensor import fold_zero_points
+
+        params = fold_zero_points(params)
+    return cfg, params
 
 
 def bench_decode(cfg, params, n_tokens: int = 64, prefill: int = 64):

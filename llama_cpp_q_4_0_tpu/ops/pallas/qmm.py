@@ -119,8 +119,11 @@ def _qmm_packed_kernel(
 
     bk, bn = p_ref.shape
     p = p_ref[:].astype(jnp.int32)
-    lo = ((p & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
-    hi = (((p >> 4) & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    lo, hi = p & 0xF, (p >> 4) & 0xF
+    if zero:  # static: zero-folded tensors (pack_zero 0) skip the subtracts
+        lo, hi = lo - zero, hi - zero
+    lo = lo.astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    hi = hi.astype(jnp.float32).reshape(bk // gsize, gsize, bn)
     wlo = (lo * _scales_f32(slo_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
     whi = (hi * _scales_f32(shi_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
     acc = jnp.dot(xlo_ref[:].astype(jnp.bfloat16), wlo,
@@ -152,8 +155,11 @@ def _qmm_packed_bias_kernel(
     bk = xlo_ref.shape[1]
     bn = p_ref.shape[1]
     p = p_ref[:].astype(jnp.int32)
-    lo = ((p & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
-    hi = (((p >> 4) & 0xF) - zero).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    lo, hi = p & 0xF, (p >> 4) & 0xF
+    if zero:  # static: zero-folded tensors (pack_zero 0) skip the subtracts
+        lo, hi = lo - zero, hi - zero
+    lo = lo.astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    hi = hi.astype(jnp.float32).reshape(bk // gsize, gsize, bn)
     wlo = (lo * _scales_f32(slo_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
     whi = (hi * _scales_f32(shi_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
     acc = jnp.dot(xlo_ref[:].astype(jnp.bfloat16), wlo,

@@ -180,6 +180,22 @@ class QTensor:
             pack_zero=None,
         )
 
+    def fold_zero(self) -> "QTensor":
+        """Fold the symmetric pack zero-point into an affine group bias:
+        w = d*(nib - z) == d*nib + (-z*d), with -z*d exact (power-of-two
+        multiple of d).  The hot kernel then unpacks with mask/shift only —
+        the two per-byte VPU subtracts disappear (the dequant VPU chain is
+        the decode/prefill bottleneck beyond HBM, NOTES r2 12a) — and the
+        bias term rides the existing xg group-sum seed dot.  Every consumer
+        (kernels, XLA fallback, rows()) already honors pack_zero=0 + gbias."""
+        if not self.packed or not self.pack_zero or self.gbias_t is not None:
+            return self
+        gb = (self.gscale_t.astype(jnp.float32)
+              * jnp.float32(-self.pack_zero)).astype(self.gscale_t.dtype)
+        return QTensor(levels_t=self.levels_t, gscale_t=self.gscale_t,
+                       gbias_t=gb, gsize=self.gsize, qtype=self.qtype,
+                       shape=self.shape, pack_zero=0)
+
     def levels_full(self) -> jax.Array:
         """Unpacked int8 levels [K, N] (device op; packed -> unpack)."""
         if not self.packed:
@@ -238,3 +254,15 @@ class QTensor:
             w = w + jnp.take(gb, idx, axis=1)[:, None, ...]
         w = w.reshape(k, *lv.shape[1:])
         return jnp.moveaxis(w, 0, -1).astype(dtype)  # [..., K]
+
+
+def fold_zero_points(params):
+    """Map QTensor.fold_zero over a parameter pytree (experimental prefill
+    optimization, env QMM_ZERO_FOLD=1 in bench/Context): symmetric packed
+    formats (q4_0) trade two per-byte VPU subtracts for the tiny xg bias
+    dot.  Numerics shift by <=1 bf16 ulp per weight (bf16(nib*d) rounds
+    differently than bf16((nib-8)*d)); parity gates that require the exact
+    reference chain must not apply it."""
+    return jax.tree_util.tree_map(
+        lambda t: t.fold_zero() if isinstance(t, QTensor) else t,
+        params, is_leaf=lambda t: isinstance(t, QTensor))

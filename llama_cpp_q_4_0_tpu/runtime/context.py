@@ -99,6 +99,15 @@ class Context:
         self.cfg = cfg
         self.mesh = mesh
         self._sp = (mesh.shape.get("sp", 1) if mesh is not None else 1)
+        import os
+
+        if os.environ.get("QMM_ZERO_FOLD"):
+            # experimental: fold symmetric pack zero-points into group
+            # biases (ops/qtensor.py fold_zero_points) — mask/shift-only
+            # unpack in the hot kernel; <=1 bf16 ulp numeric shift
+            from ..ops.qtensor import fold_zero_points
+
+            params = fold_zero_points(params)
         if mesh is not None:
             from ..parallel.shard import replicate, shard_transformer
 

@@ -40,7 +40,10 @@ echo "tunnel alive — starting queue $(date +%T)" | tee -a "$LOG"
 run bench          700  python bench.py
 run smoke          700  python scripts/tpu-smoke.py
 run tpu-gate       2400 env LLAMA_TPU_TESTS=1 python -m pytest tests/test_tpu_gate.py -q
-run flash-bench    700  env FLASH_PREFILL=1 python bench.py
+# flash prefill is DEFAULT now; this step quantifies it by opting out
+run noflash-bench  700  env FLASH_PREFILL=0 python bench.py
+# zero-fold experiment: mask/shift-only nibble unpack (ops/qtensor.fold_zero)
+run zerofold-bench 700  env QMM_ZERO_FOLD=1 python bench.py
 run tune-q8x       1800 env SKIP_CHECK=1 python scripts/tune-q8x.py
 run hbm-stream     700  python -m llama_cpp_q_4_0_tpu benchmark-matmult --stream
 run rwkv-bench     1200 python scripts/rwkv-bench.py

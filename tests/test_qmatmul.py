@@ -217,3 +217,34 @@ def test_prefill_xla_dispatch_env(monkeypatch):
     got = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=True))
     ref = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_fold_zero_points_matches_unfolded():
+    """fold_zero (w = d*nib - z*d via the affine-bias seed) reproduces the
+    unfolded q4_0 matmul through both the XLA fallback and the Pallas
+    kernel (interpret), within the bf16-recast tolerance documented on
+    QTensor.fold_zero; rows() gather is f32 on both sides and agrees
+    tighter."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+    from llama_cpp_q_4_0_tpu.ops.qtensor import fold_zero_points
+
+    w, qt = _mk(256, 512, GGMLType.Q4_0)
+    assert qt.packed and qt.pack_zero and qt.gbias_t is None
+    qf = fold_zero_points({"w": qt})["w"]
+    assert qf.pack_zero == 0 and qf.gbias_t is not None
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((4, 512)) * 0.5).astype(np.float32)
+    ref = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
+    got_xla = np.asarray(q_matmul(jnp.asarray(x), qf, use_pallas=False))
+    np.testing.assert_allclose(got_xla, ref, atol=2e-2, rtol=2e-2)
+
+    got_k = np.asarray(qmm_packed(
+        jnp.asarray(x), qf.levels_t, qf.gscale_t, qf.gbias_t,
+        gsize=qf.gsize, zero=qf.pack_zero, block_n=128, block_k=256,
+        interpret=True))
+    np.testing.assert_allclose(got_k, ref, atol=2e-2, rtol=2e-2)
+
+    idx = jnp.asarray([0, 3, 17], jnp.int32)
+    np.testing.assert_allclose(np.asarray(qf.rows(idx)),
+                               np.asarray(qt.rows(idx)), atol=1e-5, rtol=1e-5)

@@ -338,7 +338,7 @@ def test_flash_prefill_on_chip(monkeypatch, tmp_path):
     params = load_transformer(gf, cfg)
     prompt = np.asarray([list(range(2, 130))], np.int32)  # T=128
 
-    monkeypatch.delenv("FLASH_PREFILL", raising=False)
+    monkeypatch.setenv("FLASH_PREFILL", "0")  # einsum reference path
     want = Context(cfg, params, n_ctx=256).eval(prompt, logits_all=True)
     monkeypatch.setenv("FLASH_PREFILL", "1")
     got = Context(cfg, params, n_ctx=256).eval(prompt, logits_all=True)
