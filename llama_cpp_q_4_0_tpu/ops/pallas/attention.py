@@ -52,6 +52,9 @@ def _mha_decode_kernel(
         idx += 1
     out_ref, m_ref, l_ref, acc_ref = rest[idx], rest[idx + 1], rest[idx + 2], rest[idx + 3]
 
+    i = pl.program_id(0)  # batch row (qpos is a full-array SMEM block:
+    # a (1, t) block would violate Mosaic's (8, 128)-divisible-or-full rule
+    # for b > 1 — caught on chip, r3 gate)
     j = pl.program_id(1)
     bs = kd_ref.shape[1]
     g_heads = kd_ref.shape[2]  # n_kv heads (== n_head when rep == 1)
@@ -68,7 +71,7 @@ def _mha_decode_kernel(
     slot = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0) + j * bs
 
     for ti in range(t):
-        valid = maskv & (slot <= qpos_ref[0, ti])  # [BS, 1]
+        valid = maskv & (slot <= qpos_ref[i, ti])  # [BS, 1]
         if rep == 1:
             # per-head dot: H in sublanes-of-scores, lane reduction over D
             s = jnp.sum(q_ref[0, ti][None] * kf, axis=-1) * scale  # [BS, H]
@@ -165,7 +168,7 @@ def mha_decode(
     maske = kv_mask.astype(jnp.int8)[:, :, None]  # [B, S, 1]
 
     in_specs = [
-        pl.BlockSpec((1, t), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((b, t), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, t, h, d), lambda i, j: (i, 0, 0, 0)),
         pl.BlockSpec((1, bs, g, d), lambda i, j: (i, j, 0, 0)),
         pl.BlockSpec((1, bs, g, d), lambda i, j: (i, j, 0, 0)),

@@ -177,9 +177,16 @@ def _engine_fns(forward_fn):
         """Batched admission: [M, T_pad] prompts prefill M slots in ONE
         forward (the per-slot loop costs a full weight stream each).  Rows
         padded with slot index >= n_slots scatter with mode='drop'.
-        Returns per-row last-real-token logits [M, V] + updated caches."""
-        take_rows = lambda c: jnp.take(
-            c, jnp.clip(slots, 0, c.shape[0] - 1), axis=0)
+        Returns per-row last-real-token logits [M, V] + updated caches.
+
+        The gathered row caches are SLICED to kv_window columns: a fresh
+        admission only touches slots' first kv_window positions, and the
+        full-S gather materialized a second whole cache in HLO temps —
+        the 16x2048 bf16 OOM of the r2 hardware run (256 MB select_n
+        fusions x n_layer, hw-validate r2 log)."""
+        take_rows = lambda c: jax.lax.slice_in_dim(
+            jnp.take(c, jnp.clip(slots, 0, c.shape[0] - 1), axis=0),
+            0, kv_window, axis=1)
         row_k = jax.tree.map(take_rows, cache_k)
         row_v = jax.tree.map(take_rows, cache_v)
         logits, row_k, row_v = fwd(
@@ -188,8 +195,8 @@ def _engine_fns(forward_fn):
         )
         logits = jnp.take_along_axis(
             logits, (n_reals - 1)[:, None, None], axis=1)[:, 0]
-        put_rows = lambda c, r: c.at[slots].set(r.astype(c.dtype),
-                                                mode="drop")
+        put_rows = lambda c, r: c.at[slots, :kv_window].set(
+            r.astype(c.dtype), mode="drop")
         new_k = jax.tree.map(put_rows, cache_k, row_k)
         new_v = jax.tree.map(put_rows, cache_v, row_v)
         return logits, new_k, new_v

@@ -12,7 +12,11 @@ cd "$(dirname "$0")/.."
 LOG=${LOG:-hw-validate.log}
 
 probe() {
-  timeout 120 python -c "
+  # generous timeout + settle time: the tunnel needs ~30-60 s to drain
+  # after a heavy step, and KILLING a probe mid-backend-init re-wedges it
+  # (that ended the 2026-08-19 00:43 queue after a mere test failure)
+  sleep 60
+  timeout 300 python -c "
 import jax, numpy as np, jax.numpy as jnp
 print('probe ok', float(np.asarray(jnp.ones((8,128)) @ jnp.ones((128,8)))[0,0]))"
 }

@@ -67,7 +67,8 @@ def step(params, toks, n_past, ck, cv, t, w):
     return transformer.forward(cfg, params, toks, n_past, ck, cv,
                                last_only=(t == 1), kv_window=w)
 
-tag = "q8x=" + os.environ.get("QMM_Q8X", "off")
+tag = ("q8x=" + os.environ.get("QMM_Q8X", "off")
+       + (" zerofold" if os.environ.get("QMM_ZERO_FOLD") else ""))
 for t in (1, 8):
     ck, cv = transformer.init_cache(cfg, 1, 2048)
     toks = jnp.zeros((1, t), jnp.int32) + 5
@@ -83,7 +84,8 @@ for t in (1, 8):
 
 if os.environ.get("SKIP_CHECK") != "1":
     subprocess.run([sys.executable, "-c", CHECK], cwd=ROOT, timeout=560)
-for mode in ("1", "bf16"):
+for env in ({}, {"QMM_ZERO_FOLD": "1"}, {"QMM_Q8X": "1"},
+            {"QMM_Q8X": "bf16"}):
     subprocess.run([sys.executable, "-c", BODY],
-                   env=dict(os.environ, QMM_Q8X=mode), cwd=ROOT, timeout=560)
+                   env=dict(os.environ, **env), cwd=ROOT, timeout=560)
 print("TUNE DONE", flush=True)

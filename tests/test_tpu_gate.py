@@ -369,3 +369,29 @@ def test_qmm_q8x_kernel_on_chip():
             zero=q.pack_zero, block_n=256, block_k=512, int8_mxu=mode))
         rel = np.abs(got - ref).max() / np.abs(ref).max()
         assert rel < 2e-2, (mode, rel)
+
+
+def test_zero_fold_matches_on_chip(monkeypatch, tmp_path):
+    """QMM_ZERO_FOLD (mask/shift-only q4_0 unpack via the affine-bias
+    seed) end-to-end through Context: logits within the documented
+    <=1-bf16-ulp-per-weight drift of the unfolded path."""
+    from llama_cpp_q_4_0_tpu.formats import fixtures
+    from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
+    from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
+                                                    load_transformer)
+    from llama_cpp_q_4_0_tpu.runtime.context import Context
+
+    p = os.path.join(str(tmp_path), "m.bin")
+    fixtures.make_llama_ggjt(p, n_vocab=256, n_embd=512, n_mult=256,
+                             n_head=4, n_layer=2)
+    gf = read_ggjt(p, "llama")
+    cfg = config_from_ggjt(gf, n_ctx=128)
+    params = load_transformer(gf, cfg)
+    prompt = np.asarray([[2, 9, 23, 41]], np.int32)
+
+    monkeypatch.delenv("QMM_ZERO_FOLD", raising=False)
+    want = Context(cfg, params, n_ctx=128).eval(prompt)
+    monkeypatch.setenv("QMM_ZERO_FOLD", "1")
+    got = Context(cfg, params, n_ctx=128).eval(prompt)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 2e-2
