@@ -99,9 +99,36 @@ def dump_hlo(ctx, n_tokens: int = 1, optimized: bool = False) -> str:
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Device trace via jax.profiler (the GGML_PERF per-node timeline);
-    view with TensorBoard's profile plugin / XProf."""
+    view with TensorBoard's profile plugin / XProf.  NOTE: hangs on the
+    axon-tunnel TPU platform (NOTES r1 #12) — works on CPU/standard TPU
+    (gated by test_aux.py::test_profiler_trace_cpu)."""
     jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def time_jit(fn, args, *, iters: int = 20, warmup: int = 1) -> float:
+    """Wall-clock ms per call with a HARD device sync (np.asarray of one
+    output leaf).  On the axon platform block_until_ready returns early —
+    only a device->host transfer is a real sync — so every timing in
+    bench/scripts must use this pattern (the GGML_PERF node-timer
+    analogue at whole-jit granularity).  fn must not donate its args
+    (it is called repeatedly with the same ones)."""
+    import time
+
+    import numpy as np
+
+    def sync(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        np.asarray(leaves[0])
+
+    for _ in range(warmup):
+        sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters * 1e3

@@ -253,3 +253,32 @@ def test_perplexity_ondevice_matches_host(loaded):
     dev = perplexity_ondevice(Context(cfg, params, n_ctx=32), toks, n_ctx=32)
     assert abs(host.ppl - dev.ppl) / host.ppl < 1e-3, (host.ppl, dev.ppl)
     assert host.count == dev.count
+
+
+def test_profiler_trace_cpu(tmp_path):
+    """jax.profiler device tracing works through utils.profiling.trace on
+    backends that support it (the axon tunnel hangs it — platform issue,
+    not a code path issue; this pins the code path)."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.utils import profiling
+
+    with profiling.trace(str(tmp_path)):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    files = glob.glob(str(tmp_path / "**" / "*"), recursive=True)
+    assert files, "no trace artifacts written"
+
+
+def test_time_jit_hard_sync(loaded):
+    import jax
+
+    from llama_cpp_q_4_0_tpu.utils.profiling import time_jit
+
+    cfg, params, _ = loaded
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda a, b: a @ b)
+    ms = time_jit(fn, (jnp.ones((64, 64)), jnp.ones((64, 64))), iters=3)
+    assert ms > 0
