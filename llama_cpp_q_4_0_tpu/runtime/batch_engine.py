@@ -722,9 +722,10 @@ class BatchEngine:
                                 (self.n_slots,), 10.0, np.float32))
                     for s in self.slots:
                         if s.mu_fresh:
-                            sp = s.req.sampling if s.active else None
-                            mu_h[s.idx] = 2.0 * (
-                                sp.mirostat_tau if sp is not None else 5.0)
+                            # the admission-time host sample already moved
+                            # mu off 2*tau — continue from the host chain
+                            mu_h[s.idx] = (s.sampler.mirostat_mu
+                                           if s.sampler is not None else 10.0)
                             s.mu_fresh = False
                     self._mu = jnp.asarray(mu_h, jnp.float32)
             else:
