@@ -323,3 +323,33 @@ def test_rwkv_engine_rejects_mirostat(tmp_path):
     with pytest.raises(ValueError, match="mirostat"):
         eng.submit(Request([1, 2, 3], n_predict=4,
                            sampling=SamplingParams(temp=0.9, mirostat=1)))
+
+
+def test_spec_engine_per_request_logit_bias(model):
+    """Per-request logit bias is stateless, so it works inside speculative
+    verify ticks too: a banned token never appears and the greedy stream
+    matches the host chain with the same bias."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    cfg, params = model
+    p = [3, 5, 7, 11]
+    sp_plain = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                              repeat_last_n=0)
+    want_plain = _host_generate(cfg, params, p, sp_plain, 8)
+    ban = max(set(want_plain), key=want_plain.count)
+    sp_ban = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                            repeat_last_n=0,
+                            logit_bias={ban: float("-inf"), 2: float("-inf")})
+    want_ban = _host_generate(cfg, params, p, sp_ban, 8)
+
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64, spec_draft=3,
+                      chunk=2, per_request_sampling=True,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    try:
+        r = eng.submit(Request(p, n_predict=8, sampling=sp_ban))
+        out = list(r.tokens())
+    finally:
+        eng.stop()
+    assert ban not in out
+    assert out == want_ban, (want_ban, out)

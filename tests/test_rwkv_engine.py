@@ -149,3 +149,32 @@ def test_server_parallel_rwkv_endpoint(model, tmp_path_factory):
     finally:
         httpd.shutdown()
         eng.stop()
+
+
+def test_rwkv_engine_per_request_logit_bias(model):
+    """Per-request logit bias inside RWKV speculative verify ticks: the
+    banned token never appears (bias is stateless, so spec-safe)."""
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+    cfg, params = model
+    eng = RwkvBatchEngine(cfg, params, n_slots=2, n_ctx=128, chunk=2,
+                          spec_draft=3, per_request_sampling=True,
+                          device_sampling=DeviceSampling(temp=-1.0))
+    sp_plain = SamplingParams(temp=-1.0, top_k=0, repeat_penalty=1.0,
+                              repeat_last_n=0)
+    eng.start()
+    try:
+        r0 = eng.submit(Request([5, 9, 23, 5, 9], n_predict=8,
+                                sampling=sp_plain))
+        plain = list(r0.tokens())
+        if not plain:
+            pytest.skip("model emits EOS immediately")
+        ban = max(set(plain), key=plain.count)
+        sp_ban = SamplingParams(
+            temp=-1.0, top_k=0, repeat_penalty=1.0, repeat_last_n=0,
+            logit_bias={ban: float("-inf"), 0: float("-inf")})
+        r1 = eng.submit(Request([5, 9, 23, 5, 9], n_predict=8,
+                                sampling=sp_ban))
+        banned = list(r1.tokens())
+    finally:
+        eng.stop()
+    assert ban not in banned and len(banned) > 0
