@@ -82,8 +82,19 @@ def sampling_from_json(body: dict) -> SamplingParams:
     for k, attr in m.items():
         if k in body:
             setattr(sp, attr, type(getattr(sp, attr))(body[k]))
-    if body.get("logit_bias"):
-        sp.logit_bias = {int(t): float(b) for t, b in body["logit_bias"]}
+    if isinstance(body.get("logit_bias"), list):
+        # server.cpp:737-752: [tok, number] adds a bias; [tok, false] bans
+        # the token (-inf); malformed entries and non-int tokens dropped
+        sp.logit_bias = {}
+        for el in body["logit_bias"]:
+            if (isinstance(el, (list, tuple)) and len(el) == 2
+                    and isinstance(el[0], int) and not isinstance(el[0], bool)
+                    and el[0] >= 0):
+                if isinstance(el[1], bool):
+                    if not el[1]:
+                        sp.logit_bias[el[0]] = float("-inf")
+                elif isinstance(el[1], (int, float)):
+                    sp.logit_bias[el[0]] = float(el[1])
     if body.get("ignore_eos"):
         sp.logit_bias[2] = float("-inf")
     return sp
@@ -230,9 +241,13 @@ def make_handler(state: ServerState):
 
         def _completion(self, body: dict):
             prompt = body.get("prompt", "")
+            sp = sampling_from_json(body)
+            # server.cpp:743 drops out-of-vocab bias tokens
+            sp.logit_bias = {t: b for t, b in sp.logit_bias.items()
+                             if t < lm.cfg.n_vocab}
             gp = GenerateParams(
                 n_predict=int(body.get("n_predict", 128)),
-                sampling=sampling_from_json(body),
+                sampling=sp,
                 seed=int(body.get("seed", -1)),
             )
             stop = body.get("stop", [])

@@ -596,3 +596,68 @@ def test_engine_hbm_capacity_guard(model):
     eng = BatchEngine(cfg, params, n_slots=16, n_ctx=2048, chunk=2,
                       cache_dtype=jnp.int8, hbm_limit_bytes=limit)
     assert eng.n_ctx == 2048  # constructed fine; never started
+
+
+def test_server_parallel_mirostat_and_bias(model, tmp_path_factory):
+    """HTTP -> engine wiring for the per-request device sampler: a
+    mirostat-v2 request and a logit_bias request served from the same
+    chunked per-request-sampling engine (no host-tick downgrade)."""
+    from http.server import ThreadingHTTPServer
+
+    from llama_cpp_q_4_0_tpu.cli.common import load_model
+    from llama_cpp_q_4_0_tpu.cli.server import ServerState, make_handler
+    from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
+
+    path = str(tmp_path_factory.mktemp("besrv2") / "m.bin")
+    make_llama_ggjt(path, n_vocab=256, n_embd=64, n_head=4, n_layer=2)
+
+    class A:
+        model, arch, n_ctx, n_batch = path, None, 64, 64
+        lora = lora_base = None
+        memory_f32 = False
+
+    lm = load_model(A())
+    eng = BatchEngine(lm.cfg, lm.ctx.params, n_slots=2, n_ctx=64, chunk=3,
+                      per_request_sampling=True,
+                      device_sampling=DeviceSampling(temp=-1.0))
+    eng.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(ServerState(lm, eng)))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def post(body):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request("POST", "/completion", json.dumps(body),
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            return r.status, json.loads(r.read())
+
+        st, body = post({"prompt": "hello", "n_predict": 6, "seed": 3,
+                         "temperature": 0.9, "mirostat": 2,
+                         "mirostat_tau": 4.0, "mirostat_eta": 0.2})
+        assert st == 200 and body["tokens_predicted"] >= 1
+        assert eng.stats()["mode"] == "chunked"
+
+        # ban (reference [tok, false] form) the greedy output's pieces:
+        # the greedy stream must change.  Retokenizing text can differ
+        # from the generated ids (merges), so grow the ban set until the
+        # output moves.
+        st, plain = post({"prompt": "hello", "n_predict": 6,
+                          "temperature": -1.0})
+        assert st == 200 and plain["content"]
+        ban_ids, content = set(), plain["content"]
+        for _ in range(4):
+            ban_ids |= set(lm.tokenizer.tokenize(content, bos=False))
+            st, banned = post({"prompt": "hello", "n_predict": 6,
+                               "temperature": -1.0,
+                               "logit_bias": [[int(t), False]
+                                              for t in ban_ids]})
+            assert st == 200
+            content = banned["content"]
+            if content != plain["content"]:
+                break
+        assert banned["content"] != plain["content"]
+    finally:
+        httpd.shutdown()
+        eng.stop()
