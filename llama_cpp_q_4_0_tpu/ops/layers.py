@@ -285,8 +285,13 @@ def attention(
     kf = kd.astype(jnp.float32)
     vf = vd.astype(jnp.float32)
     if rep == 1:
-        # [B, H, T, S]
-        scores = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+        # [B, H, T, S].  HIGHEST: at t == 1 this lowers to exact vector
+        # ops, but t > 1 (speculative verify) becomes a single-pass bf16
+        # MXU matmul on v5e (measured 2.5e-3 drift, r3 gate) — ggml
+        # computes attention in f32 always (llama.cpp:1396-1445), so pin
+        # it; attention einsums are ~0.25% of decode FLOPs
+        scores = jnp.einsum("bthd,bshd->bhts", qf, kf,
+                            precision=jax.lax.Precision.HIGHEST) * scale
         if ks is not None:
             scores = scores * ks.transpose(0, 2, 1)[:, :, None, :]
         kv_pos = jnp.arange(s)[None, None, None, :]  # slot index = position
@@ -300,14 +305,20 @@ def attention(
             probs = jnp.where(valid, probs, 0.0)
         if vs is not None:
             probs = probs * vs.transpose(0, 2, 1)[:, :, None, :]
-        return jnp.einsum("bhts,bshd->bthd", probs, vf)
+        return jnp.einsum("bhts,bshd->bthd", probs, vf,
+                          precision=jax.lax.Precision.HIGHEST)
 
     # MQA/GQA: group the query heads by kv head and contract against the
     # SINGLE stored K/V head — broadcast happens inside the einsum, the
     # [B,S,n_head,D] repeat the reference materializes (falcon.cpp:1225-1227
     # "cheap hack", ggml_repeat) never exists here
     qg = qf.reshape(b, t, n_kv, rep, hd)
-    scores = jnp.einsum("btgrd,bsgd->bgrts", qg, kf) * scale  # [B,G,R,T,S]
+    # HIGHEST: XLA's excess-precision upgrade covers the rep == 1 einsums
+    # but NOT this batched-gemm form — at default precision it lowers to a
+    # single bf16 MXU pass on v5e (measured 2.6e-3 score drift, r3 gate),
+    # silently degrading every GQA/MQA (falcon) forward.  Pin f32.
+    scores = jnp.einsum("btgrd,bsgd->bgrts", qg, kf,
+                        precision=jax.lax.Precision.HIGHEST) * scale
     if ks is not None:
         scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :]
     kv_pos = jnp.arange(s)[None, None, None, None, :]
@@ -321,5 +332,6 @@ def attention(
         probs = jnp.where(valid, probs, 0.0)
     if vs is not None:
         probs = probs * vs.transpose(0, 2, 1)[:, :, None, None, :]
-    out = jnp.einsum("bgrts,bsgd->btgrd", probs, vf)
+    out = jnp.einsum("bgrts,bsgd->btgrd", probs, vf,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(b, t, n_head, hd)

@@ -67,31 +67,44 @@ def _mha_decode_kernel(
 
     kf = kd_ref[0].astype(jnp.float32)  # [BS, G, D]
     vf = vd_ref[0].astype(jnp.float32)
-    maskv = mask_ref[0] > 0  # [BS, 1]
+    ks = ks_ref[0] if has_ks else None  # [BS, G]
+    vs = vs_ref[0] if has_vs else None
+    if rep > 1:
+        # MQA/GQA: expand the G stored heads to the H query heads ONCE per
+        # grid step, in registers ([BS, 1, D] sublane-axis concats — never
+        # in HBM), then run the identical rep == 1 vector path below.  The
+        # reference materializes the repeat through ggml_repeat instead
+        # (falcon.cpp:1194-1227 "cheap hack").  Per-head unrolled reduces
+        # (the first attempt) blew Mosaic's 16 MiB vector stack at t=16,
+        # and grouped MXU dots lower to a single bf16 pass (1.4e-3 drift,
+        # ignores precision=HIGHEST) — this keeps VPU-f32 exactness at
+        # bounded program size.
+        kf = jnp.concatenate(
+            [kf[:, g : g + 1] for g in range(g_heads) for _ in range(rep)],
+            axis=1)  # [BS, H, D]
+        vf = jnp.concatenate(
+            [vf[:, g : g + 1] for g in range(g_heads) for _ in range(rep)],
+            axis=1)
+        if has_ks:
+            ks = jnp.concatenate(
+                [ks[:, g : g + 1] for g in range(g_heads)
+                 for _ in range(rep)], axis=1)  # [BS, H]
+        if has_vs:
+            vs = jnp.concatenate(
+                [vs[:, g : g + 1] for g in range(g_heads)
+                 for _ in range(rep)], axis=1)
+    # int32 compare: v5e Mosaic rejects 8-bit vector comparisons ("Target
+    # does not support this comparison"), like its int8 arith.subi gap —
+    # widen in registers, the HBM stream stays int8
+    maskv = mask_ref[0].astype(jnp.int32) > 0  # [BS, 1]
     slot = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0) + j * bs
 
     for ti in range(t):
         valid = maskv & (slot <= qpos_ref[i, ti])  # [BS, 1]
-        if rep == 1:
-            # per-head dot: H in sublanes-of-scores, lane reduction over D
-            s = jnp.sum(q_ref[0, ti][None] * kf, axis=-1) * scale  # [BS, H]
-            if has_ks:
-                s = s * ks_ref[0]
-        else:
-            # MQA/GQA: the rep query heads of a group share one stored KV
-            # head, so scores are a real [BS, D] x [D, R] MXU matmul per
-            # group — the grouped-einsum analogue of ops.layers.attention's
-            # rep>1 branch; K/V stream at G-head width, no q-head repeat
-            parts = []
-            for g in range(g_heads):
-                qg = q_ref[0, ti, g * rep : (g + 1) * rep, :]  # [R, D]
-                sg = jax.lax.dot_general(
-                    kf[:, g, :], qg, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [BS, R]
-                if has_ks:
-                    sg = sg * ks_ref[0][:, g : g + 1]
-                parts.append(sg)
-            s = (jnp.concatenate(parts, axis=1) if g_heads > 1 else parts[0]) * scale
+        # per-head dot: H in sublanes-of-scores, lane reduction over D
+        s = jnp.sum(q_ref[0, ti][None] * kf, axis=-1) * scale  # [BS, H]
+        if has_ks:
+            s = s * ks
         s = jnp.where(valid, s, NEG)
         m_prev = m_ref[ti : ti + 1]  # [1, H]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
@@ -102,23 +115,11 @@ def _mha_decode_kernel(
             p, axis=0, keepdims=True
         )
         m_ref[ti : ti + 1] = m_new
-        if rep == 1:
-            if has_vs:
-                p = p * vs_ref[0]
-            # [BS, H] -> [BS, H, 1]: the one lane->sublane relayout (see
-            # module docstring); contraction over BS is a cheap major reduce
-            pv = jnp.sum(p[:, :, None] * vf, axis=0)  # [H, D]
-        else:
-            pv_parts = []
-            for g in range(g_heads):
-                pg = p[:, g * rep : (g + 1) * rep]  # [BS, R]
-                if has_vs:
-                    pg = pg * vs_ref[0][:, g : g + 1]
-                pv_parts.append(jax.lax.dot_general(
-                    pg, vf[:, g, :], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # [R, D]
-            pv = (jnp.concatenate(pv_parts, axis=0)
-                  if g_heads > 1 else pv_parts[0])  # [H, D]
+        if has_vs:
+            p = p * vs
+        # [BS, H] -> [BS, H, 1]: the one lane->sublane relayout (see
+        # module docstring); contraction over BS is a cheap major reduce
+        pv = jnp.sum(p[:, :, None] * vf, axis=0)  # [H, D]
         acc_ref[ti] = acc_ref[ti] * jnp.swapaxes(corr, 0, 1) + pv
 
     @pl.when(j == n_s - 1)
@@ -151,8 +152,8 @@ def mha_decode(
     position (cache slot index == position), kv_mask gating, K scale folded
     into scores and V scale into probabilities (exact — scale multiplies
     are associative over the softmax-weighted sum).  MQA/GQA (n_kv < n_head)
-    contracts the grouped query heads against the single stored KV head on
-    the MXU — the reference materializes the repeat instead
+    reduces each query head against its group's single stored KV head in
+    registers — the reference materializes the repeat instead
     (falcon.cpp:1194-1227 "cheap hack", ggml_repeat)."""
     b, t, h, d = q.shape
     s, g = kd.shape[1], kd.shape[2]
