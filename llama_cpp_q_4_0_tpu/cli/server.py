@@ -504,14 +504,22 @@ def run(args) -> int:
         print(f"continuous batching (rwkv): {args.parallel} slots",
               file=sys.stderr)
     elif getattr(args, "parallel", 1) > 1:
+        import jax.numpy as jnp
+
         from ..runtime.batch_engine import BatchEngine
 
-        kw = {}
+        # honor --cache-type for the serving cache; default "auto" picks
+        # bf16 when slots x ctx fits HBM, scaled-int8 when only that does
+        cache_map = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+                     "f16": jnp.float16, "f8": jnp.float8_e4m3fn,
+                     "q8": jnp.int8}
+        kw = {"cache_dtype": cache_map.get(
+            getattr(args, "cache_type", None) or "", "auto")}
         if (getattr(args, "parallel_chunk", 1) > 1
                 or getattr(args, "parallel_draft", 0) > 0):
             from ..runtime.device_sample import DeviceSampling
 
-            kw = dict(chunk=args.parallel_chunk,
+            kw.update(chunk=args.parallel_chunk,
                       spec_draft=getattr(args, "parallel_draft", 0),
                       per_request_sampling=not getattr(
                           args, "parallel_uniform_sampling", False),
@@ -525,7 +533,8 @@ def run(args) -> int:
                 lm.tokenizer.tokenize(args.system_prompt, bos=True))
         engine.start()
         print(f"continuous batching: {args.parallel} slots"
-              + (f", chunk {args.parallel_chunk}" if kw else ""),
+              + (f", chunk {args.parallel_chunk}"
+                 if getattr(args, "parallel_chunk", 1) > 1 else ""),
               file=sys.stderr)
     import os
 

@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import functools
 import itertools
+import os
 import queue
+import sys
 import threading
 from dataclasses import dataclass, field
 
@@ -104,6 +106,9 @@ def estimate_engine_hbm(params, cfg, n_slots: int, n_ctx: int,
         kv += 2 * per * 4  # QuantKV per-token-head f32 scales
     return weights, kv
 
+
+# ENGINE_TRACE=1: per-tick issue/harvest timing on stdout (perf diagnosis)
+_TRACE = os.environ.get("ENGINE_TRACE") == "1"
 
 # fraction of HBM the engine may plan to (the rest covers activations,
 # prefill gather temps — measured ~20x256MB on a 16x2048 bf16 prefill_multi
@@ -241,7 +246,7 @@ class BatchEngine:
 
     def __init__(self, cfg: ModelConfig, params: TransformerParams, *,
                  n_slots: int = 4, n_ctx: int | None = None,
-                 cache_dtype=jnp.bfloat16, chunk: int = 1,
+                 cache_dtype="auto", chunk: int = 1,
                  device_sampling=None, pipeline_depth: int = 2,
                  spec_draft: int = 0, spec_max_active: int = 8,
                  per_request_sampling: bool = False,
@@ -333,6 +338,23 @@ class BatchEngine:
                         limit = stats.get("bytes_limit")
                 except Exception:  # pragma: no cover - stats unavailable
                     limit = None
+            if cache_dtype == "auto":
+                # bf16 when it fits the plan budget, scaled-int8 when only
+                # that does (e.g. the 7B 16x2048 flagship: 17.2 GiB bf16 KV
+                # vs 15.75 GiB v5e HBM, but 4.3 GiB as q8) — an explicit
+                # dtype instead gets the hard refusal below
+                cache_dtype = jnp.bfloat16
+                if limit:
+                    weights, kv = estimate_engine_hbm(
+                        params, cfg, n_slots, self.n_ctx, jnp.bfloat16)
+                    if weights + kv > int(limit * _HBM_PLAN_FRACTION):
+                        cache_dtype = jnp.int8
+                        print(
+                            f"engine: bf16 KV ({kv / 2**30:.2f} GiB for "
+                            f"{n_slots} slots x {self.n_ctx} ctx) exceeds "
+                            f"the HBM plan budget — auto-selecting the "
+                            f"scaled-int8 cache (pass cache_dtype= or "
+                            f"--cache-type to override)", file=sys.stderr)
             if limit:
                 weights, kv = estimate_engine_hbm(
                     params, cfg, n_slots, self.n_ctx, cache_dtype)
@@ -348,6 +370,9 @@ class BatchEngine:
                         f"{limit / 2**30:.2f} GiB). Use cache_dtype=jnp.int8 "
                         f"(--cache-type q8), fewer slots, or a smaller "
                         f"n_ctx.")
+        if cache_dtype == "auto":
+            cache_dtype = jnp.bfloat16  # mesh-sharded: capacity scales
+        self.cache_dtype = jnp.dtype(cache_dtype)
         self.cache_k, self.cache_v = init_cache(cfg, n_slots, self.n_ctx,
                                                 cache_dtype)
         if tp_mesh is not None or mesh is not None:
@@ -461,6 +486,7 @@ class BatchEngine:
         return {
             "n_active": self.n_active,
             "n_pending": len(self._pending),
+            "cache_dtype": self.cache_dtype.name,
             "n_ticks": self.n_ticks,
             "n_tokens_out": self.n_tokens_out,
             "n_requests_done": self.n_requests_done,
@@ -756,6 +782,12 @@ class BatchEngine:
         self._inflight.append({"out": out, "snap": snap})
         for i, _ in snap:
             self._sched_n_past[i] += self.chunk
+        if _TRACE:
+            import time as _t
+
+            print(f"ENGINE_TRACE issue tick={self.n_ticks} "
+                  f"window={window} active={len(snap)} "
+                  f"t={_t.perf_counter():.3f}", flush=True)
 
     def _harvest_one(self):
         """Block on the oldest in-flight tick and emit its tokens.  Slots
@@ -765,7 +797,14 @@ class BatchEngine:
         if t.get("kind") == "spec":
             self._harvest_spec(t)
             return
+        if _TRACE:
+            import time as _t
+
+            _h0 = _t.perf_counter()
         out = np.asarray(t["out"])  # [N, chunk] — the only sync point
+        if _TRACE:
+            print(f"ENGINE_TRACE harvest sync={_t.perf_counter() - _h0:.3f}s "
+                  f"t={_t.perf_counter():.3f}", flush=True)
         for idx, req in t["snap"]:
             s = self.slots[idx]
             if s.req is not req or req is None:

@@ -590,12 +590,26 @@ def test_engine_hbm_capacity_guard(model):
     assert kv_q8 < 0.65 * kv_bf16
     # a limit that admits the q8 plan but not the bf16 one
     limit = int((weights + (kv_q8 + kv_bf16) / 2) / 0.85)
+    # an EXPLICIT bf16 choice refuses loudly
     with _pytest.raises(ValueError, match="does not fit HBM"):
         BatchEngine(cfg, params, n_slots=16, n_ctx=2048, chunk=2,
-                    hbm_limit_bytes=limit)
+                    cache_dtype=jnp.bfloat16, hbm_limit_bytes=limit)
     eng = BatchEngine(cfg, params, n_slots=16, n_ctx=2048, chunk=2,
                       cache_dtype=jnp.int8, hbm_limit_bytes=limit)
     assert eng.n_ctx == 2048  # constructed fine; never started
+    # the default ("auto") picks bf16 when it fits, int8 when only it does
+    eng = BatchEngine(cfg, params, n_slots=16, n_ctx=2048, chunk=2,
+                      hbm_limit_bytes=limit)
+    assert eng.stats()["cache_dtype"] == "int8"
+    assert eng.cache_k[0].data.dtype == jnp.int8  # QuantKV layout
+    roomy = int((weights + 2 * kv_bf16) / 0.85)
+    eng = BatchEngine(cfg, params, n_slots=16, n_ctx=2048, chunk=2,
+                      hbm_limit_bytes=roomy)
+    assert eng.stats()["cache_dtype"] == "bfloat16"
+    # nothing past the plan budget even as q8 still refuses
+    with _pytest.raises(ValueError, match="does not fit HBM"):
+        BatchEngine(cfg, params, n_slots=16, n_ctx=2048, chunk=2,
+                    hbm_limit_bytes=int(weights * 0.9))
 
 
 def test_server_parallel_mirostat_and_bias(model, tmp_path_factory):
