@@ -135,7 +135,7 @@ def bench_prefill(cfg, params, t: int = 512, iters: int = 4) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _probe_device(timeout_s: int = 240) -> bool:
+def _probe_device(timeout_s: int = 560) -> bool:
     """Touch the device in a SUBPROCESS first: on this platform a wedged
     axon tunnel hangs backend init indefinitely (NOTES-NEXT-ROUND.md), and
     the parent process can only stay responsive if it has not touched the

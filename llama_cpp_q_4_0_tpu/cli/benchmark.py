@@ -62,7 +62,9 @@ def run_stream(args) -> int:
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        out_ref[:] += x_ref[:8, :128].astype(jnp.float32)
+        # widen via int32: Mosaic has no direct uint8 -> f32 vector cast
+        # (same 8-bit gap family as int8 compare/subtract on v5e)
+        out_ref[:] += x_ref[:8, :128].astype(jnp.int32).astype(jnp.float32)
 
     fn = pl.pallas_call(
         functools.partial(kernel, n_k=n_k),

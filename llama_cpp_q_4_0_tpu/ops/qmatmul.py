@@ -208,6 +208,18 @@ def q_matmul(
                 block_k = max(bk for bk in (2048, 1024, 512, 256)
                               if k2p % bk == 0 and bk % w.gsize == 0
                               and (bk // w.gsize) % 8 == 0)
+            # scoped-VMEM guard: with n_k > 1 the [b, bk] f32 lo+hi x tiles
+            # are double-buffered (4 tiles of 4*b*bk bytes live at once) —
+            # at prefill batch sizes that can overflow the 16 MiB scoped
+            # vmem budget (measured: RWKV b=256, k2p=4096, bk=2048 ->
+            # 16.81M > 16M compile OOM, 2026-08-19 queue).  Halve bk until
+            # the x tiles fit; n_k == 1 tiles are not pipelined, skip.
+            while (not bk_env and k2p // block_k > 1
+                   and 16 * b * block_k > 8 * 2**20 and block_k > 256):
+                nxt = block_k // 2
+                if (k2p % nxt or nxt % w.gsize or (nxt // w.gsize) % 8):
+                    break
+                block_k = nxt
             q8x = os.environ.get("QMM_Q8X")
             if q8x and w.gbias_t is None and b <= 128:
                 # int8-activation MXU path (reference q8_0-activation

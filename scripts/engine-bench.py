@@ -53,8 +53,12 @@ def main():
 
     eng.start()
     try:
-        # warmup round compiles every tick shape (prefill buckets + chunk)
-        warm = [eng.submit(Request(p, n_predict=4, sampling=greedy))
+        # warmup round compiles every tick shape the measured run will hit:
+        # same N_PREDICT so every kv_window bucket (32/64/128/...) the
+        # decode crosses is compiled BEFORE the clock starts (a single
+        # mid-measurement on-chip compile costs ~10 s through the tunnel
+        # and dominated the 2026-08-19 queue numbers)
+        warm = [eng.submit(Request(p, n_predict=N_PREDICT, sampling=greedy))
                 for p in prompts]
         for r in warm:
             list(r.tokens())

@@ -14,9 +14,12 @@ LOG=${LOG:-hw-validate.log}
 probe() {
   # generous timeout + settle time: the tunnel needs ~30-60 s to drain
   # after a heavy step, and KILLING a probe mid-backend-init re-wedges it
-  # (that ended the 2026-08-19 00:43 queue after a mere test failure)
+  # (that ended the 2026-08-19 00:43 queue after a mere test failure).
+  # 560 s, not 300: a recovering tunnel answers backend init in ~280 s
+  # (measured 12:14 2026-08-19) — a 300 s timeout kills it mid-init and
+  # re-wedges (measured 12:20 the same day: killed probe -> wedge)
   sleep 60
-  timeout 300 python -c "
+  timeout 560 python -c "
 import jax, numpy as np, jax.numpy as jnp
 print('probe ok', float(np.asarray(jnp.ones((8,128)) @ jnp.ones((128,8)))[0,0]))"
 }
@@ -41,8 +44,8 @@ echo "tunnel alive — starting queue $(date +%T)" | tee -a "$LOG"
 # Round-3 queue (2026-08-19).  Ordering rationale: cheap/known-good first,
 # the OOM-risky 16x2048 engine runs LAST so a wedge can't starve the rest.
 # smoke re-added per ADVICE.md (kernel fixes landed after it last passed).
-run bench          700  python bench.py
-run smoke          700  python scripts/tpu-smoke.py
+run bench          900  python bench.py
+run smoke          900  python scripts/tpu-smoke.py
 run tpu-gate       2400 env LLAMA_TPU_TESTS=1 python -m pytest tests/test_tpu_gate.py -q
 # flash prefill is DEFAULT now; this step quantifies it by opting out
 run noflash-bench  700  env FLASH_PREFILL=0 python bench.py

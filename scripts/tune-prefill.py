@@ -1,0 +1,51 @@
+"""Prefill-512 block/flag sweep on the real chip (VERDICT r2 #6: get the
+512-token 7B prefill from ~59.5 ms toward the <=48 ms / 70% MFU target).
+
+Each variant runs in a FRESH subprocess (env flags are read at trace time;
+the persistent XLA cache in .jax_cache makes repeat visits cheap).  Strictly
+sequential — one python process at a time on this tunnel.
+
+Variants: qmm tile shapes (QMM_BLOCK_N/K), zero-fold unpack, flash on/off,
+and their best combination.  Prints one RESULT line per variant.
+"""
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+
+BODY = r'''
+import os, time, functools, numpy as np, jax, jax.numpy as jnp
+import bench
+from llama_cpp_q_4_0_tpu.models import transformer
+
+cfg, params = bench.build_llama()
+ms = bench.bench_prefill(cfg, params, t=512, iters=4)
+tag = " ".join(f"{k}={os.environ[k]}" for k in
+               ("QMM_BLOCK_N", "QMM_BLOCK_K", "QMM_ZERO_FOLD",
+                "FLASH_PREFILL") if os.environ.get(k)) or "default"
+print(f"RESULT prefill512 [{tag}]: {ms:.1f} ms  "
+      f"({512 / ms * 1e3:.0f} tok/s, "
+      f"{100 * 2 * 6.74e9 * 512 / (ms * 1e-3) / 197e12:.0f}% MFU)",
+      flush=True)
+'''
+
+VARIANTS = [
+    {},                                             # current default
+    {"QMM_ZERO_FOLD": "1"},
+    {"QMM_BLOCK_N": "512"},
+    {"QMM_BLOCK_N": "1024"},
+    {"QMM_BLOCK_K": "1024"},
+    {"QMM_BLOCK_K": "4096"},
+    {"QMM_BLOCK_N": "512", "QMM_BLOCK_K": "1024"},
+    {"QMM_ZERO_FOLD": "1", "QMM_BLOCK_N": "512"},
+    {"FLASH_PREFILL": "0"},                         # flash opt-out control
+]
+
+for env in VARIANTS:
+    r = subprocess.run([sys.executable, "-c", BODY],
+                       env=dict(os.environ, **env), cwd=ROOT, timeout=700)
+    if r.returncode != 0:
+        print(f"VARIANT FAILED rc={r.returncode} env={env}", flush=True)
+print("PREFILL TUNE DONE", flush=True)
