@@ -34,25 +34,30 @@ def build_parser(p: argparse.ArgumentParser | None = None):
                         "against (BASELINE.md north star)")
     p.add_argument("--stream-gib", type=float, default=2.0)
     p.add_argument("--stream-tile-mib", type=int, default=4)
+    p.add_argument("--stream-sweep", action="store_true",
+                   help="sweep stream tile sizes (4..256 MiB) and report "
+                        "the best GB/s — the practical roofline number")
     return p
 
 
-def run_stream(args) -> int:
-    """Measure the achievable HBM read bandwidth with a minimal Pallas
-    kernel: grid-steps DMA fixed tiles of a large uint8 array into VMEM and
-    touch 8 sublanes (the DMA moves the whole block regardless).  Decode is
-    weight-stream-bound, so this number — not the 819 GB/s chip spec — is
-    the denominator for 'percent of roofline'."""
+def _stream_once(gib: float, tile_mib: int, iterations: int) -> float:
+    """One HBM read-stream measurement at a given tile size -> GB/s.
+
+    The array is passed as a JIT ARGUMENT (device-resident buffer), never
+    closed over: the round-3 version baked the 2 GB array into the
+    executable as an MLIR constant ("2.15GB of constants captured during
+    lowering"), so the run timed constant re-materialization (172 GB/s),
+    not HBM streaming — a physically impossible ceiling given decode
+    itself sustains ~415 GB/s."""
     import functools
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     lanes = 65536
-    tile_rows = args.stream_tile_mib * (1 << 20) // lanes
-    rows = int(args.stream_gib * (1 << 30)) // lanes
+    tile_rows = max(8, tile_mib * (1 << 20) // lanes)
+    rows = int(gib * (1 << 30)) // lanes
     rows -= rows % tile_rows
-    data = jnp.ones((rows, lanes), jnp.uint8)
     n_k = rows // tile_rows
 
     def kernel(x_ref, out_ref, *, n_k):
@@ -79,10 +84,33 @@ def run_stream(args) -> int:
             flops=0, bytes_accessed=rows * lanes, transcendentals=0
         ),
     )
-    t = _time(jax.jit(lambda: fn(data)).lower().compile(), args.iterations)
-    gb = rows * lanes / 1e9
-    print(f"HBM read-stream: {gb:.2f} GB in {t * 1e3:.2f} ms = "
-          f"{gb / t:.1f} GB/s  (tile {args.stream_tile_mib} MiB)")
+    data = jax.device_put(np.ones((rows, lanes), np.uint8))
+    jfn = jax.jit(fn)
+    t = _time(lambda: jfn(data), iterations)
+    return rows * lanes / 1e9 / t
+
+
+def run_stream(args) -> int:
+    """Measure the achievable HBM read bandwidth with a minimal Pallas
+    kernel: grid-steps DMA fixed tiles of a large uint8 array into VMEM and
+    touch 8 sublanes (the DMA moves the whole block regardless).  Decode is
+    weight-stream-bound, so this number — not the 819 GB/s chip spec — is
+    the denominator for 'percent of roofline'."""
+    if args.stream_sweep:
+        best = (0.0, 0)
+        for tile_mib in (4, 8, 16, 32, 64, 128, 256):
+            gbs = _stream_once(args.stream_gib, tile_mib, args.iterations)
+            print(f"HBM read-stream: tile {tile_mib:4d} MiB -> "
+                  f"{gbs:.1f} GB/s", flush=True)
+            if gbs > best[0]:
+                best = (gbs, tile_mib)
+        print(f"HBM read-stream BEST: {best[0]:.1f} GB/s "
+              f"(tile {best[1]} MiB) over {args.stream_gib:.1f} GiB")
+        return 0
+    gbs = _stream_once(args.stream_gib, args.stream_tile_mib,
+                       args.iterations)
+    print(f"HBM read-stream: {args.stream_gib:.2f} GiB at "
+          f"{gbs:.1f} GB/s  (tile {args.stream_tile_mib} MiB)")
     return 0
 
 

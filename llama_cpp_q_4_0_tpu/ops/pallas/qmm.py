@@ -106,11 +106,16 @@ def _qmm_bias_kernel(
 
 def _qmm_packed_kernel(
     xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, out_ref, acc_ref,
-    *, n_k: int, gsize: int, zero: int,
+    *, n_k: int, gsize: int, zero: int, fuse_panels: bool = False,
 ):
     """Split-half 4-bit tile: low nibbles are the k-panel at this grid step,
     high nibbles the panel K/2 later; each gets its own x slice and scale
-    tile, so unpacking is two masks — no shuffles (see ops/qtensor.py)."""
+    tile, so unpacking is two masks — no shuffles (see ops/qtensor.py).
+
+    fuse_panels concatenates the lo/hi panels along the contraction axis
+    and issues ONE [b, 2bk] x [2bk, bn] dot instead of two — halves MXU
+    issue count for small-batch shapes where per-pass overhead, not FLOPs,
+    dominates (T=8 verify investigation, VERDICT r3 #4)."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -126,11 +131,18 @@ def _qmm_packed_kernel(
     hi = hi.astype(jnp.float32).reshape(bk // gsize, gsize, bn)
     wlo = (lo * _scales_f32(slo_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
     whi = (hi * _scales_f32(shi_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
-    acc = jnp.dot(xlo_ref[:].astype(jnp.bfloat16), wlo,
-                  preferred_element_type=jnp.float32)
-    acc += jnp.dot(xhi_ref[:].astype(jnp.bfloat16), whi,
-                   preferred_element_type=jnp.float32)
-    acc_ref[:] += acc
+    if fuse_panels:
+        x = jnp.concatenate(
+            [xlo_ref[:].astype(jnp.bfloat16), xhi_ref[:].astype(jnp.bfloat16)],
+            axis=1)
+        w = jnp.concatenate([wlo, whi], axis=0)
+        acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.dot(xlo_ref[:].astype(jnp.bfloat16), wlo,
+                      preferred_element_type=jnp.float32)
+        acc += jnp.dot(xhi_ref[:].astype(jnp.bfloat16), whi,
+                       preferred_element_type=jnp.float32)
+        acc_ref[:] += acc
 
     @pl.when(k == n_k - 1)
     def _():
@@ -333,7 +345,8 @@ def qmm_packed_q8x(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gsize", "zero", "block_n", "block_k", "interpret"),
+    static_argnames=("gsize", "zero", "block_n", "block_k", "fuse_panels",
+                     "interpret"),
 )
 def qmm_packed(
     x: jax.Array,
@@ -345,6 +358,7 @@ def qmm_packed(
     zero: int = 8,
     block_n: int = 256,
     block_k: int = 2048,
+    fuse_panels: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """x [B, K] @ dequant(split-half packed nibbles) -> [B, N] f32.
@@ -377,7 +391,8 @@ def qmm_packed(
         pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (1, kk, i)),
     ]
     args = [x_lo, x_hi, packed_t, gscale_t, gscale_t]
-    kern = functools.partial(_qmm_packed_kernel, n_k=n_k, gsize=gsize, zero=zero)
+    kern = functools.partial(_qmm_packed_kernel, n_k=n_k, gsize=gsize,
+                             zero=zero, fuse_panels=fuse_panels)
     if gbias_t is not None:
         xg_lo = x_lo.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
         xg_hi = x_hi.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)

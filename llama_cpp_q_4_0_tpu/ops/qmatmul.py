@@ -208,14 +208,31 @@ def q_matmul(
                 block_k = max(bk for bk in (2048, 1024, 512, 256)
                               if k2p % bk == 0 and bk % w.gsize == 0
                               and (bk // w.gsize) % 8 == 0)
-            # scoped-VMEM guard: with n_k > 1 the [b, bk] f32 lo+hi x tiles
-            # are double-buffered (4 tiles of 4*b*bk bytes live at once) —
-            # at prefill batch sizes that can overflow the 16 MiB scoped
-            # vmem budget (measured: RWKV b=256, k2p=4096, bk=2048 ->
-            # 16.81M > 16M compile OOM, 2026-08-19 queue).  Halve bk until
-            # the x tiles fit; n_k == 1 tiles are not pipelined, skip.
+            # scoped-VMEM guard: model the kernel's live VMEM for a block
+            # choice and halve bk until it fits Mosaic's scoped budget
+            # (default 16 MiB; overridable via the same
+            # --xla_tpu_scoped_vmem_limit_kib flag Mosaic reads).  Live at
+            # once with n_k > 1 (pipelined grid => input blocks are
+            # DOUBLE-buffered):
+            #   2 x f32 [b, bk] lo+hi x tiles          -> 2 * 2 * 4*b*bk
+            #   1 x u8  [bk, bn] packed tile           -> 2 * bk*bn
+            #   2 x scale tiles [bk/gsize, bn]         -> 2 * 2 * sb
+            #   wlo/whi bf16 dequant temporaries       -> 2 * 2*bk*bn
+            #   acc scratch + out block f32 [b, bn]    -> 2 * 4*b*bn
+            # (measured anchor: RWKV b=256, k2p=4096, bk=2048, bn=512
+            # -> Mosaic "scoped vmem 16.81M > 16M" compile OOM, 2026-08-19
+            # queue; this model gives 16.25M for that config and correctly
+            # rejects it.)  n_k == 1 tiles are not pipelined; skip.
+            def _vmem_model(bk, bn):
+                sb = (bk // w.gsize) * bn * w.gscale_t.dtype.itemsize
+                return (16 * b * bk + 2 * bk * bn + 4 * sb
+                        + 4 * bk * bn + 8 * b * bn)
+
+            vmem_limit = 1024 * int(os.environ.get(
+                "QMM_SCOPED_VMEM_KIB", "16384"))
             while (not bk_env and k2p // block_k > 1
-                   and 16 * b * block_k > 8 * 2**20 and block_k > 256):
+                   and _vmem_model(block_k, block_n) > vmem_limit
+                   and block_k > 256):
                 nxt = block_k // 2
                 if (k2p % nxt or nxt % w.gsize or (nxt // w.gsize) % 8):
                     break
@@ -235,6 +252,10 @@ def q_matmul(
                     x2, w.levels_t, w.gscale_t, w.gbias_t,
                     gsize=w.gsize, zero=w.pack_zero,
                     block_n=block_n, block_k=block_k,
+                    # experimental: one concatenated lo|hi dot per grid
+                    # step instead of two (small-batch MXU issue overhead)
+                    fuse_panels=bool(os.environ.get("QMM_FUSE_PANELS"))
+                    and w.gbias_t is None,
                 )
         else:
             block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256

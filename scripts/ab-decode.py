@@ -1,0 +1,93 @@
+"""Single-process A/B: zero-fold unpack vs default, interleaved repeats.
+
+Round 3 left a 3.5x contradiction between two instruments measuring the
+SAME flag: bench.py said QMM_ZERO_FOLD=1 decodes at 9.321 ms/tok (-5%)
+while tune-q8x's subprocess said T=1 32.58 ms (+185%) fifteen minutes
+later (hw-validate.log:39 vs :47).  Both were single samples in separate
+processes through a noisy tunnel.  This harness removes every confound:
+
+- ONE process, both parameter sets resident (they share levels/scales
+  buffers — fold only adds the gbias planes, ~0.85 GB).
+- Both variants' forwards compiled up front, then timing runs INTERLEAVED
+  (variant A rep 1, variant B rep 1, A rep 2, ...) so tunnel drift hits
+  both equally.
+- Median of N=5 reps of 20 steps each, per (variant, T, kv_window) combo.
+
+Prints one RESULT line per combo; the zero-fold promote/rule-out decision
+(VERDICT r3 #2) cites these medians.
+"""
+import functools
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from llama_cpp_q_4_0_tpu.utils.compile_cache import enable as _enable_cache
+_enable_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from llama_cpp_q_4_0_tpu.models import transformer
+from llama_cpp_q_4_0_tpu.ops.qtensor import fold_zero_points
+
+REPS = int(os.environ.get("REPS", "5"))
+STEPS = int(os.environ.get("STEPS", "20"))
+
+
+def main():
+    assert not os.environ.get("QMM_ZERO_FOLD"), \
+        "run without QMM_ZERO_FOLD — the harness folds explicitly"
+    cfg, params = bench.build_llama()
+    jax.block_until_ready(params)
+    variants = [("plain", params), ("zerofold", fold_zero_points(params))]
+
+    # combos: bench.py-style decode (T=1 w=256), tune-q8x-style (T=1 w=512),
+    # and the speculative-verify shape (T=8 w=512)
+    combos = [(1, 256), (1, 512), (8, 512)]
+
+    @functools.partial(jax.jit,
+                       static_argnames=("t", "w"),
+                       donate_argnames=("ck", "cv"))
+    def step(p, toks, n_past, ck, cv, t, w):
+        return transformer.forward(cfg, p, toks, n_past, ck, cv,
+                                   last_only=True, kv_window=w)
+
+    state = {}
+    for name, p in variants:
+        for t, w in combos:
+            ck, cv = transformer.init_cache(cfg, 1, w)
+            toks = jnp.zeros((1, t), jnp.int32) + 5
+            logits, ck, cv = step(p, toks, jnp.int32(100), ck, cv, t=t, w=w)
+            np.asarray(logits)  # hard sync: compile + warm
+            state[(name, t, w)] = (ck, cv)
+            print(f"compiled {name} T={t} w={w}", flush=True)
+
+    times = {k: [] for k in state}
+    for rep in range(REPS):
+        for name, p in variants:
+            for t, w in combos:
+                ck, cv = state[(name, t, w)]
+                toks = jnp.zeros((1, t), jnp.int32) + 5
+                t0 = time.perf_counter()
+                for _ in range(STEPS):
+                    logits, ck, cv = step(p, toks, jnp.int32(100), ck, cv,
+                                          t=t, w=w)
+                np.asarray(logits)
+                times[(name, t, w)].append(
+                    (time.perf_counter() - t0) / STEPS * 1e3)
+                state[(name, t, w)] = (ck, cv)
+
+    for (name, t, w), ts in sorted(times.items(), key=lambda kv: (kv[0][1:],
+                                                                  kv[0][0])):
+        print(f"RESULT ab {name:9s} T={t} w={w}: median "
+              f"{statistics.median(ts):6.2f} ms  min {min(ts):6.2f}  "
+              f"all {[round(x, 2) for x in ts]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,23 +41,24 @@ run() { # run <name> <timeout_s> <cmd...>
 probe >>"$LOG" 2>&1 || { echo "probe failed — tunnel still wedged" | tee -a "$LOG"; exit 1; }
 echo "tunnel alive — starting queue $(date +%T)" | tee -a "$LOG"
 
-# Round-3 queue (2026-08-19).  Ordering rationale: cheap/known-good first,
-# the OOM-risky 16x2048 engine runs LAST so a wedge can't starve the rest.
-# smoke re-added per ADVICE.md (kernel fixes landed after it last passed).
+# Round-4 measurement queue (2026-08-20).  Ordering rationale (VERDICT r3
+# #1/#8): the flagship 16x2048 engine benches have NEVER completed in two
+# rounds of queues dying before them — they run FIRST, right after one
+# cheap bench sanity-check.  Experimental/risky steps last.
 run bench          900  python bench.py
-run smoke          900  python scripts/tpu-smoke.py
-run tpu-gate       2400 env LLAMA_TPU_TESTS=1 python -m pytest tests/test_tpu_gate.py -q
-# flash prefill is DEFAULT now; this step quantifies it by opting out
-run noflash-bench  700  env FLASH_PREFILL=0 python bench.py
-# zero-fold experiment: mask/shift-only nibble unpack (ops/qtensor.fold_zero)
-run zerofold-bench 700  env QMM_ZERO_FOLD=1 python bench.py
-run tune-q8x       1800 env SKIP_CHECK=1 python scripts/tune-q8x.py
-run hbm-stream     700  python -m llama_cpp_q_4_0_tpu benchmark-matmult --stream
-run rwkv-bench     1200 python scripts/rwkv-bench.py
-run engine-16      1500 python scripts/engine-bench.py
 # q8 KV at 16x2048 = 8.6 GB cache + 4.2 GB weights — fits; bf16 (17.2 GB) does not.
-run engine-16-q8   1500 env CACHE=q8 N_CTX=2048 python scripts/engine-bench.py
-run engine-16-q8-fused 1500 env CACHE=q8 N_CTX=2048 FUSED_ATTN=1 python scripts/engine-bench.py
+run engine-16-q8   2400 env CACHE=q8 N_CTX=2048 python scripts/engine-bench.py
+run engine-16-q8-fused 2400 env CACHE=q8 N_CTX=2048 FUSED_ATTN=1 FUSED_MAX_T=16 python scripts/engine-bench.py
+run engine-16      1500 python scripts/engine-bench.py
+# zero-fold vs default, one process, interleaved medians (VERDICT #2)
+run ab-decode      1200 python scripts/ab-decode.py
+# T=8 cost decomposition + fuse-panels A/B (VERDICT #4)
+run decomp-t8      1800 python scripts/decomp-t8.py
+# fixed instrument: array as jit arg, tile sweep (VERDICT #3)
+run hbm-stream     1200 python -m llama_cpp_q_4_0_tpu benchmark-matmult --stream --stream-sweep
+# VMEM-OOM fix validation: b=256 parallel prefill (VERDICT #5)
+run rwkv-bench     1200 python scripts/rwkv-bench.py
+run tune-prefill   2400 python scripts/tune-prefill.py
 
 echo "=== QUEUE DONE $(date +%T) ===" | tee -a "$LOG"
 grep -E "RESULT|metric|passed|failed|GB/s" "$LOG" | tail -40

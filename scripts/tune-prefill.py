@@ -21,7 +21,8 @@ import bench
 from llama_cpp_q_4_0_tpu.models import transformer
 
 cfg, params = bench.build_llama()
-ms = bench.bench_prefill(cfg, params, t=512, iters=4)
+import statistics
+ms = statistics.median(bench.bench_prefill(cfg, params, t=512, iters=5))
 tag = " ".join(f"{k}={os.environ[k]}" for k in
                ("QMM_BLOCK_N", "QMM_BLOCK_K", "QMM_ZERO_FOLD",
                 "FLASH_PREFILL") if os.environ.get(k)) or "default"
