@@ -45,20 +45,24 @@ echo "tunnel alive — starting queue $(date +%T)" | tee -a "$LOG"
 # #1/#8): the flagship 16x2048 engine benches have NEVER completed in two
 # rounds of queues dying before them — they run FIRST, right after one
 # cheap bench sanity-check.  Experimental/risky steps last.
-run bench          900  python bench.py
+# 2026-08-20: backend init measured at ~410-420 s per process this round
+# (two probes: 421.8 / 411.4 s) — every step pays it once, bench.py twice
+# (its subprocess probe).  Timeouts sized init + work + margin; a timeout
+# kill mid-compile re-wedges the tunnel, so generous beats tight.
+run bench          1800 python bench.py
 # q8 KV at 16x2048 = 8.6 GB cache + 4.2 GB weights — fits; bf16 (17.2 GB) does not.
-run engine-16-q8   2400 env CACHE=q8 N_CTX=2048 python scripts/engine-bench.py
-run engine-16-q8-fused 2400 env CACHE=q8 N_CTX=2048 FUSED_ATTN=1 FUSED_MAX_T=16 python scripts/engine-bench.py
-run engine-16      1500 python scripts/engine-bench.py
+run engine-16-q8   3000 env CACHE=q8 N_CTX=2048 python scripts/engine-bench.py
+run engine-16-q8-fused 3000 env CACHE=q8 N_CTX=2048 FUSED_ATTN=1 FUSED_MAX_T=16 python scripts/engine-bench.py
+run engine-16      2400 python scripts/engine-bench.py
 # zero-fold vs default, one process, interleaved medians (VERDICT #2)
-run ab-decode      1200 python scripts/ab-decode.py
+run ab-decode      1800 python scripts/ab-decode.py
 # T=8 cost decomposition + fuse-panels A/B (VERDICT #4)
-run decomp-t8      1800 python scripts/decomp-t8.py
+run decomp-t8      2700 python scripts/decomp-t8.py
 # fixed instrument: array as jit arg, tile sweep (VERDICT #3)
-run hbm-stream     1200 python -m llama_cpp_q_4_0_tpu benchmark-matmult --stream --stream-sweep
+run hbm-stream     1800 python -m llama_cpp_q_4_0_tpu benchmark-matmult --stream --stream-sweep
 # VMEM-OOM fix validation: b=256 parallel prefill (VERDICT #5)
-run rwkv-bench     1200 python scripts/rwkv-bench.py
-run tune-prefill   2400 python scripts/tune-prefill.py
+run rwkv-bench     1800 python scripts/rwkv-bench.py
+run tune-prefill   3000 python scripts/tune-prefill.py
 
 echo "=== QUEUE DONE $(date +%T) ===" | tee -a "$LOG"
 grep -E "RESULT|metric|passed|failed|GB/s" "$LOG" | tail -40
