@@ -77,10 +77,9 @@ def build_llama(n_layer: int = 32, n_embd: int = 4096, n_head: int = 32,
     from llama_cpp_q_4_0_tpu.models.fuse import fuse_projections
 
     params = fuse_projections(cfg, params)
-    if os.environ.get("QMM_ZERO_FOLD"):
-        from llama_cpp_q_4_0_tpu.ops.qtensor import fold_zero_points
+    from llama_cpp_q_4_0_tpu.ops.qtensor import maybe_fold_zero_points
 
-        params = fold_zero_points(params)
+    params = maybe_fold_zero_points(params)  # default on TPU (r4 promote)
     return cfg, params
 
 

@@ -71,6 +71,12 @@ def _stream_once(gib: float, tile_mib: int, iterations: int) -> float:
         # (same 8-bit gap family as int8 compare/subtract on v5e)
         out_ref[:] += x_ref[:8, :128].astype(jnp.int32).astype(jnp.float32)
 
+    # Mosaic's DEFAULT scoped-vmem budget is 16 MiB: double-buffered input
+    # tiles above 8 MiB blew it on the first sweep ("size 16.00M ... limit
+    # 16.00M exceeded by 4.0K", 2026-08-20) — raise the limit to what the
+    # tile actually needs (v5e VMEM is 128 MiB; cap below it and let
+    # too-big tiles fail loudly in the sweep).
+    vmem_need = 2 * tile_rows * lanes + (1 << 20)
     fn = pl.pallas_call(
         functools.partial(kernel, n_k=n_k),
         grid=(n_k,),
@@ -79,6 +85,7 @@ def _stream_once(gib: float, tile_mib: int, iterations: int) -> float:
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(vmem_need, 120 * (1 << 20)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=0, bytes_accessed=rows * lanes, transcendentals=0
@@ -96,9 +103,19 @@ def run_stream(args) -> int:
     touch 8 sublanes (the DMA moves the whole block regardless).  Decode is
     weight-stream-bound, so this number — not the 819 GB/s chip spec — is
     the denominator for 'percent of roofline'."""
+    import os
+
+    # vmem_limit_bytes only takes effect when the scoped-vmem XLA flag is
+    # raised too (jax pallas/mosaic/core.py docstring); set it before the
+    # first compile of this process.  122880 KiB = the 120 MiB cap below.
+    flag = "--xla_tpu_scoped_vmem_limit_kib=122880"
+    if flag not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
     if args.stream_sweep:
         best = (0.0, 0)
-        for tile_mib in (4, 8, 16, 32, 64, 128, 256):
+        # ≤ 56 MiB keeps double-buffered tiles under the 120 MiB vmem cap
+        for tile_mib in (4, 8, 16, 32, 56):
             gbs = _stream_once(args.stream_gib, tile_mib, args.iterations)
             print(f"HBM read-stream: tile {tile_mib:4d} MiB -> "
                   f"{gbs:.1f} GB/s", flush=True)

@@ -51,12 +51,18 @@ def build_parser(p: argparse.ArgumentParser | None = None):
                    help="small same-vocab model that drafts for --draft "
                         "(default: model-free prompt-lookup drafting)")
     p.add_argument("--color", action="store_true")
+    p.add_argument("--multiline-input", action="store_true",
+                   dest="multiline_input",
+                   help="reverse the `\\` convention: lines continue until "
+                        "a trailing `\\` or `/` (common.cpp:285-286)")
+    p.add_argument("--in-prefix", default="", dest="input_prefix",
+                   help="string prepended to every interactive input "
+                        "(main.cpp:599-602)")
+    p.add_argument("--in-suffix", default="", dest="input_suffix",
+                   help="string appended to every interactive input "
+                        "(main.cpp:618-621)")
     p.add_argument("--verbose-prompt", action="store_true")
     return p
-
-
-ANSI_USER = "\x1b[32m"
-ANSI_RESET = "\x1b[0m"
 
 
 def run(args) -> int:
@@ -140,8 +146,15 @@ def run(args) -> int:
         sys.stdout.buffer.write(tok.token_text(token_id))
         sys.stdout.flush()
 
+    from .console import Color, Console
+
+    console = Console(use_color=args.color and sys.stdout.isatty(),
+                      multiline_input=args.multiline_input)
+
     all_tokens = list(session_tokens) + list(prompt_tokens)
+    console.set_color(Color.PROMPT)  # prompt echo (main.cpp:339)
     print(prompt, end="", flush=True)
+    console.set_color(Color.DEFAULT)
     device_bias = tuple(sorted(gp.sampling.logit_bias.items()))
     if args.draft > 0:
         from ..runtime.device_sample import DeviceSampling
@@ -276,13 +289,21 @@ def run(args) -> int:
                 all_tokens.append(t)
             if not interactive:
                 break
-            print(f"\n{ANSI_USER if args.color else ''}> ", end="", flush=True)
-            line = sys.stdin.readline()
-            if args.color:
-                print(ANSI_RESET, end="")
-            if not line:
+            print("\n> ", end="", flush=True)
+            if args.input_prefix:
+                print(args.input_prefix, end="", flush=True)
+            buffer = console.read_input()
+            if buffer is None:  # EOF / Ctrl-D
                 break
-            text = line.rstrip("\n")
+            # bare Enter (buffer == "\n") passes control back without new
+            # tokens (main.cpp:616); otherwise prefix/suffix wrap the text
+            if len(buffer) <= 1:
+                prompt_tokens = []
+                continue
+            text = args.input_prefix + buffer
+            if args.input_suffix:
+                text += args.input_suffix
+                print(args.input_suffix, end="", flush=True)
             if args.instruct:
                 text = f"### Instruction:\n\n{text}\n\n### Response:\n\n"
             if args.oasst:
@@ -291,7 +312,9 @@ def run(args) -> int:
                 prompt_tokens = tok.tokenize(text)
             all_tokens += prompt_tokens
     except KeyboardInterrupt:
+        console.cleanup()
         print(file=sys.stderr)
+    console.cleanup()
 
     if args.path_prompt_cache:
         # a .ggsn path writes the reference's binary session format —

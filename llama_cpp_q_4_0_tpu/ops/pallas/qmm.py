@@ -107,6 +107,7 @@ def _qmm_bias_kernel(
 def _qmm_packed_kernel(
     xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, out_ref, acc_ref,
     *, n_k: int, gsize: int, zero: int, fuse_panels: bool = False,
+    fma_fold: bool = False,
 ):
     """Split-half 4-bit tile: low nibbles are the k-panel at this grid step,
     high nibbles the panel K/2 later; each gets its own x slice and scale
@@ -115,7 +116,17 @@ def _qmm_packed_kernel(
     fuse_panels concatenates the lo/hi panels along the contraction axis
     and issues ONE [b, 2bk] x [2bk, bn] dot instead of two — halves MXU
     issue count for small-batch shapes where per-pass overhead, not FLOPs,
-    dominates (T=8 verify investigation, VERDICT r3 #4)."""
+    dominates (T=8 verify investigation, VERDICT r3 #4).
+
+    fma_fold folds the pack zero-point into the dequant multiply-add
+    instead of an integer subtract: w = nib*d + (-zero*d), with the offset
+    computed once per SCALE element (1/gsize the tile).  Mathematically
+    (nib - zero)*d to within one f32 rounding (2^-24 — invisible after the
+    bf16 cast), so unlike the params-level fold_zero_points it carries NO
+    accuracy cost (that fold keeps unsigned-magnitude products through the
+    MXU and cancels later — measured 3.1e-2 logits drift) and streams no
+    gbias plane.  The high nibble needs no mask at all: the packed byte is
+    uint8, so p >> 4 is already in [0, 15]."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -124,13 +135,19 @@ def _qmm_packed_kernel(
 
     bk, bn = p_ref.shape
     p = p_ref[:].astype(jnp.int32)
-    lo, hi = p & 0xF, (p >> 4) & 0xF
-    if zero:  # static: zero-folded tensors (pack_zero 0) skip the subtracts
+    lo, hi = p & 0xF, p >> 4
+    if zero and not fma_fold:  # zero-folded tensors (pack_zero 0) skip this
         lo, hi = lo - zero, hi - zero
     lo = lo.astype(jnp.float32).reshape(bk // gsize, gsize, bn)
     hi = hi.astype(jnp.float32).reshape(bk // gsize, gsize, bn)
-    wlo = (lo * _scales_f32(slo_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
-    whi = (hi * _scales_f32(shi_ref[0])[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    slo = _scales_f32(slo_ref[0])[:, None, :]
+    shi = _scales_f32(shi_ref[0])[:, None, :]
+    if zero and fma_fold:
+        wlo = (lo * slo + slo * jnp.float32(-zero)).reshape(bk, bn).astype(jnp.bfloat16)
+        whi = (hi * shi + shi * jnp.float32(-zero)).reshape(bk, bn).astype(jnp.bfloat16)
+    else:
+        wlo = (lo * slo).reshape(bk, bn).astype(jnp.bfloat16)
+        whi = (hi * shi).reshape(bk, bn).astype(jnp.bfloat16)
     if fuse_panels:
         x = jnp.concatenate(
             [xlo_ref[:].astype(jnp.bfloat16), xhi_ref[:].astype(jnp.bfloat16)],
@@ -167,7 +184,7 @@ def _qmm_packed_bias_kernel(
     bk = xlo_ref.shape[1]
     bn = p_ref.shape[1]
     p = p_ref[:].astype(jnp.int32)
-    lo, hi = p & 0xF, (p >> 4) & 0xF
+    lo, hi = p & 0xF, p >> 4  # uint8 source: >> 4 is already in [0, 15]
     if zero:  # static: zero-folded tensors (pack_zero 0) skip the subtracts
         lo, hi = lo - zero, hi - zero
     lo = lo.astype(jnp.float32).reshape(bk // gsize, gsize, bn)
@@ -346,7 +363,7 @@ def qmm_packed_q8x(
 @functools.partial(
     jax.jit,
     static_argnames=("gsize", "zero", "block_n", "block_k", "fuse_panels",
-                     "interpret"),
+                     "fma_fold", "interpret"),
 )
 def qmm_packed(
     x: jax.Array,
@@ -359,6 +376,7 @@ def qmm_packed(
     block_n: int = 256,
     block_k: int = 2048,
     fuse_panels: bool = False,
+    fma_fold: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """x [B, K] @ dequant(split-half packed nibbles) -> [B, N] f32.
@@ -392,7 +410,8 @@ def qmm_packed(
     ]
     args = [x_lo, x_hi, packed_t, gscale_t, gscale_t]
     kern = functools.partial(_qmm_packed_kernel, n_k=n_k, gsize=gsize,
-                             zero=zero, fuse_panels=fuse_panels)
+                             zero=zero, fuse_panels=fuse_panels,
+                             fma_fold=fma_fold)
     if gbias_t is not None:
         xg_lo = x_lo.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
         xg_hi = x_hi.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)

@@ -220,9 +220,17 @@ def q_matmul(
             #   wlo/whi bf16 dequant temporaries       -> 2 * 2*bk*bn
             #   acc scratch + out block f32 [b, bn]    -> 2 * 4*b*bn
             # (measured anchor: RWKV b=256, k2p=4096, bk=2048, bn=512
-            # -> Mosaic "scoped vmem 16.81M > 16M" compile OOM, 2026-08-19
-            # queue; this model gives 16.25M for that config and correctly
-            # rejects it.)  n_k == 1 tiles are not pipelined; skip.
+            # -> Mosaic "scoped vmem 16.80M > 16M" compile OOM, observed
+            # AGAIN 2026-08-20: the first guard compared its 16,252,928-
+            # BYTE estimate against the 16,777,216-byte limit — 16.25 MB
+            # vs 16 MiB, a units slip that ACCEPTED the broken config its
+            # comment claimed to reject.  The model also under-counts
+            # Mosaic's real stack (measured 16.80 MiB there, +8%), so the
+            # comparison now demands 10% headroom: the broken config
+            # (model 16.25 MB > 0.9 x limit = 15.1 MB) is rejected while
+            # every measured-good config stays accepted (decode b<=16
+            # bk=2048 -> 7.4 MB; prefill b=512 bk=1024 -> 13.9 MB, today's
+            # 60 ms number).  n_k == 1 tiles are not pipelined; skip.
             def _vmem_model(bk, bn):
                 sb = (bk // w.gsize) * bn * w.gscale_t.dtype.itemsize
                 return (16 * b * bk + 2 * bk * bn + 4 * sb
@@ -231,12 +239,18 @@ def q_matmul(
             vmem_limit = 1024 * int(os.environ.get(
                 "QMM_SCOPED_VMEM_KIB", "16384"))
             while (not bk_env and k2p // block_k > 1
-                   and _vmem_model(block_k, block_n) > vmem_limit
+                   and _vmem_model(block_k, block_n) > 0.9 * vmem_limit
                    and block_k > 256):
                 nxt = block_k // 2
                 if (k2p % nxt or nxt % w.gsize or (nxt // w.gsize) % 8):
                     break
                 block_k = nxt
+            # large-row calls (T=2048 prefills: b = 2048 padded rows) keep
+            # the model over budget even at bk=256 — the x tiles and out
+            # block scale with b*bn, so shrink block_n next (floor 128)
+            while (not bn_env and block_n > 128 and n % (block_n // 2) == 0
+                   and _vmem_model(block_k, block_n) > 0.9 * vmem_limit):
+                block_n //= 2
             q8x = os.environ.get("QMM_Q8X")
             if q8x and w.gbias_t is None and b <= 128:
                 # int8-activation MXU path (reference q8_0-activation
@@ -256,6 +270,9 @@ def q_matmul(
                     # step instead of two (small-batch MXU issue overhead)
                     fuse_panels=bool(os.environ.get("QMM_FUSE_PANELS"))
                     and w.gbias_t is None,
+                    # experimental: in-kernel zero fold via the dequant
+                    # multiply-add (no gbias stream, no accuracy cost)
+                    fma_fold=bool(os.environ.get("QMM_FMA")),
                 )
         else:
             block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256

@@ -257,8 +257,7 @@ class QTensor:
 
 
 def fold_zero_points(params):
-    """Map QTensor.fold_zero over a parameter pytree (experimental prefill
-    optimization, env QMM_ZERO_FOLD=1 in bench/Context): symmetric packed
+    """Map QTensor.fold_zero over a parameter pytree: symmetric packed
     formats (q4_0) trade two per-byte VPU subtracts for the tiny xg bias
     dot.  Numerics shift by <=1 bf16 ulp per weight (bf16(nib*d) rounds
     differently than bf16((nib-8)*d)); parity gates that require the exact
@@ -266,3 +265,25 @@ def fold_zero_points(params):
     return jax.tree_util.tree_map(
         lambda t: t.fold_zero() if isinstance(t, QTensor) else t,
         params, is_leaf=lambda t: isinstance(t, QTensor))
+
+
+def maybe_fold_zero_points(params):
+    """The DEFAULT runtime transform for TPU inference paths (Context,
+    BatchEngine, bench) since round 4: zero-fold measured −4.8% decode at
+    T=1 and −2.9% at T=8 on v5e (scripts/ab-decode.py interleaved medians,
+    2026-08-20; on-chip parity gate test_zero_fold_matches_on_chip).
+    QMM_ZERO_FOLD=0 opts out.  CPU backends stay UNFOLDED so the
+    compiled-reference oracle gates keep their exact numeric chain
+    (fold shifts logits ~1 bf16 ulp — enough to flip argmax near ties)."""
+    import os
+
+    env = os.environ.get("QMM_ZERO_FOLD")
+    if env == "0":
+        return params
+    if env:  # explicit opt-in folds on any backend (tests exercise CPU)
+        return fold_zero_points(params)
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return fold_zero_points(params) if on_tpu else params

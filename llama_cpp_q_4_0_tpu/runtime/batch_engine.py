@@ -286,6 +286,15 @@ class BatchEngine:
         one device's HBM; XLA partitions the decode attention and inserts
         the softmax collectives over ICI."""
         self.mesh = mesh
+        if mesh is None and tp_mesh is None:
+            # default on TPU since r4 (same transform as Context): fold
+            # pack zero-points into group biases — measured −4.8% decode /
+            # −2.9% T=8 verify (ab-decode 2026-08-20).  QMM_ZERO_FOLD=0
+            # opts out.  Sharded paths keep raw params: the fold predates
+            # no shard rule and multi-chip wins are unmeasured.
+            from ..ops.qtensor import maybe_fold_zero_points
+
+            params = maybe_fold_zero_points(params)
         if mesh is not None:
             from ..parallel.shard import replicate, shard_transformer
 

@@ -101,13 +101,13 @@ class Context:
         self._sp = (mesh.shape.get("sp", 1) if mesh is not None else 1)
         import os
 
-        if os.environ.get("QMM_ZERO_FOLD"):
-            # experimental: fold symmetric pack zero-points into group
-            # biases (ops/qtensor.py fold_zero_points) — mask/shift-only
-            # unpack in the hot kernel; <=1 bf16 ulp numeric shift
-            from ..ops.qtensor import fold_zero_points
+        # default on TPU since r4: fold symmetric pack zero-points into
+        # group biases (mask/shift-only unpack in the hot kernel; measured
+        # −4.8% decode, ab-decode 2026-08-20).  QMM_ZERO_FOLD=0 opts out;
+        # CPU stays unfolded for oracle exactness.
+        from ..ops.qtensor import maybe_fold_zero_points
 
-            params = fold_zero_points(params)
+        params = maybe_fold_zero_points(params)
         if mesh is not None:
             from ..parallel.shard import replicate, shard_transformer
 
@@ -245,9 +245,10 @@ class RwkvContext:
     def __init__(self, cfg: ModelConfig, params, *, batch: int = 1,
                  n_ctx: int | None = None):
         from ..models import rwkv as rwkv_mod
+        from ..ops.qtensor import maybe_fold_zero_points
 
         self.cfg = cfg
-        self.params = params
+        self.params = maybe_fold_zero_points(params)  # r4 TPU default
         self.batch = batch
         self.n_ctx = n_ctx or 1 << 30
         self.state = rwkv_mod.init_state(cfg, batch)

@@ -67,9 +67,10 @@ class RwkvBatchEngine:
                  device_sampling=None, per_request_sampling: bool = True,
                  seed: int = 0, pipeline_depth: int = 2):
         from .device_sample import DeviceSampling
+        from ..ops.qtensor import maybe_fold_zero_points
 
         self.cfg = cfg
-        self.params = params
+        self.params = maybe_fold_zero_points(params)  # r4 TPU default
         self.n_slots = n_slots
         self.n_ctx = n_ctx  # history-buffer capacity (lookup window)
         self.chunk = chunk  # verify rounds per tick

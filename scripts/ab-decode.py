@@ -39,17 +39,9 @@ REPS = int(os.environ.get("REPS", "5"))
 STEPS = int(os.environ.get("STEPS", "20"))
 
 
-def main():
-    assert not os.environ.get("QMM_ZERO_FOLD"), \
-        "run without QMM_ZERO_FOLD — the harness folds explicitly"
-    cfg, params = bench.build_llama()
-    jax.block_until_ready(params)
-    variants = [("plain", params), ("zerofold", fold_zero_points(params))]
-
-    # combos: bench.py-style decode (T=1 w=256), tune-q8x-style (T=1 w=512),
-    # and the speculative-verify shape (T=8 w=512)
-    combos = [(1, 256), (1, 512), (8, 512)]
-
+def _make_step(cfg):
+    # fresh jit per variant: the dispatch reads trace-time env flags
+    # (QMM_FMA), and a shared jit cache would reuse another variant's trace
     @functools.partial(jax.jit,
                        static_argnames=("t", "w"),
                        donate_argnames=("ck", "cv"))
@@ -57,19 +49,43 @@ def main():
         return transformer.forward(cfg, p, toks, n_past, ck, cv,
                                    last_only=True, kv_window=w)
 
-    state = {}
-    for name, p in variants:
+    return step
+
+
+def main():
+    # the harness folds explicitly; since the r4 promote, build_llama folds
+    # by default on TPU — force the raw build so "plain" stays plain
+    os.environ["QMM_ZERO_FOLD"] = "0"
+    cfg, params = bench.build_llama()
+    jax.block_until_ready(params)
+    # (name, params, trace-time env) — fma = in-kernel multiply-add fold
+    variants = [("plain", params, {}),
+                ("zerofold", fold_zero_points(params), {}),
+                ("fma", params, {"QMM_FMA": "1"})]
+
+    # combos: bench.py-style decode (T=1 w=256), tune-q8x-style (T=1 w=512),
+    # and the speculative-verify shape (T=8 w=512)
+    combos = [(1, 256), (1, 512), (8, 512)]
+
+    steps, state = {}, {}
+    for name, p, env in variants:
+        os.environ.update(env)
+        step = _make_step(cfg)
         for t, w in combos:
             ck, cv = transformer.init_cache(cfg, 1, w)
             toks = jnp.zeros((1, t), jnp.int32) + 5
             logits, ck, cv = step(p, toks, jnp.int32(100), ck, cv, t=t, w=w)
-            np.asarray(logits)  # hard sync: compile + warm
+            np.asarray(logits)  # hard sync: compile + warm (env captured)
             state[(name, t, w)] = (ck, cv)
             print(f"compiled {name} T={t} w={w}", flush=True)
+        steps[name] = step
+        for k in env:
+            os.environ.pop(k, None)
 
     times = {k: [] for k in state}
     for rep in range(REPS):
-        for name, p in variants:
+        for name, p, _env in variants:
+            step = steps[name]
             for t, w in combos:
                 ck, cv = state[(name, t, w)]
                 toks = jnp.zeros((1, t), jnp.int32) + 5

@@ -298,3 +298,49 @@ def test_fuse_panels_zero_fold_compose():
     # different rounding orders, so compare to the bf16 noise floor of the
     # K=1024 reduction (near-zero outputs make rtol meaningless)
     assert np.abs(folded - fused).max() / np.abs(fused).max() < 2e-2
+
+
+def test_fma_fold_matches_subtract_kernel():
+    """fma_fold=True (w = nib*d + (-zero*d), offset on the scale tile) must
+    match the integer-subtract kernel to f32-FMA rounding: both compute
+    (nib - zero)*d before the bf16 cast, so unlike the params-level
+    fold_zero_points there is no magnitude-cancellation accuracy cost —
+    the agreement bound here is ~2^-24 relative, far below bf16 noise."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+
+    w, qt = _mk(256, 1024, GGMLType.Q4_0)
+    assert qt.packed and qt.pack_zero == 8
+    rng = np.random.default_rng(11)
+    for b in (1, 8):
+        x = jnp.asarray((rng.standard_normal((b, 1024)) * 0.5)
+                        .astype(np.float32))
+        base = np.asarray(qmm_packed(
+            x, qt.levels_t, qt.gscale_t, qt.gbias_t,
+            gsize=qt.gsize, zero=qt.pack_zero, block_n=128, block_k=256,
+            interpret=True))
+        fma = np.asarray(qmm_packed(
+            x, qt.levels_t, qt.gscale_t, qt.gbias_t,
+            gsize=qt.gsize, zero=qt.pack_zero, block_n=128, block_k=256,
+            fma_fold=True, interpret=True))
+        # bf16 cast can differ only when the f32 pre-images straddle a
+        # rounding boundary within 2^-24 — allow a 1-ulp bf16 slack on the
+        # K=1024 accumulation
+        assert np.abs(fma - base).max() / np.abs(base).max() < 3e-3
+
+
+def test_fma_fold_dispatch_env(monkeypatch):
+    """QMM_FMA routes q_matmul's packed path through the fma_fold kernel
+    (trace-time env read, like QMM_FUSE_PANELS); CPU interpret check that
+    the dispatch plumbs the flag without disturbing semantics."""
+    w, qt = _mk(128, 512, GGMLType.Q4_0)
+    x = jnp.asarray(np.random.default_rng(2)
+                    .standard_normal((4, 512)).astype(np.float32) * 0.5)
+    ref = np.asarray(q_matmul(x, qt, use_pallas=False))
+    monkeypatch.setenv("QMM_FMA", "1")
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+
+    got = np.asarray(qmm_packed(
+        x, qt.levels_t, qt.gscale_t, qt.gbias_t, gsize=qt.gsize,
+        zero=qt.pack_zero, block_n=128, block_k=256, fma_fold=True,
+        interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2

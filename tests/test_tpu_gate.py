@@ -379,10 +379,11 @@ def test_zero_fold_matches_on_chip(monkeypatch, tmp_path):
     folding +8 into the bias seed makes the bf16 weight products
     unsigned-[0,15]-sized — ~2x the magnitude of the (q-8) products — and
     the -8d*sum(x) seed then cancels that back down, amplifying bf16 MXU
-    rounding ~2x vs the unfolded kernel.  That accuracy cost (plus a
-    measured prefill regression, 57.9 -> 62.1 ms) is why zero-fold stays
-    an env-gated experiment rather than the default even though decode
-    improves 9.72 -> 9.57 ms/tok."""
+    rounding ~2x vs the unfolded kernel.  (r4: ab-decode measured the fold
+    at −4.8% decode and it became the TPU default — QMM_ZERO_FOLD=0 is now
+    the explicit opt-out this test uses for its unfolded reference.  The
+    in-kernel fma_fold variant avoids this drift entirely; see
+    test_qmm_fma_fold_on_chip.)"""
     from llama_cpp_q_4_0_tpu.formats import fixtures
     from llama_cpp_q_4_0_tpu.formats.ggjt import read_ggjt
     from llama_cpp_q_4_0_tpu.models.loading import (config_from_ggjt,
@@ -397,9 +398,34 @@ def test_zero_fold_matches_on_chip(monkeypatch, tmp_path):
     params = load_transformer(gf, cfg)
     prompt = np.asarray([[2, 9, 23, 41]], np.int32)
 
-    monkeypatch.delenv("QMM_ZERO_FOLD", raising=False)
+    monkeypatch.setenv("QMM_ZERO_FOLD", "0")  # default folds on TPU now
     want = Context(cfg, params, n_ctx=128).eval(prompt)
     monkeypatch.setenv("QMM_ZERO_FOLD", "1")
     got = Context(cfg, params, n_ctx=128).eval(prompt)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 5e-2
+
+
+def test_qmm_fma_fold_on_chip():
+    """fma_fold kernel (w = nib*d + (-zero*d), r4) vs the integer-subtract
+    kernel ON CHIP: both round the same (nib-zero)*d value to bf16, so the
+    agreement bound is f32-FMA noise on the K reduction — far tighter than
+    the 3.1e-2 drift of the params-level zero fold."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+    from llama_cpp_q_4_0_tpu.ops.qtensor import QTensor
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+
+    rng = np.random.default_rng(42)
+    w = (rng.standard_normal((512, 4096)) * 0.1).astype(np.float32)
+    q = QTensor.quantize(w, GGMLType.Q4_0)
+    assert q.packed and q.pack_zero == 8
+    for b in (1, 8):
+        x = jnp.asarray((rng.standard_normal((b, 4096)) * 0.5)
+                        .astype(np.float32))
+        base = np.asarray(qmm_packed(
+            x, q.levels_t, q.gscale_t, q.gbias_t, gsize=q.gsize,
+            zero=q.pack_zero, block_n=256, block_k=1024))
+        fma = np.asarray(qmm_packed(
+            x, q.levels_t, q.gscale_t, q.gbias_t, gsize=q.gsize,
+            zero=q.pack_zero, block_n=256, block_k=1024, fma_fold=True))
+        assert np.abs(fma - base).max() / np.abs(base).max() < 3e-3, b
