@@ -44,19 +44,22 @@ run() { # run <name> <timeout_s> <cmd...>
 probe >>"$LOG" 2>&1 || { echo "probe failed — tunnel wedged" | tee -a "$LOG"; exit 1; }
 echo "tunnel alive — starting r4b queue $(date +%T)" | tee -a "$LOG"
 
+# Ordering: decision-critical first; the two steps that crashed compiles
+# in queue 1 (rwkv-bench scoped-vmem, hbm-stream big tiles) run LAST so a
+# repeat wedge cannot cost the promotion data again.
 run tpu-smoke      1500 python scripts/tpu-smoke.py
 run ab-decode      2400 python scripts/ab-decode.py
-run rwkv-bench     1800 python scripts/rwkv-bench.py
-run engine-long-q8 2400 env CACHE=q8 N_CTX=2048 PROMPT_LEN=1900 N_PREDICT=96 \
+run engine-long-q8 2700 env CACHE=q8 N_CTX=2048 PROMPT_LEN=1900 N_PREDICT=96 \
                         python scripts/engine-bench.py
-run engine-long-q8-fused 2400 env CACHE=q8 N_CTX=2048 PROMPT_LEN=1900 \
+run engine-long-q8-fused 2700 env CACHE=q8 N_CTX=2048 PROMPT_LEN=1900 \
                         N_PREDICT=96 FUSED_ATTN=1 FUSED_MAX_T=16 \
                         python scripts/engine-bench.py
-run hbm-stream     1800 python -m llama_cpp_q_4_0_tpu benchmark-matmult --stream --stream-sweep
-run tpu-gate       2400 env LLAMA_TPU_TESTS=1 python -m pytest tests/test_tpu_gate.py -x -q
+run tpu-gate       2700 env LLAMA_TPU_TESTS=1 python -m pytest tests/test_tpu_gate.py -x -q
 run bench          1500 python bench.py
-# never ran in the first r4 queue (aborted at the rwkv-bench wedge)
+# never ran in queue 1 (aborted at the rwkv-bench wedge)
 run tune-prefill   3000 python scripts/tune-prefill.py
+run rwkv-bench     1800 python scripts/rwkv-bench.py
+run hbm-stream     1800 python -m llama_cpp_q_4_0_tpu benchmark-matmult --stream --stream-sweep
 
 echo "=== R4B QUEUE DONE $(date +%T) ===" | tee -a "$LOG"
 grep -E "RESULT|metric|passed|failed|GB/s" "$LOG" | tail -40

@@ -54,6 +54,31 @@ for qt in (GGMLType.Q4_K, GGMLType.Q5_0, GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.
     logits = ctx.eval(np.asarray([[3, 9, 27, 6]], np.int32))
     print(f"llama {qt.name:5s}: decode {'OK' if np.isfinite(logits).all() else 'NAN'}")
 
+# huge-row qmm (the T=2048 prefill bucket shape): exercises the r4 VMEM
+# guard's block_n shrink on the REAL Mosaic allocator — the engine-long
+# bench hits this shape mid-queue, so fail here first if it can't compile
+import jax.numpy as jnp
+from llama_cpp_q_4_0_tpu.ops import QTensor, q_matmul
+rngq = np.random.default_rng(0)
+wq = QTensor.quantize((rngq.standard_normal((512, 4096)) * 0.1)
+                      .astype(np.float32), GGMLType.Q4_0)
+xb = jnp.asarray((rngq.standard_normal((2048, 4096)) * 0.3)
+                 .astype(np.float32))
+yb = np.asarray(q_matmul(xb, wq))
+print(f"qmm b=2048: {'OK' if np.isfinite(yb).all() else 'NAN'}")
+
+# fma-fold kernel variant on chip (mask/shift+FMA unpack, r4)
+from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+xf = jnp.asarray((rngq.standard_normal((8, 4096)) * 0.3).astype(np.float32))
+yf = np.asarray(qmm_packed(xf, wq.levels_t, wq.gscale_t, None,
+                           gsize=wq.gsize, zero=wq.pack_zero,
+                           block_n=256, block_k=1024, fma_fold=True))
+yr = np.asarray(qmm_packed(xf, wq.levels_t, wq.gscale_t, None,
+                           gsize=wq.gsize, zero=wq.pack_zero,
+                           block_n=256, block_k=1024))
+rel = np.abs(yf - yr).max() / np.abs(yr).max()
+print(f"qmm fma_fold: {'OK' if rel < 3e-3 else f'DRIFT {rel:.2e}'}")
+
 # perplexity CLI on TPU
 from llama_cpp_q_4_0_tpu.cli import perplexity as ppl
 txt = os.path.join(d, "c.txt")
