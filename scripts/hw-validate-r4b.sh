@@ -49,6 +49,9 @@ echo "tunnel alive — starting r4b queue $(date +%T)" | tee -a "$LOG"
 # repeat wedge cannot cost the promotion data again.
 run tpu-smoke      1500 python scripts/tpu-smoke.py
 run ab-decode      2400 python scripts/ab-decode.py
+# prefill side of the fold/fma default decision (r3 recorded a fold
+# prefill regression 57.9->62.1 on single samples — settle with medians)
+run decomp-prefill 2400 python scripts/decomp-prefill.py
 run engine-long-q8 2700 env CACHE=q8 N_CTX=2048 PROMPT_LEN=1900 N_PREDICT=96 \
                         python scripts/engine-bench.py
 run engine-long-q8-fused 2700 env CACHE=q8 N_CTX=2048 PROMPT_LEN=1900 \
