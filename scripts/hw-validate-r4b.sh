@@ -22,7 +22,7 @@ LOG=${LOG:-hw-validate-r4b.log}
 
 probe() {
   sleep 60
-  timeout 560 python -c "
+  timeout 1500 python -c "
 import jax, numpy as np, jax.numpy as jnp
 print('probe ok', float(np.asarray(jnp.ones((8,128)) @ jnp.ones((128,8)))[0,0]))"
 }
