@@ -75,11 +75,12 @@ def build_llama(n_layer: int = 32, n_embd: int = 4096, n_head: int = 32,
         output=q(n_vocab, e),
     )
     from llama_cpp_q_4_0_tpu.models.fuse import fuse_projections
+    from llama_cpp_q_4_0_tpu.ops.qtensor import maybe_cast_scales_f16
 
     params = fuse_projections(cfg, params)
-    from llama_cpp_q_4_0_tpu.ops.qtensor import maybe_fold_zero_points
-
-    params = maybe_fold_zero_points(params)  # default on TPU (r4 promote)
+    # QMM_F16_SCALES=1 experiment: fp16 scale planes (exact; −17% decode
+    # weight bytes once folded)
+    params = maybe_cast_scales_f16(params)
     return cfg, params
 
 
@@ -187,7 +188,14 @@ def main():
             jax.block_until_ready(params)
             import statistics
 
-            dsamp = bench_decode(cfg, params)
+            # decode times the FOLDED view (the r4 TPU default in
+            # Context/BatchEngine); prefill keeps the raw view, exactly as
+            # Context.eval routes by bucketed t
+            from llama_cpp_q_4_0_tpu.ops.qtensor import (
+                maybe_fold_zero_points,
+            )
+
+            dsamp = bench_decode(cfg, maybe_fold_zero_points(params))
             ms = statistics.median(dsamp)
             scale = 32 / kw["n_layer"]  # baseline is whole-model
             rec = {

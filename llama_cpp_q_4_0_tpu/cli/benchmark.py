@@ -103,20 +103,23 @@ def run_stream(args) -> int:
     touch 8 sublanes (the DMA moves the whole block regardless).  Decode is
     weight-stream-bound, so this number — not the 819 GB/s chip spec — is
     the denominator for 'percent of roofline'."""
-    import os
-
-    # vmem_limit_bytes only takes effect when the scoped-vmem XLA flag is
-    # raised too (jax pallas/mosaic/core.py docstring); set it before the
-    # first compile of this process.  122880 KiB = the 120 MiB cap below.
-    flag = "--xla_tpu_scoped_vmem_limit_kib=122880"
-    if flag not in os.environ.get("XLA_FLAGS", ""):
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
+    # Per-kernel vmem_limit_bytes (CompilerParams) is the only workable
+    # limit-raise mechanism here: it rides the Mosaic kernel params through
+    # the remote compile.  Do NOT put --xla_tpu_scoped_vmem_limit_kib in
+    # XLA_FLAGS — the LOCAL jaxlib's flag parser does not know TPU flags
+    # and aborts the process ("Unknown flag in XLA_FLAGS", 2026-08-20).
     if args.stream_sweep:
         best = (0.0, 0)
         # ≤ 56 MiB keeps double-buffered tiles under the 120 MiB vmem cap
         for tile_mib in (4, 8, 16, 32, 56):
-            gbs = _stream_once(args.stream_gib, tile_mib, args.iterations)
+            try:
+                gbs = _stream_once(args.stream_gib, tile_mib,
+                                   args.iterations)
+            except Exception as e:  # compile OOM at this tile: keep sweeping
+                print(f"HBM read-stream: tile {tile_mib:4d} MiB -> FAILED "
+                      f"({type(e).__name__}: {str(e).splitlines()[0][:120]})",
+                      flush=True)
+                continue
             print(f"HBM read-stream: tile {tile_mib:4d} MiB -> "
                   f"{gbs:.1f} GB/s", flush=True)
             if gbs > best[0]:

@@ -142,6 +142,13 @@ def q_matmul_ref_int8(x: jax.Array, w) -> jax.Array:
     return out.reshape(*lead, n)
 
 
+# Largest x-row count a single qmm_packed call may see: the kernels tile
+# N and K but stream the whole [B, bk] x tile per grid step, so B beyond
+# this emits un-compilable (VMEM) or pathologically slow Mosaic kernels.
+# 2048 = the largest chip-validated shape (tpu-smoke 2026-08-20).
+MAX_PALLAS_ROWS = 2048
+
+
 def q_matmul(
     x: jax.Array,
     w: QTensor | jax.Array,
@@ -175,6 +182,17 @@ def q_matmul(
     b = x2.shape[0]
     if use_pallas is None:
         use_pallas = _on_tpu()
+    # batch-axis backstop: the Pallas kernels tile N and K but stream the
+    # whole [B, bk] x tile per grid step, so B is bounded by VMEM.  B=2048
+    # is chip-validated (tpu-smoke); beyond it, split into row chunks —
+    # without this, a 16x2048 batched prefill admission emitted a b=32768
+    # kernel whose remote compile ground 45 min (2026-08-20).
+    if use_pallas and b > MAX_PALLAS_ROWS:
+        step = MAX_PALLAS_ROWS
+        outs = [q_matmul(x2[i : i + step], w, use_pallas=use_pallas,
+                         compute_dtype=compute_dtype)
+                for i in range(0, b, step)]
+        return jnp.concatenate(outs, axis=0).reshape(*lead, w.shape[0])
 
     n = w.shape[0]
     if use_pallas and n % 128 == 0 and k % 256 == 0:
@@ -252,9 +270,14 @@ def q_matmul(
                    and _vmem_model(block_k, block_n) > 0.9 * vmem_limit):
                 block_n //= 2
             q8x = os.environ.get("QMM_Q8X")
-            if q8x and w.gbias_t is None and b <= 128:
+            if (q8x and w.gbias_t is None
+                    and b <= int(os.environ.get("QMM_Q8X_MAX_B", "128"))):
                 # int8-activation MXU path (reference q8_0-activation
-                # analogue; experimental, model-level numbers pending)
+                # analogue).  Ruled out for decode shapes on chip (T=1
+                # 28.45 ms vs 11 default, 2026-08-19) but never tried at
+                # prefill (b=512), where the matmul is COMPUTE-bound and
+                # the int8 MXU runs 2x bf16 rate on v5e —
+                # QMM_Q8X_MAX_B=512 lifts the cap for that experiment.
                 out = qmm_packed_q8x(
                     x2, w.levels_t, w.gscale_t,
                     gsize=w.gsize, zero=w.pack_zero,

@@ -196,6 +196,34 @@ class QTensor:
                        gbias_t=gb, gsize=self.gsize, qtype=self.qtype,
                        shape=self.shape, pack_zero=0)
 
+    def scales_f16(self) -> "QTensor":
+        """Store the group scale (and bias) planes as fp16 — half the
+        plane bytes in the decode weight stream.
+
+        EXACT, not a precision trade: ggml block formats store d/m as
+        fp16 in the file (ggml.c block_q4_0.d), so every gscale value
+        round-trips f32→f16→f32 bit-identically, and the Pallas kernels
+        decode fp16 scale tiles back to the *same* f32 in-kernel
+        (_scales_f32 integer bit decode); the XLA fallback / rows()
+        promote f16→f32 exactly.  The folded gbias = -pack_zero*d is an
+        exponent shift of an fp16 value — exact in fp16 for any real
+        weight scale (overflow needs amax > 4k).
+
+        Motivation (2026-08-20): after zero-fold, 7B q4_0 decode streams
+        5.05 GB/token at ~565 GB/s effective — bandwidth-bound, and the
+        two f32 plane families are 1.68 GB of it.  fp16 planes cut the
+        stream to 4.21 GB (−17%).  An earlier-round measurement ("won
+        <2%") predates the fold, when decode was VPU-bound at ~404 GB/s
+        — the regime changed."""
+        if self.gscale_t.dtype == jnp.float16:
+            return self
+        gs = self.gscale_t.astype(jnp.float16)
+        gb = (self.gbias_t.astype(jnp.float16)
+              if self.gbias_t is not None else None)
+        return QTensor(levels_t=self.levels_t, gscale_t=gs, gbias_t=gb,
+                       gsize=self.gsize, qtype=self.qtype,
+                       shape=self.shape, pack_zero=self.pack_zero)
+
     def levels_full(self) -> jax.Array:
         """Unpacked int8 levels [K, N] (device op; packed -> unpack)."""
         if not self.packed:
@@ -254,6 +282,39 @@ class QTensor:
             w = w + jnp.take(gb, idx, axis=1)[:, None, ...]
         w = w.reshape(k, *lv.shape[1:])
         return jnp.moveaxis(w, 0, -1).astype(dtype)  # [..., K]
+
+
+# Formats whose group scales are the file's raw fp16 d (and bias m) —
+# f32→fp16 storage is bit-exact for these.  EXCLUDED: k-quants (effective
+# gscale = d × 6-bit integer subscale, a product that can need more
+# mantissa than fp16 carries) and q8_1 (its d/s are f32 in the file,
+# ggml.c block_q8_1).
+_F16_EXACT_QTYPES = frozenset(
+    (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+     GGMLType.Q8_0))
+
+
+def cast_scales_f16(params):
+    """Map QTensor.scales_f16 over a parameter pytree for the formats
+    where it is exact (see _F16_EXACT_QTYPES) — halves the scale/bias
+    plane bytes in the bandwidth-bound decode weight stream."""
+    return jax.tree_util.tree_map(
+        lambda t: (t.scales_f16()
+                   if isinstance(t, QTensor) and t.qtype in _F16_EXACT_QTYPES
+                   else t),
+        params, is_leaf=lambda t: isinstance(t, QTensor))
+
+
+def maybe_cast_scales_f16(params):
+    """Env-gated fp16 scale-plane storage (QMM_F16_SCALES=1 opts in).
+    Numerically exact for the gated formats — the kernels decode fp16
+    scale tiles to the identical f32 — so unlike zero-fold this can
+    coexist with parity gates; kept opt-in until chip-measured."""
+    import os
+
+    if os.environ.get("QMM_F16_SCALES") != "1":
+        return params
+    return cast_scales_f16(params)
 
 
 def fold_zero_points(params):

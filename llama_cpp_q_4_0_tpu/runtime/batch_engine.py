@@ -287,11 +287,18 @@ class BatchEngine:
         the softmax collectives over ICI."""
         self.mesh = mesh
         if mesh is None and tp_mesh is None:
-            # default on TPU since r4 (same transform as Context): fold
-            # pack zero-points into group biases — measured −4.8% decode /
-            # −2.9% T=8 verify (ab-decode 2026-08-20).  QMM_ZERO_FOLD=0
-            # opts out.  Sharded paths keep raw params: the fold predates
-            # no shard rule and multi-chip wins are unmeasured.
+            from ..ops.qtensor import maybe_cast_scales_f16
+
+            params = maybe_cast_scales_f16(params)
+        self.params_prefill = params  # raw view for big-t prefill calls
+        if mesh is None and tp_mesh is None:
+            # default on TPU since r4 (same split as Context): the folded
+            # view serves decode/verify ticks (−2.5..4.8%, ab-decode
+            # 2026-08-20) while prefill admissions keep the RAW view — the
+            # gbias stream regresses compute-bound prefill +6.8%
+            # (decomp-prefill).  Views share levels/scales buffers.
+            # QMM_ZERO_FOLD=0 opts out.  Sharded paths keep raw params:
+            # no shard rule covers the added gbias planes.
             from ..ops.qtensor import maybe_fold_zero_points
 
             params = maybe_fold_zero_points(params)
@@ -313,6 +320,8 @@ class BatchEngine:
                         if forward_fn is not None else None)
         self.cfg = cfg
         self.params = params
+        if mesh is not None or tp_mesh is not None:
+            self.params_prefill = params  # sharded: one (raw) view
         self.n_slots = n_slots
         self.n_ctx = n_ctx or cfg.n_ctx
         self.chunk = chunk
@@ -458,7 +467,7 @@ class BatchEngine:
         toks[0, : len(tokens)] = tokens
         fn = self._custom[3] if self._custom else _prefix_prefill
         _, row_k, row_v = fn(
-            self.cfg, self.params, jnp.asarray(toks), row_k, row_v,
+            self.cfg, self.params_prefill, jnp.asarray(toks), row_k, row_v,
             kv_window=pad, attention_fn=self._admit_attn_fn(pad))
         self._prefix = (tokens, row_k, row_v)
 
@@ -532,6 +541,13 @@ class BatchEngine:
             batch.append((free[len(batch)], self._pending.pop(0)))
         if not batch:
             return
+        # bind each request to its slot BEFORE any admission forward: a
+        # compile failure inside the admission call unwinds past this frame
+        # and the _run finally can only close requests it can see — batch
+        # entries were in neither _pending nor a slot, so their clients
+        # blocked forever (the 45-min engine-bench hang, 2026-08-20)
+        for slot, req in batch:
+            slot.req = req
         if self._prefix is not None:
             plen = len(self._prefix[0])
             rest = []
@@ -545,7 +561,25 @@ class BatchEngine:
         if not batch:
             return
         if len(batch) > 1:
-            self._admit_batched(batch)
+            # batched admission flattens to a [M_pad * T_pad, K] qmm — the
+            # kernel has no batch-axis blocking, so cap the matrix at the
+            # largest chip-validated row count (a 16x1900 burst would
+            # otherwise emit a b=32768 kernel whose remote compile ground
+            # for 45 min and wedged the tunnel, 2026-08-20).  Long prompts
+            # take the per-slot path: chunked prefill when free, else a
+            # direct b<=n_ctx single-row prefill.
+            from ..ops.qmatmul import MAX_PALLAS_ROWS
+
+            pad = min(max(_bucket(len(req.prompt_tokens[:self.n_ctx - 1])
+                                  or 1) for _, req in batch), self.n_ctx)
+            mp = 1
+            while mp < len(batch):
+                mp *= 2
+            if mp * pad <= MAX_PALLAS_ROWS:
+                self._admit_batched(batch)
+            else:
+                for slot, req in batch:
+                    self._admit_one(slot, req)
         else:
             self._admit_one(*batch[0])
 
@@ -580,7 +614,7 @@ class BatchEngine:
         toks = np.zeros((1, pad), np.int32)
         toks[0, : len(piece)] = piece
         logits, st["row_k"], st["row_v"] = self._jit_prefill(
-            self.params, jnp.asarray(toks), jnp.int32(0),
+            self.params_prefill, jnp.asarray(toks), jnp.int32(0),
             jnp.int32(len(piece)), st["row_k"], st["row_v"],
             kv_window=min(_bucket(pos + pad), self.n_ctx),
             n_past=jnp.int32(pos),
@@ -619,7 +653,7 @@ class BatchEngine:
             toks = np.zeros((1, pad), np.int32)
             toks[0, : len(rem)] = rem
             logits, self.cache_k, self.cache_v = self._jit_prefill(
-                self.params, jnp.asarray(toks), jnp.int32(slot.idx),
+                self.params_prefill, jnp.asarray(toks), jnp.int32(slot.idx),
                 jnp.int32(len(rem)), self.cache_k, self.cache_v,
                 kv_window=min(_bucket(len(ptoks) + pad), self.n_ctx),
                 n_past=jnp.int32(len(ptoks)),
@@ -629,7 +663,7 @@ class BatchEngine:
             toks = np.zeros((1, pad), np.int32)
             toks[0, : len(prompt)] = prompt
             logits, self.cache_k, self.cache_v = self._jit_prefill(
-                self.params, jnp.asarray(toks), jnp.int32(slot.idx),
+                self.params_prefill, jnp.asarray(toks), jnp.int32(slot.idx),
                 jnp.int32(len(prompt)), self.cache_k, self.cache_v,
                 kv_window=pad,
                 attention_fn=self._admit_attn_fn(pad),
@@ -656,7 +690,8 @@ class BatchEngine:
             n_reals[i] = len(p)
         fn = self._custom[2] if self._custom else _engine_prefill_multi
         logits, self.cache_k, self.cache_v = fn(
-            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(slots),
+            self.cfg, self.params_prefill, jnp.asarray(toks),
+            jnp.asarray(slots),
             jnp.asarray(n_reals), self.cache_k, self.cache_v,
             kv_window=pad, attention_fn=self._admit_attn_fn(pad),
         )

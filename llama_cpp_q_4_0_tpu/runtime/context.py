@@ -103,17 +103,30 @@ class Context:
 
         # default on TPU since r4: fold symmetric pack zero-points into
         # group biases (mask/shift-only unpack in the hot kernel; measured
-        # −4.8% decode, ab-decode 2026-08-20).  QMM_ZERO_FOLD=0 opts out;
-        # CPU stays unfolded for oracle exactness.
-        from ..ops.qtensor import maybe_fold_zero_points
+        # −2.5..4.8% decode, ab-decode 2026-08-20) — but ONLY for
+        # decode-shaped calls: the folded gbias stream REGRESSES
+        # compute-bound prefill +6.8% (decomp-prefill 62.7 vs 58.8 ms), so
+        # eval() routes bucketed t > 32 through the RAW view.  The two
+        # views share levels/scales buffers (fold_zero only adds gbias
+        # planes, ~0.85 GB resident for 7B).  QMM_ZERO_FOLD=0 opts out;
+        # CPU stays unfolded for oracle exactness; mesh paths keep raw
+        # (no shard rule for the added gbias planes).
+        if mesh is None:
+            from ..ops.qtensor import (maybe_cast_scales_f16,
+                                       maybe_fold_zero_points)
 
-        params = maybe_fold_zero_points(params)
+            # cast BEFORE fold so both views share the f16 planes and the
+            # folded gbias inherits the compact dtype (exact either way)
+            params = maybe_cast_scales_f16(params)
+            self._params_prefill = params
+            params = maybe_fold_zero_points(params)
         if mesh is not None:
             from ..parallel.shard import replicate, shard_transformer
 
             params = (shard_transformer(params, mesh)
                       if mesh.shape.get("tp", 1) > 1
                       else replicate(params, mesh))
+            self._params_prefill = params  # sharded: one (raw) view
         self.params = params
         self.n_ctx = n_ctx or cfg.n_ctx
         self.batch = batch
@@ -158,8 +171,11 @@ class Context:
 
             if use_flash_prefill(bt, self.cfg.head_dim):
                 attn_fn = flash_prefill_fn()
+        # decode-shaped calls use the folded view, big-t calls the raw one
+        # (see __init__: fold wins at T<=8, loses at T=512)
+        p = self.params if bt <= 32 else self._params_prefill
         logits, self.cache_k, self.cache_v = _eval_step(
-            self.cfg, self.params, jnp.asarray(padded),
+            self.cfg, p, jnp.asarray(padded),
             jnp.int32(self.n_past), self.cache_k, self.cache_v,
             False if logits_all or bt != t else True,
             min(_bucket(self.n_past + t), self.n_ctx),
@@ -193,7 +209,8 @@ class Context:
         assert b == self.batch and e == self.cfg.n_embd
         assert self.n_past + t <= self.n_ctx, "context overflow"
         logits, self.cache_k, self.cache_v = _eval_step(
-            self.cfg, self.params, emb, jnp.int32(self.n_past),
+            self.cfg, self.params if t <= 32 else self._params_prefill,
+            emb, jnp.int32(self.n_past),
             self.cache_k, self.cache_v, not logits_all,
             min(_bucket(self.n_past + t), self.n_ctx),
         )
@@ -211,7 +228,8 @@ class Context:
         padded = np.zeros((b, bt), dtype=np.int32)
         padded[:, :t] = tokens
         logits, emb, self.cache_k, self.cache_v = _embed_step(
-            self.cfg, self.params, jnp.asarray(padded),
+            self.cfg, self.params if bt <= 32 else self._params_prefill,
+            jnp.asarray(padded),
             jnp.int32(self.n_past), self.cache_k, self.cache_v,
         )
         self.n_past += t
@@ -245,10 +263,17 @@ class RwkvContext:
     def __init__(self, cfg: ModelConfig, params, *, batch: int = 1,
                  n_ctx: int | None = None):
         from ..models import rwkv as rwkv_mod
-        from ..ops.qtensor import maybe_fold_zero_points
+        from ..ops.qtensor import (maybe_cast_scales_f16,
+                                   maybe_fold_zero_points)
 
         self.cfg = cfg
-        self.params = maybe_fold_zero_points(params)  # r4 TPU default
+        # r4 TPU default: folded for decode-shaped steps, raw view for
+        # big-t prompt scans (same decode-win/prefill-regression trade as
+        # Context — the RWKV prompt pass is the parallel WKV scan over the
+        # same qmm weights)
+        params = maybe_cast_scales_f16(params)
+        self._params_prefill = params
+        self.params = maybe_fold_zero_points(params)
         self.batch = batch
         self.n_ctx = n_ctx or 1 << 30
         self.state = rwkv_mod.init_state(cfg, batch)
@@ -275,7 +300,8 @@ class RwkvContext:
         valid = np.zeros((b, bt), dtype=bool)
         valid[:, :t] = True
         logits, self.state = _rwkv_eval_step(
-            self.cfg, self.params, jnp.asarray(padded), self.state,
+            self.cfg, self.params if bt <= 32 else self._params_prefill,
+            jnp.asarray(padded), self.state,
             jnp.asarray(valid), False if logits_all or bt != t else True,
         )
         logits = np.asarray(logits)

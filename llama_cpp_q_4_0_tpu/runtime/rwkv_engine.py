@@ -67,10 +67,16 @@ class RwkvBatchEngine:
                  device_sampling=None, per_request_sampling: bool = True,
                  seed: int = 0, pipeline_depth: int = 2):
         from .device_sample import DeviceSampling
-        from ..ops.qtensor import maybe_fold_zero_points
+        from ..ops.qtensor import (maybe_cast_scales_f16,
+                                   maybe_fold_zero_points)
 
         self.cfg = cfg
-        self.params = maybe_fold_zero_points(params)  # r4 TPU default
+        # r4 TPU default: folded view for decode/verify ticks, raw view
+        # for the batched prompt prefill (fold regresses big-t scans;
+        # see Context.__init__)
+        params = maybe_cast_scales_f16(params)
+        self.params_prefill = params
+        self.params = maybe_fold_zero_points(params)
         self.n_slots = n_slots
         self.n_ctx = n_ctx  # history-buffer capacity (lookup window)
         self.chunk = chunk  # verify rounds per tick
@@ -176,6 +182,11 @@ class RwkvBatchEngine:
                 batch.append((s, self._pending.pop(0)))
         if not batch:
             return
+        # bind requests to slots BEFORE the prefill forward so the _run
+        # finally can close them if the compile/dispatch fails (see
+        # BatchEngine._admit — the 2026-08-20 engine-bench hang)
+        for slot, req in batch:
+            slot.req = req
         prompts = [r.prompt_tokens for _, r in batch]
         t_pad = _bucket(max(len(p) for p in prompts))
         toks = np.zeros((len(batch), t_pad), np.int32)
@@ -184,7 +195,7 @@ class RwkvBatchEngine:
             toks[i, : len(p)] = p
             valid[i, : len(p)] = True
         logits, st = _prefill_step(
-            self.cfg, self.params, jnp.asarray(toks),
+            self.cfg, self.params_prefill, jnp.asarray(toks),
             rwkv_mod.init_state(self.cfg, len(batch)), jnp.asarray(valid),
             True)
         logits = np.asarray(logits)  # [n_new, 1, V] at last valid position
@@ -193,6 +204,7 @@ class RwkvBatchEngine:
         for i, (slot, req) in enumerate(batch):
             if req.cancelled:
                 req.out.put(None)
+                slot.req = None  # unbind the early slot binding
                 continue
             slot.req = req
             slot.sampler = Sampler(req.sampling, self.cfg.n_vocab, req.seed)

@@ -33,7 +33,7 @@ import numpy as np
 
 import bench
 from llama_cpp_q_4_0_tpu.models import transformer
-from llama_cpp_q_4_0_tpu.ops.qtensor import fold_zero_points
+from llama_cpp_q_4_0_tpu.ops.qtensor import cast_scales_f16, fold_zero_points
 
 REPS = int(os.environ.get("REPS", "5"))
 STEPS = int(os.environ.get("STEPS", "20"))
@@ -58,10 +58,14 @@ def main():
     os.environ["QMM_ZERO_FOLD"] = "0"
     cfg, params = bench.build_llama()
     jax.block_until_ready(params)
-    # (name, params, trace-time env) — fma = in-kernel multiply-add fold
+    # (name, params, trace-time env).  fma was ruled out 2026-08-20
+    # (10.67/10.91/11.76 vs zerofold 10.12/10.43/11.51); the f16s variants
+    # store the scale/bias planes fp16 (exact decode, −17% folded weight
+    # bytes — the bandwidth-bound regime's next lever).
     variants = [("plain", params, {}),
                 ("zerofold", fold_zero_points(params), {}),
-                ("fma", params, {"QMM_FMA": "1"})]
+                ("zf-f16s", fold_zero_points(cast_scales_f16(params)), {}),
+                ("plain-f16s", cast_scales_f16(params), {})]
 
     # combos: bench.py-style decode (T=1 w=256), tune-q8x-style (T=1 w=512),
     # and the speculative-verify shape (T=8 w=512)

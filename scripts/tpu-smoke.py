@@ -79,6 +79,20 @@ yr = np.asarray(qmm_packed(xf, wq.levels_t, wq.gscale_t, None,
 rel = np.abs(yf - yr).max() / np.abs(yr).max()
 print(f"qmm fma_fold: {'OK' if rel < 3e-3 else f'DRIFT {rel:.2e}'}")
 
+# fp16 scale planes on chip: the u16 bit-decode (_scales_f32) must
+# reproduce the f32-plane result EXACTLY — folded and unfolded (r4
+# bandwidth lever; earlier-round chip run predates the zero-fold kernel)
+from llama_cpp_q_4_0_tpu.ops.qtensor import cast_scales_f16, fold_zero_points
+wq16 = cast_scales_f16({"w": wq})["w"]
+y32 = np.asarray(q_matmul(xf, wq))
+y16 = np.asarray(q_matmul(xf, wq16))
+wf32 = fold_zero_points({"w": wq})["w"]
+wf16 = fold_zero_points({"w": wq16})["w"]
+z32 = np.asarray(q_matmul(xf, wf32))
+z16 = np.asarray(q_matmul(xf, wf16))
+ok16 = np.array_equal(y16, y32) and np.array_equal(z16, z32)
+print(f"qmm f16-scales: {'OK' if ok16 else 'MISMATCH'}")
+
 # perplexity CLI on TPU
 from llama_cpp_q_4_0_tpu.cli import perplexity as ppl
 txt = os.path.join(d, "c.txt")

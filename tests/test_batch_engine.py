@@ -675,3 +675,104 @@ def test_server_parallel_mirostat_and_bias(model, tmp_path_factory):
     finally:
         httpd.shutdown()
         eng.stop()
+
+
+def test_admission_failure_closes_requests(model):
+    """If the admission forward dies (e.g. a device compile error), every
+    client must get a closed token stream — including requests already
+    popped from _pending and mid-admission, which before the r4 fix were
+    bound to no slot and blocked their clients forever (the 45-minute
+    engine-bench hang, 2026-08-20)."""
+    cfg, params, _ = model
+    eng = BatchEngine(cfg, params, n_slots=2, n_ctx=64)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected compile failure")
+
+    eng._admit_batched = boom
+    eng._jit_prefill = boom
+    rs = [eng.submit(Request([5, 9, 23], n_predict=4, sampling=GREEDY))
+          for _ in range(2)]
+    eng.start()
+    try:
+        for r in rs:
+            assert list(r.tokens()) == []  # closed promptly, no tokens
+        with pytest.raises(RuntimeError):
+            eng.submit(Request([5], n_predict=1, sampling=GREEDY))
+    finally:
+        eng.stop()
+
+
+def test_long_prompt_burst_admits_per_slot(model, monkeypatch):
+    """A burst whose padded admission matrix exceeds MAX_PALLAS_ROWS must
+    route per-slot instead of batched (the flattened [M_pad*T_pad, K] qmm
+    has no batch blocking: a 16x1900 burst emitted a b=32768 kernel whose
+    remote compile ground 45 min on chip, 2026-08-20) — with identical
+    greedy output either way."""
+    from llama_cpp_q_4_0_tpu.ops import qmatmul as qm
+    from llama_cpp_q_4_0_tpu.runtime import batch_engine as be
+
+    cfg, params, _ = model
+    prompts = [[5, 9, 23, 7], [3, 11, 2, 8], [6, 4], [9, 9, 1]]
+
+    def run():
+        calls = {"batched": 0}
+        orig = be.BatchEngine._admit_batched
+
+        def spy(self, batch):
+            calls["batched"] += 1
+            return orig(self, batch)
+
+        monkeypatch.setattr(be.BatchEngine, "_admit_batched", spy)
+        eng = be.BatchEngine(cfg, params, n_slots=4, n_ctx=64)
+        reqs = [eng.submit(be.Request(p, n_predict=6, sampling=GREEDY))
+                for p in prompts]  # enqueue BEFORE start: one burst
+        eng.start()
+        try:
+            outs = [list(r.tokens()) for r in reqs]
+        finally:
+            eng.stop()
+        return outs, calls["batched"]
+
+    base, nb = run()
+    assert nb >= 1  # small burst under the default cap admits batched
+    monkeypatch.setattr(qm, "MAX_PALLAS_ROWS", 4)
+    capped, nc = run()
+    assert nc == 0  # over the cap: per-slot admission
+    assert capped == base
+
+
+def test_context_split_param_views(model, monkeypatch):
+    """QMM_ZERO_FOLD=1: Context serves decode-shaped calls (bucketed
+    t <= 32) from the zero-folded view and larger prefills from the RAW
+    view (the gbias stream regresses compute-bound prefill +6.8% on chip,
+    decomp-prefill 2026-08-20).  The views share levels/scales buffers —
+    fold only adds gbias planes."""
+    import jax
+
+    from llama_cpp_q_4_0_tpu.ops.qtensor import QTensor
+
+    monkeypatch.setenv("QMM_ZERO_FOLD", "1")
+    cfg, params, _ = model
+    ctx = Context(cfg, params)
+
+    def qleaves(p):
+        return [t for t in jax.tree_util.tree_leaves(
+                    p, is_leaf=lambda t: isinstance(t, QTensor))
+                if isinstance(t, QTensor) and t.packed]
+
+    folded, raw = qleaves(ctx.params), qleaves(ctx._params_prefill)
+    assert folded and raw and len(folded) == len(raw)
+    assert all(t.gbias_t is not None for t in folded)
+    assert all(t.gbias_t is None for t in raw)
+    assert folded[0].levels_t is raw[0].levels_t  # shared buffers
+    assert folded[0].gscale_t is raw[0].gscale_t
+
+    monkeypatch.setenv("QMM_ZERO_FOLD", "0")
+    ref = Context(cfg, params)
+    prompt = list(range(2, 50))  # t=48 buckets to 64 > 32: raw-view path
+    a, b = ctx.eval(prompt), ref.eval(prompt)
+    np.testing.assert_allclose(a, b)  # raw view == unfolded: identical
+    # decode step: folded vs unfolded within the documented fold tolerance
+    a, b = ctx.eval([7]), ref.eval([7])
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)

@@ -344,3 +344,58 @@ def test_fma_fold_dispatch_env(monkeypatch):
         zero=qt.pack_zero, block_n=128, block_k=256, fma_fold=True,
         interpret=True))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1,
+                                   GGMLType.Q8_0])
+def test_f16_scale_planes_exact(qtype):
+    """fp16 scale-plane storage (cast_scales_f16, the r4 decode-bandwidth
+    lever: scale planes are 1.68 of 5.05 GB/token folded) is EXACT for
+    blockq formats — the file stores d/m as fp16 (ggml.c block_q4_0.d) so
+    the cast round-trips, the Pallas kernel's integer bit-decode
+    (_scales_f32) reconstructs the identical f32, and the XLA fallback
+    promotes f16->f32 exactly.  Folded and unfolded matmuls must match
+    their f32-plane twins bit-for-bit."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+    from llama_cpp_q_4_0_tpu.ops.qtensor import (cast_scales_f16,
+                                                 fold_zero_points)
+
+    w, qt = _mk(256, 512, qtype)
+    qh = cast_scales_f16({"w": qt})["w"]
+    assert qh.gscale_t.dtype == jnp.float16
+    np.testing.assert_array_equal(
+        np.asarray(qt.gscale_t),
+        np.asarray(qh.gscale_t).astype(np.float32))  # exact round-trip
+    if qt.gbias_t is not None:
+        np.testing.assert_array_equal(
+            np.asarray(qt.gbias_t),
+            np.asarray(qh.gbias_t).astype(np.float32))
+
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((4, 512)) * 0.5).astype(np.float32)
+    ref = np.asarray(q_matmul(jnp.asarray(x), qt, use_pallas=False))
+    got = np.asarray(q_matmul(jnp.asarray(x), qh, use_pallas=False))
+    np.testing.assert_array_equal(got, ref)
+
+    if qtype != GGMLType.Q4_0:
+        return
+    # Pallas packed kernel (interpret): f16 planes == f32 planes, both
+    # unfolded and zero-folded
+    for q32, q16 in ((qt, qh),
+                     (fold_zero_points({"w": qt})["w"],
+                      fold_zero_points({"w": qh})["w"])):
+        a = np.asarray(qmm_packed(
+            jnp.asarray(x), q32.levels_t, q32.gscale_t, q32.gbias_t,
+            gsize=q32.gsize, zero=q32.pack_zero, block_n=128, block_k=256,
+            interpret=True))
+        b = np.asarray(qmm_packed(
+            jnp.asarray(x), q16.levels_t, q16.gscale_t, q16.gbias_t,
+            gsize=q16.gsize, zero=q16.pack_zero, block_n=128, block_k=256,
+            interpret=True))
+        np.testing.assert_array_equal(b, a)
+
+    # k-quants are excluded from the cast (d x int subscale products can
+    # exceed fp16 mantissa)
+    _, qk = _mk(256, 512, GGMLType.Q4_K)
+    qk16 = cast_scales_f16({"w": qk})["w"]
+    assert qk16.gscale_t.dtype == qk.gscale_t.dtype
