@@ -174,11 +174,20 @@ def _flash_prefill(q, k, v, scale):
     """attention_fn (models.transformer.forward contract) running the
     whole-prompt (n_past == 0) prefill through JAX's TPU flash kernel:
     no [B, H, T, S] score materialization — the reference's
-    ggml_flash_attn analogue (ggml.c:13928) for the prompt pass."""
+    ggml_flash_attn analogue (ggml.c:13928) for the prompt pass.
+
+    FLASH_BF16=1 (experiment): feed the kernel bf16 Q/K/V instead of f32.
+    The v5e MXU runs bf16 at ~2x the f32 rate and the kernel accumulates
+    f32 regardless; the in-forward attention stack measured ~11 ms of the
+    58.8 ms 512-token prefill vs ~1.4 ms of pure FLOPs (decomp-prefill
+    2026-08-20) — the f32 operand rate is the prime suspect."""
+    import os
+
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention,
     )
 
+    cd = jnp.bfloat16 if os.environ.get("FLASH_BF16") == "1" else jnp.float32
     b, t, h, d = q.shape
     g = k.shape[2]
     if g != h:
@@ -187,9 +196,9 @@ def _flash_prefill(q, k, v, scale):
         k = jnp.repeat(k, h // g, axis=2)
         v = jnp.repeat(v, h // g, axis=2)
     out = flash_attention(
-        q.astype(jnp.float32).transpose(0, 2, 1, 3),
-        k.astype(jnp.float32).transpose(0, 2, 1, 3),
-        v.astype(jnp.float32).transpose(0, 2, 1, 3),
+        q.astype(cd).transpose(0, 2, 1, 3),
+        k.astype(cd).transpose(0, 2, 1, 3),
+        v.astype(cd).transpose(0, 2, 1, 3),
         causal=True, sm_scale=float(scale),
     )
     return out.transpose(0, 2, 1, 3).astype(jnp.float32)

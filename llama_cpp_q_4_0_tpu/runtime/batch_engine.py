@@ -225,6 +225,20 @@ def _engine_fns(forward_fn):
  _engine_prefill_multi, _prefix_prefill) = _engine_fns(transformer.forward)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_rows(cache_k, cache_v, row_k, row_v, slot):
+    """Scatter [1, S] row caches into one slot of the big caches IN PLACE
+    (buffer donation).  The previous host-side tree.map of
+    dynamic_update_slice ran outside jit, where XLA cannot reuse the input
+    buffers — a full second cache materialized (2x 8.86 GiB at the 16x2048
+    q8 flagship) and RESOURCE_EXHAUSTED'd the chunked-prefill completion
+    (engine-long-q8-fused, 2026-08-20)."""
+    put = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
+        c, r.astype(c.dtype), slot, 0)
+    return (jax.tree.map(put, cache_k, row_k),
+            jax.tree.map(put, cache_v, row_v))
+
+
 def _prefill_attn_fn(cfg, t_pad: int, mesh=None):
     """n_past == 0 admission attention: the sp-ring kernel on a
     sequence-parallel mesh (docs/serving.md), else the TPU flash prefill
@@ -377,6 +391,22 @@ class BatchEngine:
                 weights, kv = estimate_engine_hbm(
                     params, cfg, n_slots, self.n_ctx, cache_dtype)
                 budget = int(limit * _HBM_PLAN_FRACTION)
+                if (weights + kv > int(limit * 0.80)
+                        and self.params is not self.params_prefill):
+                    # tight fit: drop the zero-folded decode view (its
+                    # gbias planes are ~weights/6 extra HBM).  The fold's
+                    # ~3% tick win is noise at configs this large — KV
+                    # streaming dominates — and the reclaimed space covers
+                    # the prefill/XLA temps that RESOURCE_EXHAUSTED'd the
+                    # 16x2048 q8 flagship on 2026-08-20.
+                    self.params = params = self.params_prefill
+                    weights, kv = estimate_engine_hbm(
+                        params, cfg, n_slots, self.n_ctx, cache_dtype)
+                    print(
+                        f"engine: plan within 20% of HBM — serving ticks "
+                        f"from the raw (unfolded) weight view "
+                        f"({(weights + kv) / 2**30:.2f} GiB planned)",
+                        file=sys.stderr)
                 if weights + kv > budget:
                     raise ValueError(
                         f"engine config does not fit HBM: weights "
@@ -578,10 +608,14 @@ class BatchEngine:
             if mp * pad <= MAX_PALLAS_ROWS:
                 self._admit_batched(batch)
             else:
+                deferred = []
                 for slot, req in batch:
-                    self._admit_one(slot, req)
+                    if not self._admit_one(slot, req):
+                        deferred.append(req)
+                self._pending[0:0] = deferred  # FIFO order preserved
         else:
-            self._admit_one(*batch[0])
+            if not self._admit_one(*batch[0]):
+                self._pending.insert(0, batch[0][1])
 
     def _start_prefill(self, slot, req, prompt):
         """Begin a CHUNKED prefill into a detached row cache so decode
@@ -622,32 +656,48 @@ class BatchEngine:
         )
         st["pos"] = pos + len(piece)
         if st["pos"] >= len(prompt):
+            # hard-sync BEFORE unbinding the slot: a device OOM surfaces
+            # at this transfer, and with slot.req already None the request
+            # was bound nowhere — _run's finally could not close it and
+            # the client blocked until the bench timeout (engine-long-q8-
+            # fused, 2026-08-20)
+            row_logits = np.asarray(logits)[0, -1]
             self._flush_inflight()  # scatter + activation change tick state
-            put = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
-                c, r.astype(c.dtype), slot.idx, 0)
-            self.cache_k = jax.tree.map(put, self.cache_k, st["row_k"])
-            self.cache_v = jax.tree.map(put, self.cache_v, st["row_v"])
+            self.cache_k, self.cache_v = _scatter_rows(
+                self.cache_k, self.cache_v, st["row_k"], st["row_v"],
+                jnp.int32(slot.idx))
             self._prefill_state = None
             slot.req = None  # _activate re-sets it
             slot.ready = True
-            self._activate(slot, req, prompt, np.asarray(logits)[0, -1])
+            self._activate(slot, req, prompt, row_logits)
             self._sched_n_past[slot.idx] = slot.n_past
 
-    def _admit_one(self, slot, req):
+    def _admit_one(self, slot, req) -> bool:
+        """Admit one request; returns False if it was DEFERRED because the
+        chunked-prefill lane is busy (caller re-queues it in order)."""
         prompt = req.prompt_tokens[: self.n_ctx - 1] or [1]
-        if (len(prompt) > self.prefill_chunk and self._prefill_state is None
-                and self._prefix is None):
-            self._start_prefill(slot, req, prompt)
-            return
+        if len(prompt) > self.prefill_chunk and self._prefix is None:
+            if self._prefill_state is None:
+                self._start_prefill(slot, req, prompt)
+                return True
+            # chunked lane busy: DEFER instead of falling through to a
+            # direct [1, ~n_ctx] prefill — at the 16x2048 q8 flagship the
+            # direct prefill's XLA temps on top of weights+KV OOM'd HBM
+            # (engine-long-q8 RESOURCE_EXHAUSTED, 2026-08-20).  The loop
+            # retries once the lane frees; ticks keep flowing meanwhile
+            # (that is chunked prefill's whole point).
+            slot.req = None
+            return False
         pre = self._prefix
         if (pre is not None and len(prompt) > len(pre[0])
                 and prompt[: len(pre[0])] == pre[0]):
             # copy the cached prefix rows, then prefill only the remainder
+            # (in-place scatter: see _scatter_rows; prefix rows are NOT
+            # donated — they serve every later matching request)
             ptoks, row_k, row_v = pre
-            put = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
-                c, r.astype(c.dtype), slot.idx, 0)
-            self.cache_k = jax.tree.map(put, self.cache_k, row_k)
-            self.cache_v = jax.tree.map(put, self.cache_v, row_v)
+            self.cache_k, self.cache_v = _scatter_rows(
+                self.cache_k, self.cache_v, row_k, row_v,
+                jnp.int32(slot.idx))
             rem = prompt[len(ptoks):]
             pad = min(_bucket(len(rem)), self.n_ctx - len(ptoks))
             toks = np.zeros((1, pad), np.int32)
@@ -669,6 +719,7 @@ class BatchEngine:
                 attention_fn=self._admit_attn_fn(pad),
             )
         self._activate(slot, req, prompt, np.asarray(logits)[0, -1])
+        return True
 
     def _admit_batched(self, batch):
         """All waiting requests prefill in one [M_pad, T_pad] forward; M is

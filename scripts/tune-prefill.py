@@ -35,7 +35,7 @@ import statistics
 ms = statistics.median(bench.bench_prefill(cfg, params, t=512, iters=5))
 tag = " ".join(f"{k}={os.environ[k]}" for k in
                ("QMM_BLOCK_N", "QMM_BLOCK_K", "QMM_ZERO_FOLD",
-                "QMM_FUSE_PANELS", "FLASH_PREFILL")
+                "QMM_FUSE_PANELS", "FLASH_PREFILL", "FLASH_BF16")
                if os.environ.get(k)) or "default"
 print(f"RESULT prefill512 [{tag}]: {ms:.1f} ms  "
       f"({512 / ms * 1e3:.0f} tok/s, "
@@ -47,8 +47,11 @@ print(f"RESULT prefill512 [{tag}]: {ms:.1f} ms  "
 # 2700 s budget at ~500 s/variant (init-dominated).
 VARIANTS = [
     {},                                             # current default
+    # bf16 flash operands (2x MXU rate; the attention stack is ~11 of the
+    # 58.8 ms total vs 1.4 ms of FLOPs — decomp-prefill 2026-08-20)
+    {"FLASH_BF16": "1"},
+    {"FLASH_BF16": "1", "QMM_BLOCK_K": "4096"},
     {"QMM_BLOCK_K": "4096"},
-    {"QMM_BLOCK_N": "1024"},
     {"QMM_ZERO_FOLD": "1"},
     {"QMM_BLOCK_N": "512", "QMM_BLOCK_K": "1024"},
     {"QMM_FUSE_PANELS": "1"},

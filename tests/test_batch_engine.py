@@ -776,3 +776,50 @@ def test_context_split_param_views(model, monkeypatch):
     # decode step: folded vs unfolded within the documented fold tolerance
     a, b = ctx.eval([7]), ref.eval([7])
     np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)
+
+
+def test_long_prompt_admissions_serialize_through_chunked_lane(model):
+    """Multiple long prompts admitted together: one rides the chunked lane,
+    the rest DEFER (re-queued in order) until it frees — never the direct
+    [1, ~n_ctx] prefill whose XLA temps OOM'd the 16x2048 q8 flagship
+    (2026-08-20).  Greedy outputs must match single-session decoding."""
+    from llama_cpp_q_4_0_tpu.runtime import batch_engine as be
+
+    cfg, params, _ = model
+    rng = np.random.default_rng(77)
+    prompts = [rng.integers(3, 250, 30 + 4 * i).tolist() for i in range(3)]
+
+    def single(prompt, n=5):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    want = [single(p) for p in prompts]
+
+    lane_entries = []
+    orig_start = be.BatchEngine._start_prefill
+
+    def spy_start(self, slot, req, prompt):
+        lane_entries.append(len(prompt))
+        return orig_start(self, slot, req, prompt)
+
+    eng = BatchEngine(cfg, params, n_slots=3, n_ctx=64)
+    eng.prefill_chunk = 8  # every prompt above is "long"
+    eng._start_prefill = spy_start.__get__(eng)
+    reqs = [eng.submit(Request(p, n_predict=5, sampling=GREEDY))
+            for p in prompts]  # burst BEFORE start
+    eng.start()
+    try:
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    assert outs == want, (want, outs)
+    # every long prompt entered through the chunked lane, one at a time
+    assert sorted(lane_entries) == sorted(len(p) for p in prompts)
