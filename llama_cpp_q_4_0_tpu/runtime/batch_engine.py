@@ -590,32 +590,42 @@ class BatchEngine:
             batch = rest
         if not batch:
             return
-        if len(batch) > 1:
-            # batched admission flattens to a [M_pad * T_pad, K] qmm — the
-            # kernel has no batch-axis blocking, so cap the matrix at the
-            # largest chip-validated row count (a 16x1900 burst would
-            # otherwise emit a b=32768 kernel whose remote compile ground
-            # for 45 min and wedged the tunnel, 2026-08-20).  Long prompts
-            # take the per-slot path: chunked prefill when free, else a
-            # direct b<=n_ctx single-row prefill.
-            from ..ops.qmatmul import MAX_PALLAS_ROWS
+        # Admission routing (the boundary, pinned by
+        # test_long_prompt_admissions_serialize_through_chunked_lane and
+        # test_short_burst_admits_batched):
+        #   LONG prompts (> prefill_chunk, no cached prefix) ALWAYS take the
+        #   per-slot path — chunked lane when free, DEFERRED when busy.  The
+        #   direct [1, ~n_ctx] prefill's XLA temps on top of weights+KV
+        #   OOM'd HBM at the 16x2048 q8 flagship (2026-08-20), and a batched
+        #   admission of the same burst both flattens past the kernel's row
+        #   budget (b=32768 ground a 45-min remote compile) and carries the
+        #   same untested temp footprint.  The chunked lane's [1, chunk]
+        #   steps are the only long-prompt shape with a bounded HBM plan.
+        #   SHORT prompts (<= prefill_chunk) batch into one [M_pad, T_pad]
+        #   forward when the flattened matrix fits MAX_PALLAS_ROWS; above
+        #   the cap they fall back per-slot (direct prefill — short prompts
+        #   have small temps).
+        from ..ops.qmatmul import MAX_PALLAS_ROWS
 
+        short = [(s, r) for s, r in batch
+                 if len(r.prompt_tokens[: self.n_ctx - 1] or [1])
+                 <= self.prefill_chunk or self._prefix is not None]
+        rest = batch
+        if len(short) > 1:
             pad = min(max(_bucket(len(req.prompt_tokens[:self.n_ctx - 1])
-                                  or 1) for _, req in batch), self.n_ctx)
+                                  or 1) for _, req in short), self.n_ctx)
             mp = 1
-            while mp < len(batch):
+            while mp < len(short):
                 mp *= 2
             if mp * pad <= MAX_PALLAS_ROWS:
-                self._admit_batched(batch)
-            else:
-                deferred = []
-                for slot, req in batch:
-                    if not self._admit_one(slot, req):
-                        deferred.append(req)
-                self._pending[0:0] = deferred  # FIFO order preserved
-        else:
-            if not self._admit_one(*batch[0]):
-                self._pending.insert(0, batch[0][1])
+                self._admit_batched(short)
+                short_ids = {id(r) for _, r in short}
+                rest = [(s, r) for s, r in batch if id(r) not in short_ids]
+        deferred = []
+        for slot, req in rest:
+            if not self._admit_one(slot, req):
+                deferred.append(req)
+        self._pending[0:0] = deferred  # FIFO order preserved
 
     def _start_prefill(self, slot, req, prompt):
         """Begin a CHUNKED prefill into a detached row cache so decode

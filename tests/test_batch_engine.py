@@ -823,3 +823,61 @@ def test_long_prompt_admissions_serialize_through_chunked_lane(model):
     assert outs == want, (want, outs)
     # every long prompt entered through the chunked lane, one at a time
     assert sorted(lane_entries) == sorted(len(p) for p in prompts)
+
+
+def test_short_burst_admits_batched(model, monkeypatch):
+    """The admission boundary: in one mixed burst, SHORT prompts
+    (<= prefill_chunk) ride the batched [M_pad, T_pad] admission while
+    LONG prompts serialize through the chunked lane — never a direct
+    [1, ~n_ctx] prefill (whose XLA temps OOM'd the 16x2048 q8 flagship)
+    and never a flattened long-prompt matrix (whose b=32768 qmm ground a
+    45-min remote compile).  Greedy outputs match single-session decode."""
+    from llama_cpp_q_4_0_tpu.runtime import batch_engine as be
+
+    cfg, params, _ = model
+    rng = np.random.default_rng(123)
+    short_prompts = [rng.integers(3, 250, 4 + i).tolist() for i in range(2)]
+    long_prompts = [rng.integers(3, 250, 25 + 8 * i).tolist()
+                    for i in range(2)]
+
+    def single(prompt, n=4):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    prompts = short_prompts + long_prompts
+    want = [single(p) for p in prompts]
+
+    batched_lens, lane_lens = [], []
+    orig_batched = be.BatchEngine._admit_batched
+    orig_start = be.BatchEngine._start_prefill
+
+    def spy_batched(self, batch):
+        batched_lens.extend(len(r.prompt_tokens) for _, r in batch)
+        return orig_batched(self, batch)
+
+    def spy_start(self, slot, req, prompt):
+        lane_lens.append(len(prompt))
+        return orig_start(self, slot, req, prompt)
+
+    monkeypatch.setattr(be.BatchEngine, "_admit_batched", spy_batched)
+    monkeypatch.setattr(be.BatchEngine, "_start_prefill", spy_start)
+    eng = be.BatchEngine(cfg, params, n_slots=4, n_ctx=64)
+    eng.prefill_chunk = 8  # the two 25+-token prompts are "long"
+    reqs = [eng.submit(be.Request(p, n_predict=4, sampling=GREEDY))
+            for p in prompts]  # one burst, before start
+    eng.start()
+    try:
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    assert outs == want, (want, outs)
+    assert sorted(batched_lens) == sorted(len(p) for p in short_prompts)
+    assert sorted(lane_lens) == sorted(len(p) for p in long_prompts)
