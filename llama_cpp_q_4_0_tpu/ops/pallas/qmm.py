@@ -212,11 +212,20 @@ def _qmm_packed_q8x_kernel(
 
     Per quant group g the product is EXACT integer arithmetic:
         y += d_x[b,g] * d_w[g,n] * (sum_{k in g} xq[b,k] * wlev[k,n])
-    The group dot rides the MXU ([B, gsize] x [gsize, BN] int8 -> int32);
+    The group dot rides the MXU ([gsize, B]^T x [gsize, BN] int8 -> int32);
     only the two group scales touch the VPU, so dequant drops from ~5 f32
     ops/weight (mask, convert, scale-mul, bf16-cast) to 2 int ops/weight
     (nibble mask/shift) — the VPU was the decode-side bottleneck at small
     batch (NOTES-NEXT-ROUND 12a).
+
+    The group loop is STATICALLY UNROLLED (n_groups <= 16, enforced by the
+    caller): every x/scale slice below is compile-time, so the activation
+    planes can use LANE-COMPACT layouts — xq [G, gsize, B] (b on lanes),
+    sx [B, G] (g on lanes, static column picks).  The previous layouts
+    ([G, B, gsize] / [G, B, 8], chosen for dynamic leading-dim slicing
+    inside a fori_loop) lane-padded their minor dims 32->128 / 8->128 in
+    VMEM — a 4x/16x inflation scaling with b that hit 19.62M scoped vmem
+    at b=512 prefill shapes (hw-validate-r4c 2026-08-20).
 
     int8_mxu=False runs the dots in bf16: still EXACT (|levels| <= 8,
     |xq| <= 127 — products < 2^10 and f32 accumulation is exact below
@@ -227,35 +236,32 @@ def _qmm_packed_q8x_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    bk, bn = p_ref.shape
-    b = xlo_ref.shape[1]
     dt = jnp.int8 if int8_mxu else jnp.bfloat16
     pt = jnp.int32 if int8_mxu else jnp.float32
-
-    def group(g, acc):
-        # unpack ONLY this group's packed rows (dynamic ref slice — keeps
-        # the program one loop body instead of n_groups unrolled MXU dots,
-        # which blew past a 560 s Mosaic compile)
-        # mask/shift/subtract in int32: Mosaic has no i8 arith.subi
-        # lowering (failed to legalize on v5e) — int32 vector arith is the
-        # same path the bf16 kernels use, and the int8 cast for the MXU
-        # happens after
-        pg = p_ref[pl.ds(g * gsize, gsize), :].astype(jnp.int32)
-        for x_ref, sx_ref, lv, s_ref in (
-            (xlo_ref, sxlo_ref, (pg & 0xF) - zero, slo_ref),
-            (xhi_ref, sxhi_ref, (pg >> 4) - zero, shi_ref),
-        ):
-            d = jnp.dot(x_ref[pl.ds(g, 1)][0].astype(dt), lv.astype(dt),
-                        preferred_element_type=pt)
-            # d_x: [B, 8] tile, lane 0 broadcast across BN (sublane-aligned
-            # with d); d_w: [1, BN] row broadcast across B
-            dx = jnp.broadcast_to(sx_ref[pl.ds(g, 1)][0][:, :1], (b, bn))
-            acc = acc + d.astype(jnp.float32) * dx * _scales_f32(
-                s_ref[:, pl.ds(g, 1)][0])
-        return acc
+    dn = (((0,), (0,)), ((), ()))  # contract the sublane dim of both sides
+    slo = _scales_f32(slo_ref[0])  # [G, BN]
+    shi = _scales_f32(shi_ref[0])
+    sxlo = sxlo_ref[:]  # [B, G]
+    sxhi = sxhi_ref[:]
 
     acc = jnp.zeros(acc_ref.shape, jnp.float32)
-    acc = jax.lax.fori_loop(0, n_groups, group, acc)
+    for g in range(n_groups):
+        # mask/shift/subtract in int32: Mosaic has no i8 arith.subi
+        # lowering (failed to legalize on v5e) — int32 vector arith is the
+        # same path the bf16 kernels use; the int8 cast for the MXU
+        # happens after
+        pg = p_ref[g * gsize:(g + 1) * gsize, :].astype(jnp.int32)
+        for x_ref, sx, lv, s in (
+            (xlo_ref, sxlo, (pg & 0xF) - zero, slo),
+            (xhi_ref, sxhi, (pg >> 4) - zero, shi),
+        ):
+            d = jax.lax.dot_general(
+                x_ref[g].astype(dt), lv.astype(dt),
+                dimension_numbers=dn, preferred_element_type=pt)
+            # d_x: static column [B, 1] broadcast across BN;
+            # d_w: static row [1, BN] broadcast across B
+            acc = acc + (d.astype(jnp.float32)
+                         * sx[:, g:g + 1] * s[g:g + 1, :])
     acc_ref[:] += acc
 
     @pl.when(k == n_k - 1)
@@ -268,9 +274,10 @@ def _quantize_q8x(x: jax.Array, gsize: int, k2p: int):
     arrangement (quantize_row_q8_0 semantics, ggml.c:1135-1169: d = amax/127,
     q = round(x/d)).
 
-    Returns (xq_lo, xq_hi int8 [G2P, B, gsize], sx_lo, sx_hi f32
-    [G2P, B, 8]) where G2P = k2p // gsize and plane rows beyond the real
-    K/2 are zero."""
+    Returns (xq_lo, xq_hi int8 [G2P, gsize, B], sx_lo, sx_hi f32 [B, G2P])
+    where G2P = k2p // gsize and plane rows beyond the real K/2 are zero.
+    b rides the LANES of the int8 planes and the scale planes are 2-D so
+    every VMEM tile is lane-compact (see _qmm_packed_q8x_kernel)."""
     b, k = x.shape
     k2 = k // 2
     g2 = k2 // gsize
@@ -288,13 +295,57 @@ def _quantize_q8x(x: jax.Array, gsize: int, k2p: int):
     # the reference stores block_q8_0.d as fp16 — fold that rounding in so
     # the kernel's scale product matches vec_dot_q4_0_q8_0 exactly
     d = dq.astype(jnp.float16).astype(jnp.float32)
+    xqt = xq.transpose(1, 2, 0)  # [2*G2, gsize, B]
     pad = ((0, g2p - g2), (0, 0), (0, 0))
-    xq_lo = jnp.pad(xq[:, :g2].transpose(1, 0, 2), pad)
-    xq_hi = jnp.pad(xq[:, g2:].transpose(1, 0, 2), pad)
-    d8 = jnp.broadcast_to(d.T[:, :, None], (2 * g2, b, 8))
-    sx_lo = jnp.pad(d8[:g2], pad)
-    sx_hi = jnp.pad(d8[g2:], pad)
+    xq_lo = jnp.pad(xqt[:g2], pad)
+    xq_hi = jnp.pad(xqt[g2:], pad)
+    spad = ((0, 0), (0, g2p - g2))
+    sx_lo = jnp.pad(d[:, :g2], spad)
+    sx_hi = jnp.pad(d[:, g2:], spad)
     return xq_lo, xq_hi, sx_lo, sx_hi
+
+
+def q8x_plan(b: int, k2p: int, n: int, gsize: int, block_n: int,
+             block_k: int, scale_itemsize: int = 4):
+    """Derive feasible (block_k, block_n, vmem_bytes) for qmm_packed_q8x.
+
+    Models Mosaic's padded VMEM tiles (int8 sublane tile 32, lane tile 128,
+    double-buffered pipelined inputs) and shrinks block_k then block_n
+    until the estimate fits 90% of the scoped-vmem limit — hand-tuned
+    block envs once sent a 19.62M-scoped-vmem kernel to the chip and every
+    tune-q8x-prefill variant died rc=1 (hw-validate-r4c 2026-08-20).
+    Shared with scripts/preflight.py so queue configs are vetted on the
+    CPU before they touch hardware."""
+    import os
+
+    bl = -(-b // 128) * 128  # lane pad
+    b8 = -(-b // 8) * 8      # sublane pad
+
+    def vmem(bk_, bn_):
+        ng_ = bk_ // gsize
+        bnp = max(bn_, 128)
+        return (
+            4 * ng_ * max(gsize, 32) * bl          # xq planes (int8, x2x2)
+            + 4 * b8 * 128 * 4                     # sx planes (ng -> 128)
+            + 2 * bk_ * bnp                        # packed tile (uint8)
+            + 4 * (-(-ng_ // 8) * 8) * bnp * scale_itemsize
+            + 3 * b8 * bnp * 4                     # out x2 + acc scratch
+        )
+
+    block_n = min(block_n, n)
+    # static unroll bound: <= 16 groups per block (the all-64-groups
+    # unrolled variant blew a 560 s Mosaic compile, 2026-08-18)
+    bk = min(block_k, 16 * gsize, k2p)
+    while k2p % bk:
+        bk //= 2
+    limit = 0.9 * 1024 * int(os.environ.get("QMM_SCOPED_VMEM_KIB", "16384"))
+    while (bk > 8 * gsize and k2p % (bk // 2) == 0
+           and vmem(bk, block_n) > limit):
+        bk //= 2
+    while (block_n > 128 and n % (block_n // 2) == 0
+           and vmem(bk, block_n) > limit):
+        block_n //= 2
+    return bk, block_n, vmem(bk, block_n)
 
 
 @functools.partial(
@@ -310,18 +361,19 @@ def qmm_packed_q8x(
     gsize: int = 32,
     zero: int = 8,
     block_n: int = 256,
-    block_k: int = 1024,
+    block_k: int = 512,
     int8_mxu: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """x [B, K] @ dequant(packed nibbles) -> [B, N] f32 via int8-quantized
     activations (see _qmm_packed_q8x_kernel).  Non-bias packed formats only
-    (q4_0 path); layout contract identical to qmm_packed."""
+    (q4_0 path); layout contract identical to qmm_packed.  block_k/block_n
+    are upper bounds — q8x_plan shrinks them to fit scoped VMEM."""
     b, k = x.shape
     k2p, n = packed_t.shape
     assert k // 2 <= k2p, (x.shape, packed_t.shape)
-    block_n = min(block_n, n)
-    bk = min(block_k, k2p)
+    bk, block_n, _ = q8x_plan(b, k2p, n, gsize, block_n, block_k,
+                              2 if gscale_t.dtype == jnp.float16 else 4)
     assert n % block_n == 0 and k2p % bk == 0, (n, k2p, block_n, bk)
     assert bk % gsize == 0 and (bk // gsize) % 8 == 0
     n_k = k2p // bk
@@ -332,13 +384,13 @@ def qmm_packed_q8x(
     gscale_t = _u16_view(gscale_t)
 
     in_specs = [
-        pl.BlockSpec((n_groups, b, gsize), lambda i, kk: (kk, 0, 0)),
-        pl.BlockSpec((n_groups, b, gsize), lambda i, kk: (kk, 0, 0)),
-        pl.BlockSpec((n_groups, b, 8), lambda i, kk: (kk, 0, 0)),
-        pl.BlockSpec((n_groups, b, 8), lambda i, kk: (kk, 0, 0)),
+        pl.BlockSpec((n_groups, gsize, b), lambda i, kk: (kk, 0, 0)),
+        pl.BlockSpec((n_groups, gsize, b), lambda i, kk: (kk, 0, 0)),
+        pl.BlockSpec((b, n_groups), lambda i, kk: (0, kk)),
+        pl.BlockSpec((b, n_groups), lambda i, kk: (0, kk)),
         pl.BlockSpec((bk, block_n), lambda i, kk: (kk, i)),
-        pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (0, kk, i)),
-        pl.BlockSpec((1, bk // gsize, block_n), lambda i, kk: (1, kk, i)),
+        pl.BlockSpec((1, n_groups, block_n), lambda i, kk: (0, kk, i)),
+        pl.BlockSpec((1, n_groups, block_n), lambda i, kk: (1, kk, i)),
     ]
     flops = 2 * b * n * k
     bytes_accessed = k2p * n + 8 * (k2p // gsize) * n + b * k + 4 * b * n

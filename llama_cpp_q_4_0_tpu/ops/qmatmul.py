@@ -149,6 +149,54 @@ def q_matmul_ref_int8(x: jax.Array, w) -> jax.Array:
 MAX_PALLAS_ROWS = 2048
 
 
+def packed_vmem_bytes(b: int, bk: int, bn: int, gsize: int,
+                      scale_itemsize: int = 4) -> int:
+    """Scoped-VMEM model for one qmm_packed grid step (pipelined inputs
+    DOUBLE-buffered):
+      2 x f32 [b, bk] lo+hi x tiles          -> 2 * 2 * 4*b*bk
+      1 x u8  [bk, bn] packed tile           -> 2 * bk*bn
+      2 x scale tiles [bk/gsize, bn]         -> 2 * 2 * sb
+      wlo/whi bf16 dequant temporaries       -> 2 * 2*bk*bn
+      acc scratch + out block f32 [b, bn]    -> 2 * 4*b*bn
+    Shared by the q_matmul dispatch guard and scripts/preflight.py so
+    queue configs are vetted on the host before they touch hardware."""
+    sb = (bk // gsize) * bn * scale_itemsize
+    return 16 * b * bk + 2 * bk * bn + 4 * sb + 4 * bk * bn + 8 * b * bn
+
+
+def packed_block_plan(b: int, k2p: int, n: int, gsize: int,
+                      scale_itemsize: int = 4):
+    """Mirror q_matmul's no-env packed block selection + scoped-vmem
+    shrink: returns (block_k, block_n, vmem_bytes).  Preflight-only —
+    the dispatch keeps its inline loops so env overrides behave exactly
+    as before.  n_k == 1 tiles are not pipelined (no double buffering):
+    the dispatch skips the guard there and b<=2048 single-K-tile shapes
+    are chip-validated (tpu-smoke 2026-08-20), so vmem is reported as 0
+    to mean 'guard not applicable'."""
+    import os
+
+    block_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
+    block_k = max(bk for bk in (2048, 1024, 512, 256)
+                  if k2p % bk == 0 and bk % gsize == 0
+                  and (bk // gsize) % 8 == 0)
+    limit = 0.9 * 1024 * int(os.environ.get("QMM_SCOPED_VMEM_KIB", "16384"))
+    while (k2p // block_k > 1 and block_k > 256
+           and packed_vmem_bytes(b, block_k, block_n, gsize,
+                                 scale_itemsize) > limit):
+        nxt = block_k // 2
+        if k2p % nxt or nxt % gsize or (nxt // gsize) % 8:
+            break
+        block_k = nxt
+    while (block_n > 128 and n % (block_n // 2) == 0
+           and packed_vmem_bytes(b, block_k, block_n, gsize,
+                                 scale_itemsize) > limit):
+        block_n //= 2
+    if k2p // block_k == 1:
+        return block_k, block_n, 0
+    return block_k, block_n, packed_vmem_bytes(b, block_k, block_n, gsize,
+                                               scale_itemsize)
+
+
 def q_matmul(
     x: jax.Array,
     w: QTensor | jax.Array,
@@ -250,9 +298,8 @@ def q_matmul(
             # bk=2048 -> 7.4 MB; prefill b=512 bk=1024 -> 13.9 MB, today's
             # 60 ms number).  n_k == 1 tiles are not pipelined; skip.
             def _vmem_model(bk, bn):
-                sb = (bk // w.gsize) * bn * w.gscale_t.dtype.itemsize
-                return (16 * b * bk + 2 * bk * bn + 4 * sb
-                        + 4 * bk * bn + 8 * b * bn)
+                return packed_vmem_bytes(b, bk, bn, w.gsize,
+                                         w.gscale_t.dtype.itemsize)
 
             vmem_limit = 1024 * int(os.environ.get(
                 "QMM_SCOPED_VMEM_KIB", "16384"))

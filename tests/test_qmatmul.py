@@ -153,6 +153,25 @@ def test_q_matmul_ref_int8_exact():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_q8x_plan_fits_scoped_vmem():
+    """The derived q8x block plan keeps every shape — including the
+    b=512 prefill that hit 19.62M scoped vmem on chip (hw-validate-r4c
+    2026-08-20) and the b=2048 row-chunk cap — under 90% of the 16 MiB
+    budget, while honoring the layout constraints (<=16 groups unrolled,
+    group count a multiple of 8, divisible tiles)."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import q8x_plan
+
+    limit = 0.9 * 16 * 1024 * 1024
+    # (b, k2p, n): decode, T=8 verify, prefill-512, row-chunk-cap prefill
+    for b, k2p, n in [(8, 2048, 4096), (8, 5632, 4096), (512, 2048, 22016),
+                      (512, 5632, 4096), (2048, 2048, 22016),
+                      (2048, 5632, 4096)]:
+        bk, bn, vmem = q8x_plan(b, k2p, n, 32, block_n=256, block_k=2048)
+        assert vmem <= limit, (b, k2p, n, bk, bn, vmem)
+        assert bk % 32 == 0 and (bk // 32) % 8 == 0 and bk // 32 <= 16
+        assert k2p % bk == 0 and n % bn == 0 and bn >= 128
+
+
 def test_q8x_dispatch_env(monkeypatch):
     """QMM_Q8X routes the packed no-bias path through the int8-activation
     kernel (interpret-mode CPU here; numerics equal the q8x kernel called
