@@ -62,7 +62,7 @@ class Console:
         """Reset color on exit (console_cleanup, common.cpp:629-642)."""
         self.set_color(Color.DEFAULT)
 
-    def readline(self, stdin=None) -> tuple[str, bool]:
+    def readline(self, stdin=None) -> tuple[str | None, bool]:
         """Read one physical line; returns (text, has_more).
 
         `has_more` mirrors console_readline's return (common.cpp:923-950):
@@ -70,13 +70,21 @@ class Console:
         continues by default and a trailing `\\` or `/` ends the input.
         The trailing special character is consumed; `\\`-continuation
         contributes a literal newline to the accumulated text.  EOF
-        (Ctrl-D) returns ("", False) on an empty read."""
+        (Ctrl-D) on an empty read returns (None, False) — distinct from
+        a lone `/` line, which yields ("", False) and falls into the
+        pass-control-back path like the reference's emptied buffer
+        (common.cpp:933-941).  Ctrl-D on a NON-empty line (cooked stdin
+        returns text without a trailing newline) is end_of_stream
+        (common.cpp:944-947): input ends immediately, no newline
+        appended."""
         stdin = stdin if stdin is not None else sys.stdin
         self.set_color(Color.USER_INPUT)
         raw = stdin.readline()
-        if raw == "":  # EOF
-            return "", False
-        line = raw.rstrip("\n")
+        if raw == "":  # EOF with nothing read
+            return None, False
+        if not raw.endswith("\n"):  # Ctrl-D mid-line: end_of_stream
+            return raw, False
+        line = raw[:-1]
         has_more = self.multiline_input
         if line.endswith("\\"):
             line = line[:-1] + "\n"
@@ -100,9 +108,11 @@ class Console:
         first = True
         while True:
             line, more = self.readline(stdin)
-            if first and line == "" and not more:
-                self.set_color(Color.DEFAULT)
-                return None
+            if line is None:  # real EOF
+                if first:
+                    self.set_color(Color.DEFAULT)
+                    return None
+                break  # EOF mid-accumulation: end input with what we have
             first = False
             parts.append(line)
             if not more:

@@ -295,12 +295,14 @@ def run(args) -> int:
             buffer = console.read_input()
             if buffer is None:  # EOF / Ctrl-D
                 break
-            # bare Enter (buffer == "\n") passes control back without new
-            # tokens (main.cpp:616); otherwise prefix/suffix wrap the text
-            if len(buffer) <= 1:
+            # bare Enter passes control back without new tokens — but the
+            # reference appends input_prefix BEFORE the length check
+            # (main.cpp:599-616), so with --in-prefix set a bare Enter
+            # still tokenizes prefix+newline
+            text = args.input_prefix + buffer
+            if len(text) <= 1:
                 prompt_tokens = []
                 continue
-            text = args.input_prefix + buffer
             if args.input_suffix:
                 text += args.input_suffix
                 print(args.input_suffix, end="", flush=True)

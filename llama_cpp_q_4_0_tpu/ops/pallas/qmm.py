@@ -166,6 +166,55 @@ def _qmm_packed_kernel(
         out_ref[:] = acc_ref[:]
 
 
+def _qmm_packed_kfold_kernel(
+    xlo_ref, xhi_ref, xglo_ref, xghi_ref, p_ref, slo_ref, shi_ref,
+    out_ref, acc_ref, *, n_k: int, gsize: int, zero: int,
+):
+    """Zero-fold WITHOUT the gbias stream (the r5 decode-bytes lever).
+
+    The q4_0 fold bias is just -zero * d[g,n], so instead of streaming a
+    precomputed gbias plane (0.79 GiB extra per decoded token at 7B — the
+    folded view's entire byte cost) the bias term is accumulated per K
+    block from the scale tile that is ALREADY resident in VMEM:
+        acc += -zero * (xg_blk @ s_blk)
+    Weight unpack stays mask/shift-only (the zero-fold VPU win: no
+    per-nibble subtract); the bias rides two [b, ng] x [ng, bn] MXU dots
+    per grid step, ~1/gsize of the weight dot's FLOPs.  Unlike fma_fold
+    (ruled out on chip 2026-08-20: per-element FMA on the full weight
+    tile) this adds NO per-weight VPU work — it removes bytes at zero
+    unpack cost, the only lever class that has ever won on the
+    VPU-constrained decode path (NOTES r4 3x lesson).  Numerics are the
+    unsigned-magnitude product + cancellation class of the params-level
+    fold (documented ~3.1e-2 model-level logits drift), with the bias
+    association per-K-block instead of one full-K seed."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bk, bn = p_ref.shape
+    p = p_ref[:].astype(jnp.int32)
+    lo = (p & 0xF).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    hi = (p >> 4).astype(jnp.float32).reshape(bk // gsize, gsize, bn)
+    slo = _scales_f32(slo_ref[0])  # [ng, bn]
+    shi = _scales_f32(shi_ref[0])
+    wlo = (lo * slo[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    whi = (hi * shi[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    acc = jnp.dot(xlo_ref[:].astype(jnp.bfloat16), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xhi_ref[:].astype(jnp.bfloat16), whi,
+                   preferred_element_type=jnp.float32)
+    acc += jnp.float32(-zero) * (
+        jnp.dot(xglo_ref[:], slo, preferred_element_type=jnp.float32)
+        + jnp.dot(xghi_ref[:], shi, preferred_element_type=jnp.float32))
+    acc_ref[:] += acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
 def _qmm_packed_bias_kernel(
     xlo_ref, xhi_ref, xglo_ref, xghi_ref, p_ref, slo_ref, shi_ref, blo_ref,
     bhi_ref, out_ref, acc_ref, *, n_k: int, gsize: int, zero: int,
@@ -415,7 +464,7 @@ def qmm_packed_q8x(
 @functools.partial(
     jax.jit,
     static_argnames=("gsize", "zero", "block_n", "block_k", "fuse_panels",
-                     "fma_fold", "interpret"),
+                     "fma_fold", "kfold", "interpret"),
 )
 def qmm_packed(
     x: jax.Array,
@@ -429,12 +478,17 @@ def qmm_packed(
     block_k: int = 2048,
     fuse_panels: bool = False,
     fma_fold: bool = False,
+    kfold: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """x [B, K] @ dequant(split-half packed nibbles) -> [B, N] f32.
 
     Layout contract is QTensor's packed form (ops/qtensor.py): pad columns
-    carry zero scales, so the padded x slices contribute nothing."""
+    carry zero scales, so the padded x slices contribute nothing.
+
+    kfold=True (non-bias formats with zero > 0 only): zero-fold with the
+    bias term computed in-kernel from the streamed scale tiles instead of
+    a gbias plane — see _qmm_packed_kfold_kernel."""
     b, k = x.shape
     k2p, n = packed_t.shape
     k2 = k // 2
@@ -464,7 +518,17 @@ def qmm_packed(
     kern = functools.partial(_qmm_packed_kernel, n_k=n_k, gsize=gsize,
                              zero=zero, fuse_panels=fuse_panels,
                              fma_fold=fma_fold)
-    if gbias_t is not None:
+    if kfold:
+        assert gbias_t is None and zero > 0, (gbias_t, zero)
+        ng = bk // gsize
+        xg_lo = x_lo.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
+        xg_hi = x_hi.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
+        in_specs.insert(2, pl.BlockSpec((b, ng), lambda i, kk: (0, kk)))
+        in_specs.insert(3, pl.BlockSpec((b, ng), lambda i, kk: (0, kk)))
+        args = [x_lo, x_hi, xg_lo, xg_hi, packed_t, gscale_t, gscale_t]
+        kern = functools.partial(_qmm_packed_kfold_kernel, n_k=n_k,
+                                 gsize=gsize, zero=zero)
+    elif gbias_t is not None:
         xg_lo = x_lo.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
         xg_hi = x_hi.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
         in_specs.insert(2, pl.BlockSpec((b, g2p), lambda i, kk: (0, 0)))

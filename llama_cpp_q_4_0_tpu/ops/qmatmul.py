@@ -343,6 +343,12 @@ def q_matmul(
                     # experimental: in-kernel zero fold via the dequant
                     # multiply-add (no gbias stream, no accuracy cost)
                     fma_fold=bool(os.environ.get("QMM_FMA")),
+                    # experimental (r5): zero-fold with the bias computed
+                    # in-kernel from the streamed scale tiles — no gbias
+                    # plane in HBM at all (−17% decode bytes vs the
+                    # folded view, mask/shift-only unpack kept)
+                    kfold=bool(os.environ.get("QMM_KFOLD"))
+                    and w.gbias_t is None and w.pack_zero > 0,
                 )
         else:
             block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256

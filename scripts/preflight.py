@@ -212,8 +212,19 @@ def check_bench(env: dict, name: str) -> list[str]:
     return bad
 
 
+def check_engine_steady(env: dict, name: str) -> list[str]:
+    occs = env.get("OCCUPANCIES", "4,8,16").split(",")
+    env = dict(env, SLOTS=str(max(int(x) for x in occs)))
+    n_ctx = int(env.get("N_CTX", "2048"))
+    n_pred = int(env.get("N_PREDICT", "192"))
+    env.setdefault("PROMPT_LEN", str(n_ctx - n_pred - 16))
+    env.setdefault("CACHE", "q8")
+    return check_engine(env, name)
+
+
 CHECKERS = {
     "engine-bench.py": check_engine,
+    "engine-steady.py": check_engine_steady,
     "bench.py": check_bench,
     "tune-q8x-prefill.py": check_bench,
     "tune-q8x.py": check_bench,

@@ -51,6 +51,21 @@ def test_eof_immediately_returns_none():
     assert _read("") is None
 
 
+def test_lone_slash_is_empty_buffer_not_eof():
+    # '/' alone empties the buffer and passes control back
+    # (common.cpp:933-941) — it must NOT read as EOF and end the session
+    assert _read("/\n") == ""
+    assert _read("/\n", multiline=True) == ""
+
+
+def test_ctrl_d_on_nonempty_line_ends_input_without_newline():
+    # cooked stdin returns the typed text with no trailing newline on
+    # Ctrl-D: end_of_stream (common.cpp:944-947) — input ends immediately
+    # even in --multiline-input mode, and no newline is appended
+    assert _read("abc") == "abc"
+    assert _read("abc", multiline=True) == "abc"
+
+
 def test_eof_mid_multiline_terminates():
     # backslash promises another line but EOF arrives: input ends
     assert _read("a\\\n") == "a\n"

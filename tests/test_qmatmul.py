@@ -153,6 +153,41 @@ def test_q_matmul_ref_int8_exact():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_kfold_matches_folded_params_path():
+    """QMM_KFOLD (in-kernel bias-from-scales) == the params-level
+    zero-fold (gbias planes) to f32-association noise: identical weight
+    tiles (raw [0,15] nibbles x scales), only the -zero*d bias term moves
+    from a streamed full-K gbias seed to per-K-block dots on the resident
+    scale tiles."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+    from llama_cpp_q_4_0_tpu.ops.qtensor import fold_zero_points
+
+    w, qt = _mk(256, 1024, GGMLType.Q4_0, seed=11)
+    qf = jax.tree_util.tree_leaves(
+        fold_zero_points({"w": qt}),
+        is_leaf=lambda t: isinstance(t, QTensor))[0]
+    assert qf.gbias_t is not None and qf.pack_zero == 0
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((4, 1024)) * 0.5).astype(np.float32)
+
+    folded = np.asarray(qmm_packed(
+        jnp.asarray(x), qf.levels_t, qf.gscale_t, qf.gbias_t,
+        gsize=qf.gsize, zero=qf.pack_zero, block_n=128, block_k=256,
+        interpret=True))
+    kfold = np.asarray(qmm_packed(
+        jnp.asarray(x), qt.levels_t, qt.gscale_t, None,
+        gsize=qt.gsize, zero=qt.pack_zero, block_n=128, block_k=256,
+        kfold=True, interpret=True))
+    np.testing.assert_allclose(kfold, folded, rtol=1e-4, atol=1e-4)
+
+    # and both sit within the documented fold class of the plain kernel
+    plain = np.asarray(qmm_packed(
+        jnp.asarray(x), qt.levels_t, qt.gscale_t, None,
+        gsize=qt.gsize, zero=qt.pack_zero, block_n=128, block_k=256,
+        interpret=True))
+    assert np.abs(kfold - plain).max() / np.abs(plain).max() < 2e-2
+
+
 def test_q8x_plan_fits_scoped_vmem():
     """The derived q8x block plan keeps every shape — including the
     b=512 prefill that hit 19.62M scoped vmem on chip (hw-validate-r4c

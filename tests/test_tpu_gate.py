@@ -406,6 +406,33 @@ def test_zero_fold_matches_on_chip(monkeypatch, tmp_path):
     assert np.abs(got - want).max() / scale < 5e-2
 
 
+def test_qmm_kfold_on_chip():
+    """kfold kernel (in-kernel bias-from-scales, NO gbias stream) vs the
+    params-level zero-fold ON CHIP: identical raw-nibble weight tiles, so
+    the agreement bound is the f32 association of the bias term (per-K-
+    block dots vs one full-K seed) — far tighter than either path's
+    3.1e-2 drift vs unfolded."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+    from llama_cpp_q_4_0_tpu.ops.qtensor import QTensor
+    from llama_cpp_q_4_0_tpu.quant.types import GGMLType
+
+    rng = np.random.default_rng(43)
+    w = (rng.standard_normal((512, 4096)) * 0.1).astype(np.float32)
+    q = QTensor.quantize(w, GGMLType.Q4_0)
+    qf = q.fold_zero()
+    assert q.pack_zero == 8 and qf.pack_zero == 0 and qf.gbias_t is not None
+    for b in (1, 8, 512):
+        x = jnp.asarray((rng.standard_normal((b, 4096)) * 0.5)
+                        .astype(np.float32))
+        folded = np.asarray(qmm_packed(
+            x, qf.levels_t, qf.gscale_t, qf.gbias_t, gsize=qf.gsize,
+            zero=qf.pack_zero, block_n=256, block_k=1024))
+        kf = np.asarray(qmm_packed(
+            x, q.levels_t, q.gscale_t, None, gsize=q.gsize,
+            zero=q.pack_zero, block_n=256, block_k=1024, kfold=True))
+        assert np.abs(kf - folded).max() / np.abs(folded).max() < 3e-3, b
+
+
 def test_qmm_fma_fold_on_chip():
     """fma_fold kernel (w = nib*d + (-zero*d), r4) vs the integer-subtract
     kernel ON CHIP: both round the same (nib-zero)*d value to bf16, so the
