@@ -254,7 +254,7 @@ def _qmm_packed_bias_kernel(
 def _qmm_packed_q8x_kernel(
     xlo_ref, xhi_ref, sxlo_ref, sxhi_ref, p_ref, slo_ref, shi_ref,
     out_ref, acc_ref, *, n_k: int, gsize: int, zero: int, n_groups: int,
-    int8_mxu: bool,
+    int8_mxu: bool, resident: bool,
 ):
     """int8-activation split-half kernel (the reference's q8_0-activation
     path, ggml.c:11353-11367 + ggml_vec_dot_q4_0_q8_0, mapped to the MXU).
@@ -278,7 +278,16 @@ def _qmm_packed_q8x_kernel(
 
     int8_mxu=False runs the dots in bf16: still EXACT (|levels| <= 8,
     |xq| <= 127 — products < 2^10 and f32 accumulation is exact below
-    2^24), at the bf16 MXU rate instead of the 2x int8 rate."""
+    2^24), at the bf16 MXU rate instead of the 2x int8 rate.
+
+    resident=True keeps the FULL xq planes in VMEM (constant index map —
+    fetched once) and indexes this k-block's groups with a dynamic
+    LEADING-dim slice (the chip-proven pattern of the old fori_loop
+    kernel).  Without it, n_k > 1 forces a re-fetch of the planes on
+    every n-block: b*K bytes x (N/block_n) steps ~ 6 GB of restream per
+    7B prefill-512 pass — the bf16 packed kernel dodges this only
+    because its k2p-sized block makes the x index constant (n_k == 1),
+    which the 16-group unroll cap forbids here."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -304,8 +313,10 @@ def _qmm_packed_q8x_kernel(
             (xlo_ref, sxlo, (pg & 0xF) - zero, slo),
             (xhi_ref, sxhi, (pg >> 4) - zero, shi),
         ):
+            xg = (x_ref[pl.ds(k * n_groups + g, 1)][0] if resident
+                  else x_ref[g])
             d = jax.lax.dot_general(
-                x_ref[g].astype(dt), lv.astype(dt),
+                xg.astype(dt), lv.astype(dt),
                 dimension_numbers=dn, preferred_element_type=pt)
             # d_x: static column [B, 1] broadcast across BN;
             # d_w: static row [1, BN] broadcast across B
@@ -356,25 +367,36 @@ def _quantize_q8x(x: jax.Array, gsize: int, k2p: int):
 
 def q8x_plan(b: int, k2p: int, n: int, gsize: int, block_n: int,
              block_k: int, scale_itemsize: int = 4):
-    """Derive feasible (block_k, block_n, vmem_bytes) for qmm_packed_q8x.
+    """Derive feasible (block_k, block_n, vmem_bytes, resident) for
+    qmm_packed_q8x.
 
     Models Mosaic's padded VMEM tiles (int8 sublane tile 32, lane tile 128,
     double-buffered pipelined inputs) and shrinks block_k then block_n
     until the estimate fits 90% of the scoped-vmem limit — hand-tuned
     block envs once sent a 19.62M-scoped-vmem kernel to the chip and every
     tune-q8x-prefill variant died rc=1 (hw-validate-r4c 2026-08-20).
+
+    resident=True (preferred whenever the full xq planes fit): constant
+    index map, planes fetched ONCE instead of once per n-block — without
+    it the n_k > 1 grid restreams b*K activation bytes x N/block_n times
+    (~6 GB per 7B prefill-512 pass).  QMM_Q8X_RESIDENT=0/1 overrides.
     Shared with scripts/preflight.py so queue configs are vetted on the
     CPU before they touch hardware."""
     import os
 
     bl = -(-b // 128) * 128  # lane pad
     b8 = -(-b // 8) * 8      # sublane pad
+    g2p = k2p // gsize
 
-    def vmem(bk_, bn_):
+    def vmem(bk_, bn_, res):
         ng_ = bk_ // gsize
         bnp = max(bn_, 128)
+        if res:  # full planes, single-buffered (constant index map)
+            xq = 2 * g2p * max(gsize, 32) * bl
+        else:    # per-block planes, double-buffered
+            xq = 4 * ng_ * max(gsize, 32) * bl
         return (
-            4 * ng_ * max(gsize, 32) * bl          # xq planes (int8, x2x2)
+            xq
             + 4 * b8 * 128 * 4                     # sx planes (ng -> 128)
             + 2 * bk_ * bnp                        # packed tile (uint8)
             + 4 * (-(-ng_ // 8) * 8) * bnp * scale_itemsize
@@ -388,13 +410,19 @@ def q8x_plan(b: int, k2p: int, n: int, gsize: int, block_n: int,
     while k2p % bk:
         bk //= 2
     limit = 0.9 * 1024 * int(os.environ.get("QMM_SCOPED_VMEM_KIB", "16384"))
-    while (bk > 8 * gsize and k2p % (bk // 2) == 0
-           and vmem(bk, block_n) > limit):
-        bk //= 2
-    while (block_n > 128 and n % (block_n // 2) == 0
-           and vmem(bk, block_n) > limit):
-        block_n //= 2
-    return bk, block_n, vmem(bk, block_n)
+    env_res = os.environ.get("QMM_Q8X_RESIDENT")
+    res_order = ([False] if env_res == "0"
+                 else [True] if env_res == "1" else [True, False])
+    for res in res_order:
+        bk_, bn_ = bk, block_n
+        while (bk_ > 8 * gsize and k2p % (bk_ // 2) == 0
+               and vmem(bk_, bn_, res) > limit):
+            bk_ //= 2
+        while (bn_ > 128 and n % (bn_ // 2) == 0
+               and vmem(bk_, bn_, res) > limit):
+            bn_ //= 2
+        if vmem(bk_, bn_, res) <= limit or res is res_order[-1]:
+            return bk_, bn_, vmem(bk_, bn_, res), res
 
 
 @functools.partial(
@@ -421,20 +449,26 @@ def qmm_packed_q8x(
     b, k = x.shape
     k2p, n = packed_t.shape
     assert k // 2 <= k2p, (x.shape, packed_t.shape)
-    bk, block_n, _ = q8x_plan(b, k2p, n, gsize, block_n, block_k,
-                              2 if gscale_t.dtype == jnp.float16 else 4)
+    bk, block_n, _, resident = q8x_plan(
+        b, k2p, n, gsize, block_n, block_k,
+        2 if gscale_t.dtype == jnp.float16 else 4)
     assert n % block_n == 0 and k2p % bk == 0, (n, k2p, block_n, bk)
     assert bk % gsize == 0 and (bk // gsize) % 8 == 0
     n_k = k2p // bk
     n_groups = bk // gsize
+    g2p = k2p // gsize
     grid = (n // block_n, n_k)
 
     xq_lo, xq_hi, sx_lo, sx_hi = _quantize_q8x(x, gsize, k2p)
     gscale_t = _u16_view(gscale_t)
 
+    if resident:  # full planes, fetched once (constant index map)
+        x_spec = pl.BlockSpec((g2p, gsize, b), lambda i, kk: (0, 0, 0))
+    else:
+        x_spec = pl.BlockSpec((n_groups, gsize, b), lambda i, kk: (kk, 0, 0))
     in_specs = [
-        pl.BlockSpec((n_groups, gsize, b), lambda i, kk: (kk, 0, 0)),
-        pl.BlockSpec((n_groups, gsize, b), lambda i, kk: (kk, 0, 0)),
+        x_spec,
+        x_spec,
         pl.BlockSpec((b, n_groups), lambda i, kk: (0, kk)),
         pl.BlockSpec((b, n_groups), lambda i, kk: (0, kk)),
         pl.BlockSpec((bk, block_n), lambda i, kk: (kk, i)),
@@ -445,7 +479,8 @@ def qmm_packed_q8x(
     bytes_accessed = k2p * n + 8 * (k2p // gsize) * n + b * k + 4 * b * n
     return pl.pallas_call(
         functools.partial(_qmm_packed_q8x_kernel, n_k=n_k, gsize=gsize,
-                          zero=zero, n_groups=n_groups, int8_mxu=int8_mxu),
+                          zero=zero, n_groups=n_groups, int8_mxu=int8_mxu,
+                          resident=resident),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b, block_n), lambda i, kk: (0, i)),

@@ -568,6 +568,14 @@ class BatchEngine:
         free = [s for s in self.slots if s.free]
         batch = []
         while self._pending and len(batch) < len(free):
+            # while the chunked lane is busy a long prompt can only
+            # defer — leave it (and everything behind it: FIFO) in
+            # _pending instead of pop/bind/unbind churn every tick
+            # (ADVICE r4 #5)
+            if (self._prefill_state is not None and self._prefix is None
+                    and len(self._pending[0].prompt_tokens[:self.n_ctx - 1]
+                            or [1]) > self.prefill_chunk):
+                break
             batch.append((free[len(batch)], self._pending.pop(0)))
         if not batch:
             return

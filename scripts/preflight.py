@@ -166,7 +166,7 @@ def check_engine(env: dict, name: str) -> list[str]:
                     f"{0.9 * SCOPED_VMEM / 2**20:.1f}M")
             if env.get("QMM_Q8X") and rows <= int(
                     env.get("QMM_Q8X_MAX_B", "128")):
-                bk, bn, vmem = q8x_plan(rows, k2p, n, 32, 256, 2048)
+                bk, bn, vmem, _res = q8x_plan(rows, k2p, n, 32, 256, 2048)
                 if vmem > 0.9 * SCOPED_VMEM:
                     bad.append(
                         f"{name}: q8x qmm b={rows} shape=({n},{k}) "
@@ -204,7 +204,7 @@ def check_bench(env: dict, name: str) -> list[str]:
                     f"bn={bn} vmem {vmem / 2**20:.2f}M (env overrides "
                     f"bypass the dispatch shrink)")
             if q8x_cap and rows <= q8x_cap:
-                bk, bn, vmem = q8x_plan(rows, k2p, n, 32, 256, 2048)
+                bk, bn, vmem, _res = q8x_plan(rows, k2p, n, 32, 256, 2048)
                 if vmem > 0.9 * SCOPED_VMEM:
                     bad.append(
                         f"{name}: q8x qmm b={rows} shape=({n},{k}) "

@@ -201,10 +201,15 @@ def test_q8x_plan_fits_scoped_vmem():
     for b, k2p, n in [(8, 2048, 4096), (8, 5632, 4096), (512, 2048, 22016),
                       (512, 5632, 4096), (2048, 2048, 22016),
                       (2048, 5632, 4096)]:
-        bk, bn, vmem = q8x_plan(b, k2p, n, 32, block_n=256, block_k=2048)
+        bk, bn, vmem, res = q8x_plan(b, k2p, n, 32, block_n=256,
+                                     block_k=2048)
         assert vmem <= limit, (b, k2p, n, bk, bn, vmem)
         assert bk % 32 == 0 and (bk // 32) % 8 == 0 and bk // 32 <= 16
         assert k2p % bk == 0 and n % bn == 0 and bn >= 128
+    # prefill shapes must get the resident planes (the restream killer)
+    for b, k2p, n in [(512, 2048, 22016), (512, 5632, 4096),
+                      (8, 2048, 4096)]:
+        assert q8x_plan(b, k2p, n, 32, 256, 2048)[3], (b, k2p, n)
 
 
 def test_q8x_dispatch_env(monkeypatch):
