@@ -206,8 +206,8 @@ def _qmm_packed_kfold_kernel(
     acc += jnp.dot(xhi_ref[:].astype(jnp.bfloat16), whi,
                    preferred_element_type=jnp.float32)
     acc += jnp.float32(-zero) * (
-        jnp.dot(xglo_ref[:], slo, preferred_element_type=jnp.float32)
-        + jnp.dot(xghi_ref[:], shi, preferred_element_type=jnp.float32))
+        jnp.dot(xglo_ref[0], slo, preferred_element_type=jnp.float32)
+        + jnp.dot(xghi_ref[0], shi, preferred_element_type=jnp.float32))
     acc_ref[:] += acc
 
     @pl.when(k == n_k - 1)
@@ -299,8 +299,8 @@ def _qmm_packed_q8x_kernel(
     dn = (((0,), (0,)), ((), ()))  # contract the sublane dim of both sides
     slo = _scales_f32(slo_ref[0])  # [G, BN]
     shi = _scales_f32(shi_ref[0])
-    sxlo = sxlo_ref[:]  # [B, G]
-    sxhi = sxhi_ref[:]
+    sxlo = sxlo_ref[0]  # [B, G] (leading n_k axis blocked to 1 — a 2-D
+    sxhi = sxhi_ref[0]  # [B, G_block] block is only lowerable at n_k == 1)
 
     acc = jnp.zeros(acc_ref.shape, jnp.float32)
     for g in range(n_groups):
@@ -466,11 +466,17 @@ def qmm_packed_q8x(
         x_spec = pl.BlockSpec((g2p, gsize, b), lambda i, kk: (0, 0, 0))
     else:
         x_spec = pl.BlockSpec((n_groups, gsize, b), lambda i, kk: (kk, 0, 0))
+    # sx planes ride a leading n_k axis: a (b, ng) block of a [b, G] array
+    # is only lowerable when ng == G (Mosaic: last block dim must be
+    # 128-divisible or full) — [n_k, b, ng] with a (1, b, ng) block makes
+    # every block dim equal its array dim (caught on chip, r5 gate)
+    sx_lo = sx_lo.reshape(b, n_k, n_groups).swapaxes(0, 1)
+    sx_hi = sx_hi.reshape(b, n_k, n_groups).swapaxes(0, 1)
     in_specs = [
         x_spec,
         x_spec,
-        pl.BlockSpec((b, n_groups), lambda i, kk: (0, kk)),
-        pl.BlockSpec((b, n_groups), lambda i, kk: (0, kk)),
+        pl.BlockSpec((1, b, n_groups), lambda i, kk: (kk, 0, 0)),
+        pl.BlockSpec((1, b, n_groups), lambda i, kk: (kk, 0, 0)),
         pl.BlockSpec((bk, block_n), lambda i, kk: (kk, i)),
         pl.BlockSpec((1, n_groups, block_n), lambda i, kk: (0, kk, i)),
         pl.BlockSpec((1, n_groups, block_n), lambda i, kk: (1, kk, i)),
@@ -558,8 +564,12 @@ def qmm_packed(
         ng = bk // gsize
         xg_lo = x_lo.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
         xg_hi = x_hi.astype(jnp.float32).reshape(b, g2p, gsize).sum(axis=2)
-        in_specs.insert(2, pl.BlockSpec((b, ng), lambda i, kk: (0, kk)))
-        in_specs.insert(3, pl.BlockSpec((b, ng), lambda i, kk: (0, kk)))
+        # leading n_k axis: a (b, ng) block of [b, G] is only lowerable
+        # at n_k == 1 (Mosaic last-dim rule; caught on chip, r5 gate)
+        xg_lo = xg_lo.reshape(b, n_k, ng).swapaxes(0, 1)
+        xg_hi = xg_hi.reshape(b, n_k, ng).swapaxes(0, 1)
+        in_specs.insert(2, pl.BlockSpec((1, b, ng), lambda i, kk: (kk, 0, 0)))
+        in_specs.insert(3, pl.BlockSpec((1, b, ng), lambda i, kk: (kk, 0, 0)))
         args = [x_lo, x_hi, xg_lo, xg_hi, packed_t, gscale_t, gscale_t]
         kern = functools.partial(_qmm_packed_kfold_kernel, n_k=n_k,
                                  gsize=gsize, zero=zero)
