@@ -188,9 +188,9 @@ def main():
             jax.block_until_ready(params)
             import statistics
 
-            # decode times the FOLDED view (the r4 TPU default in
-            # Context/BatchEngine); prefill keeps the raw view, exactly as
-            # Context.eval routes by bucketed t
+            # decode rides the r5 kfold dispatch default (in-kernel
+            # zero-fold, raw weights, no gbias planes); QMM_ZERO_FOLD=1
+            # would restore the r4 folded-view comparison point
             from llama_cpp_q_4_0_tpu.ops.qtensor import (
                 maybe_fold_zero_points,
             )

@@ -212,9 +212,17 @@ def flash_prefill_fn():
 
 def _use_fused_decode(rep: int, t: int, s: int, hd: int) -> bool:
     """Fused Pallas decode-attention eligibility (see pallas/attention.py).
-    Env-gated (FUSED_ATTN=1) while model-level numbers are collected.
-    Covers MQA/GQA (rep > 1, grouped MXU contraction in-kernel) as well as
-    rep == 1; FUSED_MAX_T widens to speculative-verify shapes."""
+
+    RULED OUT as a default (r5, 2026-08-20): at its motivating case —
+    w~2000 decode with q8 KV, the shape it was designed for — fused
+    measured 33.0 vs 23.5 ms/tick at occ=4 and 91.0 vs 49.7 at occ=8
+    (engine-steady, same engine adjacent queue steps), on top of losing
+    at toy windows (r4: 586 vs 621 tok/s).  XLA's fused softmax-matmul
+    schedule beats the hand Pallas kernel at every measured shape.  Kept
+    env-gated (FUSED_ATTN=1) with its chip gates as a documented
+    negative result.  Covers MQA/GQA (rep > 1, grouped MXU contraction
+    in-kernel) as well as rep == 1; FUSED_MAX_T widens to
+    speculative-verify shapes."""
     import os
 
     if not os.environ.get("FUSED_ATTN"):

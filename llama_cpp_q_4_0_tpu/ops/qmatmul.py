@@ -149,6 +149,23 @@ def q_matmul_ref_int8(x: jax.Array, w) -> jax.Array:
 MAX_PALLAS_ROWS = 2048
 
 
+def use_kfold(b: int, w) -> bool:
+    """r5 TPU DECODE DEFAULT: route packed no-bias tensors through the
+    kfold kernel (in-kernel zero-fold, no gbias planes — see
+    ops/pallas/qmm.py _qmm_packed_kfold_kernel) for decode-shaped calls.
+    QMM_KFOLD: unset = auto (b <= QMM_KFOLD_MAX_B, default 32 — the same
+    boundary the r4 split views used), '0' = off, '1' = every eligible
+    shape (prefill keeps the plain kernel by default: the params-fold
+    regressed compute-bound prefill +6.8% in r4 and kfold shares its
+    unsigned-product numerics)."""
+    import os
+
+    env = os.environ.get("QMM_KFOLD", "")
+    if env == "0" or w.gbias_t is not None or not w.pack_zero:
+        return False
+    return env == "1" or b <= int(os.environ.get("QMM_KFOLD_MAX_B", "32"))
+
+
 def packed_vmem_bytes(b: int, bk: int, bn: int, gsize: int,
                       scale_itemsize: int = 4) -> int:
     """Scoped-VMEM model for one qmm_packed grid step (pipelined inputs
@@ -343,12 +360,11 @@ def q_matmul(
                     # experimental: in-kernel zero fold via the dequant
                     # multiply-add (no gbias stream, no accuracy cost)
                     fma_fold=bool(os.environ.get("QMM_FMA")),
-                    # experimental (r5): zero-fold with the bias computed
-                    # in-kernel from the streamed scale tiles — no gbias
-                    # plane in HBM at all (−17% decode bytes vs the
-                    # folded view, mask/shift-only unpack kept)
-                    kfold=bool(os.environ.get("QMM_KFOLD"))
-                    and w.gbias_t is None and w.pack_zero > 0,
+                    # kfold (r5 TPU DECODE DEFAULT, see use_kfold): won
+                    # or tied every ab-decode combo (10.15/10.18/10.99 vs
+                    # zerofold 10.19/10.35/11.64 ms, 2026-08-20) with no
+                    # gbias planes — retires the r4 split param views
+                    kfold=use_kfold(b, w),
                 )
         else:
             block_k = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else 256

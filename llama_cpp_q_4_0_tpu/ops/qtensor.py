@@ -329,22 +329,19 @@ def fold_zero_points(params):
 
 
 def maybe_fold_zero_points(params):
-    """The DEFAULT runtime transform for TPU inference paths (Context,
-    BatchEngine, bench) since round 4: zero-fold measured −4.8% decode at
-    T=1 and −2.9% at T=8 on v5e (scripts/ab-decode.py interleaved medians,
-    2026-08-20; on-chip parity gate test_zero_fold_matches_on_chip).
-    QMM_ZERO_FOLD=0 opts out.  CPU backends stay UNFOLDED so the
-    compiled-reference oracle gates keep their exact numeric chain
-    (fold shifts logits ~1 bf16 ulp — enough to flip argmax near ties)."""
+    """Params-level zero-fold, now OPT-IN ONLY (QMM_ZERO_FOLD=1).
+
+    History: the folded view (gbias planes, split decode/prefill views)
+    was the TPU default for round 4 (−4.8% decode vs plain).  Round 5's
+    in-kernel fold (q_matmul's kfold path, ops/pallas/qmm.py) reaches the
+    same mask/shift-only unpack WITHOUT materializing gbias planes — it
+    matched or beat the folded view at every ab-decode combo (10.15/
+    10.18/10.99 vs 10.19/10.35/11.64 ms, interleaved medians 2026-08-20)
+    while saving 0.79 GiB of HBM and the split-view machinery, so the
+    params-level fold is no longer applied by default anywhere.
+    QMM_ZERO_FOLD=1 restores it explicitly (tests, A/B harnesses)."""
     import os
 
-    env = os.environ.get("QMM_ZERO_FOLD")
-    if env == "0":
-        return params
-    if env:  # explicit opt-in folds on any backend (tests exercise CPU)
+    if os.environ.get("QMM_ZERO_FOLD") == "1":
         return fold_zero_points(params)
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    return fold_zero_points(params) if on_tpu else params
+    return params

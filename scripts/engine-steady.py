@@ -87,6 +87,20 @@ def run_occupancy(eng, prompts, occ):
 
 
 def main():
+    if len(OCCUPANCIES) > 1:
+        # ONE OCCUPANCY PER SUBPROCESS: three engines built sequentially
+        # in one process OOM'd HBM at occ=16 (r5 queue 17:40 — the prior
+        # engines' caches/executables are not reliably freed before the
+        # next init); the persistent XLA cache keeps re-runs cheap
+        import subprocess
+
+        for occ in OCCUPANCIES:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, OCCUPANCIES=str(occ)),
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))))
+        return
     if os.environ.get("TINY"):  # CPU-testable configuration
         cfg, params = bench.build_llama(n_layer=2, n_embd=256, n_head=4,
                                         n_ff=512, n_vocab=512, n_ctx=N_CTX)
