@@ -240,6 +240,16 @@ def forward(
                < (n_past_v[:, None] + t))
     scale = 1.0 / math.sqrt(hd)
 
+    # per-row inserts are SCATTERS over [B,1]x[B,T] indices: a batched
+    # dynamic_update_slice with per-row offsets has no HLO form, so the
+    # previous vmap(dynamic_update_slice) lowered to a select that read
+    # and wrote the ENTIRE cache per layer per step — measured 59.4 vs
+    # 34.7 ms/step (per-row vs scalar n_past) at occ=16 w=2048 q8, and
+    # the whole-cache traffic compounded inside the engine's chunked
+    # tick scan (148 ms/step, engine-steady 2026-08-20).  The scatter
+    # writes only the b*t inserted positions and aliases in place.
+    rows_b = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1]
+
     def cache_insert(cache, val):
         if isinstance(cache, QuantKV):
             q, sc = quantize_kv(val)
@@ -251,19 +261,18 @@ def forward(
                                                  (0, n_past, 0)),
                 )
             return QuantKV(
-                jax.vmap(lambda c, v, o: jax.lax.dynamic_update_slice(
-                    c, v, (o, 0, 0)))(cache.data, q, n_past_v),
-                jax.vmap(lambda c, v, o: jax.lax.dynamic_update_slice(
-                    c, v, (o, 0)))(cache.scale, sc, n_past_v),
+                cache.data.at[rows_b, pos_b].set(
+                    q, mode="promise_in_bounds", unique_indices=True),
+                cache.scale.at[rows_b, pos_b].set(
+                    sc, mode="promise_in_bounds", unique_indices=True),
             )
         if not per_row:
             return jax.lax.dynamic_update_slice(
                 cache, val.astype(cache.dtype), (0, n_past, 0, 0)
             )
-        return jax.vmap(
-            lambda c, v, o: jax.lax.dynamic_update_slice(
-                c, v.astype(c.dtype), (o, 0, 0))
-        )(cache, val, n_past_v)
+        return cache.at[rows_b, pos_b].set(
+            val.astype(cache.dtype), mode="promise_in_bounds",
+            unique_indices=True)
 
     if tokens.ndim == 3:
         # raw input embeddings [B, T, E] (llama_eval_embd, llama.h:239-244 —

@@ -13,6 +13,8 @@ RoPE mode semantics follow ggml_rope (ggml.h:1060-1071):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -299,16 +301,39 @@ def attention(
         )
 
     qf = q.astype(jnp.float32)
-    kf = kd.astype(jnp.float32)
-    vf = vd.astype(jnp.float32)
+    # STORAGE-DTYPE MXU path (r5, the long-context serving fix): the f32
+    # upcast of the [B, S, H, D] window for the HIGHEST-precision einsums
+    # materialized f32 copies of the WHOLE cache every decode step —
+    # ~2.1 GB of temps per slot at S=2048, which made steady-state ticks
+    # SUPERLINEAR in occupancy (measured 23.0/51.4/149.5 ms/step at occ
+    # 4/8/16 vs a ~27 ms linear bandwidth model, engine-steady
+    # 2026-08-20; bf16 ≈ q8, so dequant was not the cost — the f32 temps
+    # were).  For bf16/int8 caches the MXU consumes the stored operands
+    # directly (bf16 in, f32 accumulate): no f32 window temp exists, and
+    # the K/V values were ALREADY bf16-rounded at insertion, so only q
+    # and the probs lose f32->bf16 input rounding (the 2.5e-3-class
+    # drift the flash/fused gates already bound).  f32 caches — every
+    # CPU oracle/parity gate — keep the exact f32 HIGHEST chain.
+    # ATTN_MXU=0 opts out.
+    mxu = (not ref_f16_softmax and kd.dtype != jnp.float32
+           and os.environ.get("ATTN_MXU", "1") != "0")
+    if mxu:
+        kf = kd if kd.dtype == jnp.bfloat16 else kd.astype(jnp.bfloat16)
+        vf = vd if vd.dtype == jnp.bfloat16 else vd.astype(jnp.bfloat16)
+        qdot = qf.astype(jnp.bfloat16)
+        prec = dict(preferred_element_type=jnp.float32)
+    else:
+        kf = kd.astype(jnp.float32)
+        vf = vd.astype(jnp.float32)
+        qdot = qf
+        prec = dict(precision=jax.lax.Precision.HIGHEST)
     if rep == 1:
-        # [B, H, T, S].  HIGHEST: at t == 1 this lowers to exact vector
-        # ops, but t > 1 (speculative verify) becomes a single-pass bf16
-        # MXU matmul on v5e (measured 2.5e-3 drift, r3 gate) — ggml
-        # computes attention in f32 always (llama.cpp:1396-1445), so pin
-        # it; attention einsums are ~0.25% of decode FLOPs
-        scores = jnp.einsum("bthd,bshd->bhts", qf, kf,
-                            precision=jax.lax.Precision.HIGHEST) * scale
+        # [B, H, T, S].  HIGHEST (f32 path): at t == 1 this lowers to
+        # exact vector ops, but t > 1 (speculative verify) becomes a
+        # single-pass bf16 MXU matmul on v5e (measured 2.5e-3 drift, r3
+        # gate) — ggml computes attention in f32 always
+        # (llama.cpp:1396-1445), so pin it there
+        scores = jnp.einsum("bthd,bshd->bhts", qdot, kf, **prec) * scale
         if ks is not None:
             scores = scores * ks.transpose(0, 2, 1)[:, :, None, :]
         kv_pos = jnp.arange(s)[None, None, None, :]  # slot index = position
@@ -322,20 +347,22 @@ def attention(
             probs = jnp.where(valid, probs, 0.0)
         if vs is not None:
             probs = probs * vs.transpose(0, 2, 1)[:, :, None, :]
-        return jnp.einsum("bhts,bshd->bthd", probs, vf,
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("bhts,bshd->bthd",
+                          probs.astype(jnp.bfloat16) if mxu else probs,
+                          vf, **prec)
 
     # MQA/GQA: group the query heads by kv head and contract against the
     # SINGLE stored K/V head — broadcast happens inside the einsum, the
     # [B,S,n_head,D] repeat the reference materializes (falcon.cpp:1225-1227
     # "cheap hack", ggml_repeat) never exists here
-    qg = qf.reshape(b, t, n_kv, rep, hd)
-    # HIGHEST: XLA's excess-precision upgrade covers the rep == 1 einsums
-    # but NOT this batched-gemm form — at default precision it lowers to a
-    # single bf16 MXU pass on v5e (measured 2.6e-3 score drift, r3 gate),
-    # silently degrading every GQA/MQA (falcon) forward.  Pin f32.
-    scores = jnp.einsum("btgrd,bsgd->bgrts", qg, kf,
-                        precision=jax.lax.Precision.HIGHEST) * scale
+    qg = qdot.reshape(b, t, n_kv, rep, hd)
+    # f32 path keeps HIGHEST: XLA's excess-precision upgrade covers the
+    # rep == 1 einsums but NOT this batched-gemm form — at default
+    # precision it lowers to a single bf16 MXU pass on v5e (measured
+    # 2.6e-2-class score drift, r3 gate), silently degrading every
+    # GQA/MQA (falcon) f32-cache forward.  The storage-dtype path takes
+    # the bf16 MXU pass deliberately (see mxu above).
+    scores = jnp.einsum("btgrd,bsgd->bgrts", qg, kf, **prec) * scale
     if ks is not None:
         scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :]
     kv_pos = jnp.arange(s)[None, None, None, None, :]
@@ -349,6 +376,7 @@ def attention(
         probs = jnp.where(valid, probs, 0.0)
     if vs is not None:
         probs = probs * vs.transpose(0, 2, 1)[:, :, None, None, :]
-    out = jnp.einsum("bgrts,bsgd->btgrd", probs, vf,
-                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bgrts,bsgd->btgrd",
+                     probs.astype(jnp.bfloat16) if mxu else probs,
+                     vf, **prec)
     return out.reshape(b, t, n_head, hd)

@@ -54,12 +54,18 @@ class Request:
 
         SINGLE-CONSUMER: the stream ends with one terminal sentinel, so
         call this once per request — a second iteration after the first
-        completed blocks forever on the empty queue."""
+        completed blocks forever on the empty queue.  The engine enqueues
+        a LIST per tick (one queue wakeup instead of `chunk`: per-token
+        puts cost ~6.7 ms each in consumer-thread GIL wakeups at 16
+        busy clients — engine-steady trace 2026-08-20)."""
         while True:
             t = self.out.get()
             if t is None:
                 return
-            yield t
+            if isinstance(t, list):
+                yield from t
+            else:
+                yield t
 
 
 class _Slot:
@@ -923,6 +929,7 @@ class BatchEngine:
             if s.req is not req or req is None:
                 continue
             done = False
+            emit = []  # ONE queue put per (request, tick): see tokens()
             for j in range(self.chunk):
                 tok = int(out[idx, j])
                 s.n_past += 1
@@ -932,7 +939,7 @@ class BatchEngine:
                 s.last_tokens.append(tok)
                 s.produced += 1
                 self.n_tokens_out += 1
-                req.out.put(tok)
+                emit.append(tok)
                 if req.stop_sequences and any(
                     tuple(s.last_tokens[-len(ss):]) == ss
                     for ss in req.stop_sequences if ss
@@ -943,6 +950,8 @@ class BatchEngine:
                         or s.n_past + self.chunk + 1 >= self.n_ctx):
                     done = True
                     break
+            if emit:
+                req.out.put(emit)
             if done:
                 req.out.put(None)
                 self.n_requests_done += 1
@@ -1032,6 +1041,7 @@ class BatchEngine:
             if req is None or s.req is not req:
                 continue  # freed at an earlier harvest (stale tick)
             finished = False
+            emit = []  # ONE queue put per (request, tick): see tokens()
             for step in range(ns_h.shape[0]):
                 self.n_spec_rounds += 1
                 self.n_spec_drafted += self.spec_draft
@@ -1041,7 +1051,7 @@ class BatchEngine:
                     s.last_tokens.append(tok)
                     s.produced += 1
                     self.n_tokens_out += 1
-                    req.out.put(tok)
+                    emit.append(tok)
                     if req.stop_sequences and any(
                         tuple(s.last_tokens[-len(ss):]) == ss
                         for ss in req.stop_sequences if ss
@@ -1053,6 +1063,8 @@ class BatchEngine:
                         break
                 if finished:
                     break
+            if emit:
+                req.out.put(emit)
             s.n_past = int(n_hist_h[s.idx]) - 1
             if not finished and done_h[s.idx]:
                 finished = True  # device froze the row (EOS / context end)

@@ -462,11 +462,24 @@ def _sample_logits(logits, key, ds: DeviceSampling):
     static_argnames=("cfg", "n_steps", "ds", "kv_window", "forward_fn"),
     donate_argnames=("cache_k", "cache_v"),
 )
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "ds", "kv_window", "forward_fn"),
+    donate_argnames=("cache_k", "cache_v"),
+)
 def decode_chunk(cfg: ModelConfig, params, tok, n_past, cache_k, cache_v,
                  key, *, n_steps: int, ds: DeviceSampling,
                  kv_window: int | None = None, recent=None, mu=None,
                  sv: SamplingVec | None = None, forward_fn=None):
     """From last token [B] and caches, generate n_steps tokens on device.
+
+    JITTED with DONATED caches (like spec_chunk): un-donated, each tick's
+    scan produced fresh cache buffers while the caller still held the old
+    ones — at the 16x2048 q8 flagship that transiently oversubscribed HBM
+    (2 x 9.7 GiB caches + 4.2 GiB weights > 15.75) and long-context ticks
+    ran ~2.5x slower than the same steps issued with donation
+    (engine-steady decomp, 2026-08-20).  Callers MUST rebind their cache
+    references from the return value (all three call sites do).
 
     recent [B, N] (required when ds.penalized): sliding window of the
     last tokens INCLUDING tok, maintained in the scan carry so penalties

@@ -295,6 +295,7 @@ class RwkvBatchEngine:
             if req is None or s.req is not req:
                 continue  # freed at an earlier harvest (stale tick)
             finished = False
+            emit = []  # ONE queue put per (request, tick): Request.tokens
             for step in range(ns_h.shape[0]):
                 self.n_spec_rounds += 1
                 self.n_spec_drafted += self.spec.n_draft
@@ -304,7 +305,7 @@ class RwkvBatchEngine:
                     s.last_tokens.append(tok)
                     s.produced += 1
                     self.n_tokens_out += 1
-                    req.out.put(tok)
+                    emit.append(tok)
                     if req.stop_sequences and any(
                         tuple(s.last_tokens[-len(ss):]) == ss
                         for ss in req.stop_sequences if ss
@@ -316,6 +317,8 @@ class RwkvBatchEngine:
                         break
                 if finished:
                     break
+            if emit:
+                req.out.put(emit)
             s.n_past = int(n_hist_h[s.idx]) - 1
             if not finished and done_h[s.idx]:
                 finished = True  # device froze the row (EOS / history end)

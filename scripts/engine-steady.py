@@ -40,7 +40,9 @@ from llama_cpp_q_4_0_tpu.runtime.device_sample import DeviceSampling
 from llama_cpp_q_4_0_tpu.runtime.sampling import SamplingParams
 
 N_CTX = int(os.environ.get("N_CTX", "2048"))
-N_PREDICT = int(os.environ.get("N_PREDICT", "192"))
+# n_predict must outlast the SERIALIZED admission span of the largest
+# occupancy or the steady window is empty (see run_occupancy)
+N_PREDICT = int(os.environ.get("N_PREDICT", "448"))
 PROMPT_LEN = int(os.environ.get("PROMPT_LEN", str(N_CTX - N_PREDICT - 16)))
 CACHE = os.environ.get("CACHE", "q8")
 CHUNK = int(os.environ.get("CHUNK", "8"))
@@ -53,7 +55,7 @@ def run_occupancy(eng, prompts, occ):
     reqs = [eng.submit(Request(p, n_predict=N_PREDICT, sampling=greedy))
             for p in prompts[:occ]]
     events: list[float] = []
-    firsts = []
+    firsts, lasts = [], []
     threads = []
     lock = threading.Lock()
 
@@ -67,6 +69,7 @@ def run_occupancy(eng, prompts, occ):
             local.append(t)
         with lock:
             firsts.append(first)
+            lasts.append(local[-1] if local else None)
             events.extend(local)
 
     for r in reqs:
@@ -76,14 +79,20 @@ def run_occupancy(eng, prompts, occ):
     for th in threads:
         th.join()
     done = [f for f in firsts if f is not None]
-    if len(done) < occ or not events:
+    ends = [x for x in lasts if x is not None]
+    if len(done) < occ or len(ends) < occ:
         return None
-    t_adm = max(done)  # all admissions complete by the last first-token
-    t_end = max(events)
-    steady = [t for t in events if t > t_adm]
-    if t_end <= t_adm or len(steady) < occ * 2:
-        return None
-    return len(steady) / (t_end - t_adm)
+    # the steady window is [last first-token, FIRST finish]: admissions
+    # serialize through the chunked lane, so with a short n_predict early
+    # slots finish BEFORE the last admission and the post-admission tail
+    # has 1-2 active slots — the original [last-first, end] window
+    # measured that tail, not steady state (caught via ENGINE_TRACE
+    # active counts, 2026-08-20)
+    t_lo, t_hi = max(done), min(ends)
+    steady = [t for t in events if t_lo < t <= t_hi]
+    if t_hi <= t_lo or len(steady) < occ * 2:
+        return None  # no full-occupancy overlap: raise N_PREDICT
+    return len(steady) / (t_hi - t_lo)
 
 
 def main():

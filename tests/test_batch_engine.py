@@ -563,7 +563,9 @@ def test_engine_randomized_differential(model):
                             f"stats={eng.stats()})") from None
                     if t is None:
                         break
-                    out.append(t)
+                    # the engine enqueues per-tick LISTS (one wakeup per
+                    # tick); this raw-queue drain mirrors Request.tokens
+                    out.extend(t if isinstance(t, list) else [t])
                 outs.append(out)
         finally:
             eng.stop()

@@ -15,6 +15,15 @@ from llama_cpp_q_4_0_tpu.ops.layers import attention
 from llama_cpp_q_4_0_tpu.ops.pallas.attention import mha_decode
 
 
+@pytest.fixture(autouse=True)
+def _exact_einsum_reference(monkeypatch):
+    """Pin the einsum reference to the exact f32 chain: the fused kernel
+    computes f32 internally from the stored values, and the r5
+    storage-dtype MXU default (ATTN_MXU) would add bf16-input rounding to
+    the REFERENCE side of these 2e-5 comparisons."""
+    monkeypatch.setenv("ATTN_MXU", "0")
+
+
 def _case(b=2, t=1, s=512, h=8, d=128, n_past=100, seed=0, quant=False, g=None):
     g = g or h  # n_kv heads: g < h exercises the MQA/GQA grouped branch
     rng = np.random.default_rng(seed)
