@@ -265,9 +265,12 @@ def test_rwkv_spec_tick_on_chip():
         assert got == want, (want, got)
 
 
-def test_mha_decode_kernel_on_chip():
+def test_mha_decode_kernel_on_chip(monkeypatch):
     """Fused Pallas decode attention == einsum attention on the chip
-    (f32 and scaled-int8 KV)."""
+    (f32 and scaled-int8 KV).  The einsum REFERENCE side pins the exact
+    f32 chain (ATTN_MXU=0): the r5 storage-dtype MXU default would add
+    bf16-input rounding to the reference for the int8-KV cases."""
+    monkeypatch.setenv("ATTN_MXU", "0")
     from llama_cpp_q_4_0_tpu.ops.kvcache import QuantKV, quantize_kv
     from llama_cpp_q_4_0_tpu.ops.layers import attention
     from llama_cpp_q_4_0_tpu.ops.pallas.attention import mha_decode
@@ -292,9 +295,11 @@ def test_mha_decode_kernel_on_chip():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_mha_decode_grouped_on_chip():
+def test_mha_decode_grouped_on_chip(monkeypatch):
     """MQA/GQA + speculative-verify shapes in the fused kernel on chip:
-    grouped MXU contraction (rep > 1), t up to 16, f32 + int8 KV."""
+    grouped MXU contraction (rep > 1), t up to 16, f32 + int8 KV.
+    Reference side pinned exact (see test_mha_decode_kernel_on_chip)."""
+    monkeypatch.setenv("ATTN_MXU", "0")
     from llama_cpp_q_4_0_tpu.ops.kvcache import QuantKV, quantize_kv
     from llama_cpp_q_4_0_tpu.ops.layers import attention
     from llama_cpp_q_4_0_tpu.ops.pallas.attention import mha_decode
