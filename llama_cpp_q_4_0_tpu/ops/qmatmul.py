@@ -186,32 +186,30 @@ def packed_block_plan(b: int, k2p: int, n: int, gsize: int,
     """Mirror q_matmul's no-env packed block selection + scoped-vmem
     shrink: returns (block_k, block_n, vmem_bytes).  Preflight-only —
     the dispatch keeps its inline loops so env overrides behave exactly
-    as before.  n_k == 1 tiles are not pipelined (no double buffering):
-    the dispatch skips the guard there and b<=2048 single-K-tile shapes
-    are chip-validated (tpu-smoke 2026-08-20), so vmem is reported as 0
-    to mean 'guard not applicable'."""
+    as before.  n_k == 1 tiles are not pipelined (single-buffered): the
+    model HALVES there, exactly like the dispatch — the old guard SKIP
+    let a b=2048 n_k=1 lane-chunk qmm reach the chip at 18.62M scoped
+    vmem (> 16M, r5 lane bring-up 2026-08-20)."""
     import os
+
+    def vmem(bk, bn):
+        v = packed_vmem_bytes(b, bk, bn, gsize, scale_itemsize)
+        return v if k2p // bk > 1 else v // 2
 
     block_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else 128
     block_k = max(bk for bk in (2048, 1024, 512, 256)
                   if k2p % bk == 0 and bk % gsize == 0
                   and (bk // gsize) % 8 == 0)
     limit = 0.9 * 1024 * int(os.environ.get("QMM_SCOPED_VMEM_KIB", "16384"))
-    while (k2p // block_k > 1 and block_k > 256
-           and packed_vmem_bytes(b, block_k, block_n, gsize,
-                                 scale_itemsize) > limit):
+    while block_k > 256 and vmem(block_k, block_n) > limit:
         nxt = block_k // 2
         if k2p % nxt or nxt % gsize or (nxt // gsize) % 8:
             break
         block_k = nxt
     while (block_n > 128 and n % (block_n // 2) == 0
-           and packed_vmem_bytes(b, block_k, block_n, gsize,
-                                 scale_itemsize) > limit):
+           and vmem(block_k, block_n) > limit):
         block_n //= 2
-    if k2p // block_k == 1:
-        return block_k, block_n, 0
-    return block_k, block_n, packed_vmem_bytes(b, block_k, block_n, gsize,
-                                               scale_itemsize)
+    return block_k, block_n, vmem(block_k, block_n)
 
 
 def q_matmul(
@@ -313,14 +311,19 @@ def q_matmul(
             # (model 16.25 MB > 0.9 x limit = 15.1 MB) is rejected while
             # every measured-good config stays accepted (decode b<=16
             # bk=2048 -> 7.4 MB; prefill b=512 bk=1024 -> 13.9 MB, today's
-            # 60 ms number).  n_k == 1 tiles are not pipelined; skip.
+            # 60 ms number).  n_k == 1 tiles are not pipelined (single-
+            # buffered): halve the model there instead of SKIPPING the
+            # guard — the old skip let a b=2048 n_k=1 lane-chunk qmm
+            # reach the chip at 18.62M scoped vmem (> 16M, r5 lane
+            # bring-up 2026-08-20).
             def _vmem_model(bk, bn):
-                return packed_vmem_bytes(b, bk, bn, w.gsize,
-                                         w.gscale_t.dtype.itemsize)
+                v = packed_vmem_bytes(b, bk, bn, w.gsize,
+                                      w.gscale_t.dtype.itemsize)
+                return v if k2p // bk > 1 else v // 2
 
             vmem_limit = 1024 * int(os.environ.get(
                 "QMM_SCOPED_VMEM_KIB", "16384"))
-            while (not bk_env and k2p // block_k > 1
+            while (not bk_env
                    and _vmem_model(block_k, block_n) > 0.9 * vmem_limit
                    and block_k > 256):
                 nxt = block_k // 2

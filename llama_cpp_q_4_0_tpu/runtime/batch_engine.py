@@ -224,11 +224,32 @@ def _engine_fns(forward_fn):
         )
         return None, cache_k, cache_v
 
-    return decode, prefill, prefill_multi, prefix
+    @functools.partial(jax.jit,
+                       static_argnames=("cfg", "kv_window", "attention_fn"),
+                       donate_argnames=("row_k", "row_v"))
+    def lane(cfg, params, tokens, n_reals, row_k, row_v, kv_window,
+             n_past=0, attention_fn=None):
+        """Batched chunked-prefill lane: one [K, T_pad] chunk advances K
+        detached row caches in LOCKSTEP (scalar n_past — the cohort
+        shares a chunk count, so only the final pieces' lengths differ
+        and causal masking keeps each row's padding out of its own
+        attention).  Returns each row's last-real-token logits [K, V]
+        (device-side pick: transferring full [K, T, V] logits through
+        the tunnel costs ~65 MB per chunk)."""
+        logits, row_k, row_v = fwd(
+            cfg, params, tokens, jnp.int32(n_past), row_k, row_v,
+            last_only=False, kv_window=kv_window, attention_fn=attention_fn,
+        )
+        logits = jnp.take_along_axis(
+            logits, (n_reals - 1)[:, None, None], axis=1)[:, 0]
+        return logits, row_k, row_v
+
+    return decode, prefill, prefill_multi, prefix, lane
 
 
 (_engine_decode, _engine_prefill,
- _engine_prefill_multi, _prefix_prefill) = _engine_fns(transformer.forward)
+ _engine_prefill_multi, _prefix_prefill, _engine_lane) = \
+    _engine_fns(transformer.forward)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -241,6 +262,16 @@ def _scatter_rows(cache_k, cache_v, row_k, row_v, slot):
     (engine-long-q8-fused, 2026-08-20)."""
     put = lambda c, r: jax.lax.dynamic_update_slice_in_dim(
         c, r.astype(c.dtype), slot, 0)
+    return (jax.tree.map(put, cache_k, row_k),
+            jax.tree.map(put, cache_v, row_v))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_rows_multi(cache_k, cache_v, row_k, row_v, slots):
+    """Scatter [K, S] lane row caches into K slots IN PLACE (see
+    _scatter_rows; slots are distinct by construction)."""
+    put = lambda c, r: c.at[slots].set(r.astype(c.dtype), mode="drop",
+                                       unique_indices=True)
     return (jax.tree.map(put, cache_k, row_k),
             jax.tree.map(put, cache_v, row_v))
 
@@ -443,6 +474,15 @@ class BatchEngine:
         self._mu = None  # device mirostat-v2 state, chained across ticks
         self._prefix = None  # (tokens, row_k, row_v) from register_prefix
         self.prefill_chunk = 512  # chunked-prefill granularity (tokens)
+        # chunked-lane COHORT width: up to this many long prompts advance
+        # together in one [K, chunk] forward (K * chunk <= MAX_PALLAS_ROWS
+        # — preflight-checkable).  Serialized width-1 admissions made the
+        # 16x2048 flagship admission span ~64 interleaved ticks, long
+        # enough that early slots finished before the last admission
+        # (engine-steady trace, 2026-08-20).  Custom (TP) forwards keep
+        # width 1 — their prefill path owns slot routing internally.
+        self.lane_width = (1 if self._custom
+                           else int(os.environ.get("LANE_WIDTH", "4")))
         self._prefill_state: dict | None = None
         self._inflight: list[dict] = []
         self._sched_n_past = [0] * n_slots
@@ -475,6 +515,12 @@ class BatchEngine:
         return _engine_prefill(self.cfg, params, tokens, slot, n_real,
                                cache_k, cache_v, kv_window=kv_window,
                                n_past=n_past, attention_fn=attention_fn)
+
+    def _jit_lane(self, params, tokens, n_reals, row_k, row_v, *,
+                  kv_window, n_past=0, attention_fn=None):
+        return _engine_lane(self.cfg, params, tokens, n_reals, row_k,
+                            row_v, kv_window=kv_window, n_past=n_past,
+                            attention_fn=attention_fn)
 
     def _admit_attn_fn(self, pad: int):
         """attention_fn for n_past == 0 admissions on the DEFAULT forward
@@ -636,65 +682,110 @@ class BatchEngine:
                 short_ids = {id(r) for _, r in short}
                 rest = [(s, r) for s, r in batch if id(r) not in short_ids]
         deferred = []
+        lane: list = []  # chunked-lane cohort (same chunk count, FIFO)
+        lane_chunks = 0
         for slot, req in rest:
+            prompt = req.prompt_tokens[: self.n_ctx - 1] or [1]
+            if len(prompt) > self.prefill_chunk and self._prefix is None:
+                if self._prefill_state is None and (
+                        not lane
+                        or (-(-len(prompt) // self.prefill_chunk)
+                            == lane_chunks
+                            and len(lane) < self.lane_width)):
+                    lane.append((slot, req, prompt))
+                    lane_chunks = -(-len(prompt) // self.prefill_chunk)
+                    continue
+                slot.req = None  # lane busy / cohort mismatch: re-queue
+                deferred.append(req)
+                continue
             if not self._admit_one(slot, req):
                 deferred.append(req)
+        if lane:
+            self._start_prefill(lane)
         self._pending[0:0] = deferred  # FIFO order preserved
 
-    def _start_prefill(self, slot, req, prompt):
-        """Begin a CHUNKED prefill into a detached row cache so decode
-        ticks for other slots keep flowing (vLLM-style chunked prefill);
-        the row scatters into the slot atomically at completion."""
+    def _start_prefill(self, entries):
+        """Begin a CHUNKED prefill cohort — 1..lane_width long prompts
+        sharing a chunk count — into a detached [K, S] row cache so
+        decode ticks for other slots keep flowing (vLLM-style chunked
+        prefill); the rows scatter into their slots atomically at
+        completion.  entries: [(slot, req, prompt), ...].  Width-1
+        serialized admissions made the 16x2048 flagship admission span
+        ~64 interleaved ticks (engine-steady trace, 2026-08-20)."""
         from ..ops.kvcache import QuantKV
 
         cdt = (jnp.int8 if isinstance(self.cache_k[0], QuantKV)
                else self.cache_k[0].dtype)
-        row_k, row_v = init_cache(self.cfg, 1, self.n_ctx, cdt)
-        slot.req = req
-        slot.ready = False
-        self._prefill_state = {"slot": slot, "req": req, "prompt": prompt,
-                               "pos": 0, "row_k": row_k, "row_v": row_v,
-                               "logits": None}
+        row_k, row_v = init_cache(self.cfg, len(entries), self.n_ctx, cdt)
+        for slot, req, _ in entries:
+            slot.req = req
+            slot.ready = False
+        self._prefill_state = {"entries": list(entries), "pos": 0,
+                               "row_k": row_k, "row_v": row_v}
 
     def _continue_prefill(self):
-        """Advance the in-flight chunked prefill by one chunk."""
+        """Advance the in-flight chunked-prefill cohort by one LOCKSTEP
+        [K, pad] chunk (scalar n_past; same chunk count per cohort, so
+        only final-piece lengths differ and each row's causal mask keeps
+        its padding out of its own attention)."""
         st = self._prefill_state
-        slot, req, prompt = st["slot"], st["req"], st["prompt"]
-        if req.cancelled:
-            req.out.put(None)
-            slot.req = None
-            slot.ready = True
+        entries = st["entries"]
+        if all(req.cancelled for _, req, _ in entries):
+            for slot, req, _ in entries:
+                req.out.put(None)
+                slot.req = None
+                slot.ready = True
             self._prefill_state = None
             return
         pos = st["pos"]
-        piece = prompt[pos: pos + self.prefill_chunk]
-        pad = min(_bucket(len(piece)), self.n_ctx - pos)
-        toks = np.zeros((1, pad), np.int32)
-        toks[0, : len(piece)] = piece
-        logits, st["row_k"], st["row_v"] = self._jit_prefill(
-            self.params_prefill, jnp.asarray(toks), jnp.int32(0),
-            jnp.int32(len(piece)), st["row_k"], st["row_v"],
-            kv_window=min(_bucket(pos + pad), self.n_ctx),
-            n_past=jnp.int32(pos),
-            attention_fn=(self._admit_attn_fn(pad) if pos == 0 else None),
-        )
-        st["pos"] = pos + len(piece)
-        if st["pos"] >= len(prompt):
-            # hard-sync BEFORE unbinding the slot: a device OOM surfaces
+        k = len(entries)
+        pieces = [p[pos: pos + self.prefill_chunk] for _, _, p in entries]
+        pad = min(_bucket(max(len(pc) for pc in pieces)), self.n_ctx - pos)
+        toks = np.zeros((k, pad), np.int32)
+        n_reals = np.ones((k,), np.int32)
+        for i, pc in enumerate(pieces):
+            toks[i, : len(pc)] = pc
+            n_reals[i] = len(pc)
+        attn = self._admit_attn_fn(pad) if pos == 0 else None
+        if self._custom:
+            # custom (TP) forwards keep the chunk-count-proven single-row
+            # path (lane_width == 1): their prefill wrapper owns row
+            # gather/scatter and attention internally
+            logits, st["row_k"], st["row_v"] = self._jit_prefill(
+                self.params_prefill, jnp.asarray(toks), jnp.int32(0),
+                jnp.int32(int(n_reals[0])), st["row_k"], st["row_v"],
+                kv_window=min(_bucket(pos + pad), self.n_ctx),
+                n_past=jnp.int32(pos),
+            )
+        else:
+            logits, st["row_k"], st["row_v"] = self._jit_lane(
+                self.params_prefill, jnp.asarray(toks),
+                jnp.asarray(n_reals), st["row_k"], st["row_v"],
+                kv_window=min(_bucket(pos + pad), self.n_ctx),
+                n_past=jnp.int32(pos),
+                attention_fn=attn,
+            )
+        st["pos"] = pos + self.prefill_chunk
+        if st["pos"] >= max(len(p) for _, _, p in entries):
+            # hard-sync BEFORE unbinding the slots: a device OOM surfaces
             # at this transfer, and with slot.req already None the request
             # was bound nowhere — _run's finally could not close it and
             # the client blocked until the bench timeout (engine-long-q8-
             # fused, 2026-08-20)
-            row_logits = np.asarray(logits)[0, -1]
+            rows_logits = np.asarray(logits).reshape(k, -1)  # [K, V]
             self._flush_inflight()  # scatter + activation change tick state
-            self.cache_k, self.cache_v = _scatter_rows(
+            self.cache_k, self.cache_v = _scatter_rows_multi(
                 self.cache_k, self.cache_v, st["row_k"], st["row_v"],
-                jnp.int32(slot.idx))
+                jnp.asarray([s.idx for s, _, _ in entries], jnp.int32))
             self._prefill_state = None
-            slot.req = None  # _activate re-sets it
-            slot.ready = True
-            self._activate(slot, req, prompt, row_logits)
-            self._sched_n_past[slot.idx] = slot.n_past
+            for i, (slot, req, prompt) in enumerate(entries):
+                slot.req = None  # _activate re-sets it
+                slot.ready = True
+                if req.cancelled:
+                    req.out.put(None)
+                    continue
+                self._activate(slot, req, prompt, rows_logits[i])
+                self._sched_n_past[slot.idx] = slot.n_past
 
     def _admit_one(self, slot, req) -> bool:
         """Admit one request; returns False if it was DEFERRED because the
@@ -702,7 +793,7 @@ class BatchEngine:
         prompt = req.prompt_tokens[: self.n_ctx - 1] or [1]
         if len(prompt) > self.prefill_chunk and self._prefix is None:
             if self._prefill_state is None:
-                self._start_prefill(slot, req, prompt)
+                self._start_prefill([(slot, req, prompt)])
                 return True
             # chunked lane busy: DEFER instead of falling through to a
             # direct [1, ~n_ctx] prefill — at the 16x2048 q8 flagship the

@@ -107,8 +107,10 @@ def admission_row_counts(n_slots: int, n_ctx: int, prompt_len: int,
     plen = min(prompt_len, n_ctx - 1)
     rows = []
     if plen > PREFILL_CHUNK:
-        # chunked lane: [1, bucket(piece)] steps, one request at a time
-        rows.append(_bucket(min(PREFILL_CHUNK, plen)))
+        # chunked lane: [K, bucket(chunk)] lockstep cohort steps
+        # (K <= LANE_WIDTH, default 4)
+        lane_w = int(os.environ.get("LANE_WIDTH", "4"))
+        rows.append(min(lane_w, n_slots) * _bucket(min(PREFILL_CHUNK, plen)))
     else:
         mp = 1
         while mp < n_slots:

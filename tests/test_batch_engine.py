@@ -781,10 +781,12 @@ def test_context_split_param_views(model, monkeypatch):
 
 
 def test_long_prompt_admissions_serialize_through_chunked_lane(model):
-    """Multiple long prompts admitted together: one rides the chunked lane,
-    the rest DEFER (re-queued in order) until it frees — never the direct
-    [1, ~n_ctx] prefill whose XLA temps OOM'd the 16x2048 q8 flagship
-    (2026-08-20).  Greedy outputs must match single-session decoding."""
+    """Multiple long prompts admitted together ride the chunked lane in
+    same-chunk-count COHORTS (up to lane_width per [K, chunk] lockstep
+    forward); the rest DEFER (re-queued in order) until the lane frees —
+    never the direct [1, ~n_ctx] prefill whose XLA temps OOM'd the
+    16x2048 q8 flagship (2026-08-20), and never a flattened full-prompt
+    matrix.  Greedy outputs must match single-session decoding."""
     from llama_cpp_q_4_0_tpu.runtime import batch_engine as be
 
     cfg, params, _ = model
@@ -805,12 +807,12 @@ def test_long_prompt_admissions_serialize_through_chunked_lane(model):
 
     want = [single(p) for p in prompts]
 
-    lane_entries = []
+    lane_starts = []  # one list of prompt lengths per cohort start
     orig_start = be.BatchEngine._start_prefill
 
-    def spy_start(self, slot, req, prompt):
-        lane_entries.append(len(prompt))
-        return orig_start(self, slot, req, prompt)
+    def spy_start(self, entries):
+        lane_starts.append([len(p) for _, _, p in entries])
+        return orig_start(self, entries)
 
     eng = BatchEngine(cfg, params, n_slots=3, n_ctx=64)
     eng.prefill_chunk = 8  # every prompt above is "long"
@@ -823,8 +825,62 @@ def test_long_prompt_admissions_serialize_through_chunked_lane(model):
     finally:
         eng.stop()
     assert outs == want, (want, outs)
-    # every long prompt entered through the chunked lane, one at a time
-    assert sorted(lane_entries) == sorted(len(p) for p in prompts)
+    # every long prompt entered through the chunked lane, in cohorts
+    # bounded by lane_width and a shared chunk count
+    assert (sorted(x for c in lane_starts for x in c)
+            == sorted(len(p) for p in prompts)), lane_starts
+    for cohort in lane_starts:
+        assert len(cohort) <= eng.lane_width
+        assert len({-(-x // eng.prefill_chunk) for x in cohort}) == 1
+    # lens 30/34/38 at chunk=8: counts 4/5/5 — the 34/38 pair cohorts
+    assert len(lane_starts) == 2, lane_starts
+
+
+def test_long_prompt_cohort_rides_lane_together(model, monkeypatch):
+    """Equal-chunk-count long prompts admit as ONE lane cohort (lockstep
+    [K, chunk] forwards), token-for-token equal to single-session decode
+    — including final pieces of different lengths within the shared
+    chunk count (the per-row causal mask must keep each row's padding
+    out of its own attention)."""
+    from llama_cpp_q_4_0_tpu.runtime import batch_engine as be
+
+    cfg, params, _ = model
+    rng = np.random.default_rng(55)
+    # chunk=8, counts ceil(25/8)=4, ceil(28/8)=4, ceil(31/8)=4: one cohort
+    prompts = [rng.integers(3, 250, n).tolist() for n in (25, 28, 31)]
+
+    def single(prompt, n=5):
+        ctx = Context(cfg, params, n_ctx=64)
+        logits = ctx.eval(np.asarray([prompt], np.int32))
+        out = []
+        for _ in range(n):
+            t = int(np.argmax(logits[0, -1]))
+            if t == 2:
+                break
+            out.append(t)
+            logits = ctx.eval(np.asarray([[t]], np.int32))
+        return out
+
+    want = [single(p) for p in prompts]
+    lane_starts = []
+    orig_start = be.BatchEngine._start_prefill
+
+    def spy_start(self, entries):
+        lane_starts.append([len(p) for _, _, p in entries])
+        return orig_start(self, entries)
+
+    monkeypatch.setattr(be.BatchEngine, "_start_prefill", spy_start)
+    eng = be.BatchEngine(cfg, params, n_slots=3, n_ctx=64)
+    eng.prefill_chunk = 8
+    reqs = [eng.submit(be.Request(p, n_predict=5, sampling=GREEDY))
+            for p in prompts]
+    eng.start()
+    try:
+        outs = [list(r.tokens()) for r in reqs]
+    finally:
+        eng.stop()
+    assert outs == want, (want, outs)
+    assert lane_starts == [[25, 28, 31]], lane_starts  # one 3-wide cohort
 
 
 def test_short_burst_admits_batched(model, monkeypatch):
@@ -865,9 +921,9 @@ def test_short_burst_admits_batched(model, monkeypatch):
         batched_lens.extend(len(r.prompt_tokens) for _, r in batch)
         return orig_batched(self, batch)
 
-    def spy_start(self, slot, req, prompt):
-        lane_lens.append(len(prompt))
-        return orig_start(self, slot, req, prompt)
+    def spy_start(self, entries):
+        lane_lens.extend(len(p) for _, _, p in entries)
+        return orig_start(self, entries)
 
     monkeypatch.setattr(be.BatchEngine, "_admit_batched", spy_batched)
     monkeypatch.setattr(be.BatchEngine, "_start_prefill", spy_start)

@@ -35,10 +35,11 @@ def test_q8_flagship_passes():
 
 def test_long_prompts_route_through_chunked_lane():
     """PROMPT_LEN > prefill_chunk never emits a flattened burst matrix —
-    the b=32768 45-min-compile class is structurally unreachable."""
+    the b=32768 45-min-compile class is structurally unreachable; lane
+    cohorts flatten to at most LANE_WIDTH x chunk rows (the row cap)."""
     rows = preflight.admission_row_counts(16, 2048, 1900, chunk=8)
     assert all(r <= preflight.MAX_ROWS for r in rows)
-    assert max(rows) <= 512  # chunked-lane pieces, not whole prompts
+    assert max(rows) <= 4 * 512  # lane cohorts, not whole prompts
 
 
 def test_weight_model_matches_known_footprint():
