@@ -299,7 +299,7 @@ class BatchEngine:
                  n_slots: int = 4, n_ctx: int | None = None,
                  cache_dtype="auto", chunk: int = 1,
                  device_sampling=None, pipeline_depth: int = 2,
-                 spec_draft: int = 0, spec_max_active: int = 8,
+                 spec_draft: int = 0, spec_max_active: int | None = None,
                  per_request_sampling: bool = False,
                  forward_fn=None, tp_mesh=None, mesh=None,
                  hbm_limit_bytes: int | None = None):
@@ -318,12 +318,20 @@ class BatchEngine:
         chunked mode; exact for greedy.  Aggregate throughput multiplies
         by the per-slot acceptance rate on repetitive workloads.
 
-        Speculation pays only while weight streaming dominates — at high
-        occupancy the weights are already amortized across slots and the
-        k+1-wide verify just multiplies compute (measured crossover ~8
-        slots on v5e).  When n_active > spec_max_active the engine
-        auto-falls back to plain chunked ticks, resyncing the device-side
-        history when occupancy drops again.
+        Speculation pays while STREAMING dominates the tick.  At short
+        contexts that means weight streaming: high occupancy amortizes
+        the weights and the k+1-wide verify just multiplies compute
+        (measured crossover ~8 slots at 512 ctx on v5e) — so
+        spec_max_active defaults to 8 there.  At long contexts the
+        per-slot KV WINDOW dominates, and a verify pass amortizes KV
+        reads across k+1 tokens per slot too: at 16x2048 q8 w~1900
+        speculation WINS at full occupancy (570 vs 354 tok/s end-to-end,
+        0.99 acceptance, 2026-08-20; 606 vs 300 at 8 slots), so the
+        default lifts to n_slots when n_ctx >= 1024.  Pass
+        spec_max_active explicitly to pin either policy.  When
+        n_active > spec_max_active the engine auto-falls back to plain
+        chunked ticks, resyncing the device-side history when occupancy
+        drops again.
 
         tp_mesh routes EVERY engine forward (decode, prefill, chunked and
         speculative ticks) through the explicit shard_map tensor-parallel
@@ -377,6 +385,8 @@ class BatchEngine:
         self.n_ctx = n_ctx or cfg.n_ctx
         self.chunk = chunk
         self.spec_draft = spec_draft
+        if spec_max_active is None:  # context-aware default (see above)
+            spec_max_active = n_slots if self.n_ctx >= 1024 else 8
         self.spec_max_active = spec_max_active
         # per-row device sampling: each slot honors ITS request's
         # temp/top-k/top-p/tfs/typical/penalties inside device ticks

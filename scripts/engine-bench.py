@@ -35,7 +35,14 @@ N_PREDICT = int(os.environ.get("N_PREDICT", "64"))
 PROMPT_LEN = int(os.environ.get("PROMPT_LEN", "16"))
 CACHE = os.environ.get("CACHE", "bf16")
 SPEC_DRAFT = int(os.environ.get("SPEC_DRAFT", "0"))
+SPEC_MAX_ACTIVE = (int(os.environ["SPEC_MAX_ACTIVE"])
+                   if os.environ.get("SPEC_MAX_ACTIVE") else None)
 N_CTX = int(os.environ.get("N_CTX", "512"))
+# PROMPT_KIND=repeat: periodic prompts (per-slot period/phase) so
+# prompt-lookup speculation has real n-gram structure to draft from —
+# random-token prompts measure pure spec overhead (acceptance ~0) and
+# can only ever show speculation losing
+PROMPT_KIND = os.environ.get("PROMPT_KIND", "random")
 
 
 def main():
@@ -45,11 +52,19 @@ def main():
     eng = BatchEngine(
         cfg, params, n_slots=SLOTS, n_ctx=N_CTX, chunk=CHUNK,
         cache_dtype=cache_dtype, spec_draft=SPEC_DRAFT,
+        spec_max_active=SPEC_MAX_ACTIVE,
         device_sampling=DeviceSampling(temp=-1.0),
     )
     greedy = SamplingParams(temp=-1.0)
-    prompts = [rng.integers(5, cfg.n_vocab - 5, PROMPT_LEN).tolist()
-               for _ in range(SLOTS)]
+    if PROMPT_KIND == "repeat":
+        prompts = []
+        for i in range(SLOTS):
+            period = 6 + (i % 5)
+            pat = rng.integers(5, cfg.n_vocab - 5, period).tolist()
+            prompts.append((pat * (PROMPT_LEN // period + 1))[:PROMPT_LEN])
+    else:
+        prompts = [rng.integers(5, cfg.n_vocab - 5, PROMPT_LEN).tolist()
+                   for _ in range(SLOTS)]
 
     eng.start()
     try:
@@ -73,9 +88,15 @@ def main():
 
     flags = {k: os.environ.get(k) for k in
              ("FUSED_ATTN", "QMM_Q8X", "FLASH_PREFILL") if os.environ.get(k)}
+    extra = ""
+    if SPEC_DRAFT:
+        st = eng.stats()
+        extra = (f" accept={st['spec_acceptance']:.2f}"
+                 f" rounds={st['spec_rounds']}")
     print(f"RESULT engine slots={SLOTS} chunk={CHUNK} cache={CACHE} "
-          f"spec={SPEC_DRAFT} flags={flags}: {total} tok in {dt:.2f}s = "
-          f"{total / dt:.0f} tok/s", flush=True)
+          f"spec={SPEC_DRAFT} kind={PROMPT_KIND} flags={flags}: "
+          f"{total} tok in {dt:.2f}s = {total / dt:.0f} tok/s{extra}",
+          flush=True)
 
 
 if __name__ == "__main__":
