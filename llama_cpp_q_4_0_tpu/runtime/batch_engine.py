@@ -493,6 +493,41 @@ class BatchEngine:
         # width 1 — their prefill path owns slot routing internally.
         self.lane_width = (1 if self._custom
                            else int(os.environ.get("LANE_WIDTH", "4")))
+        # each lane row cache transiently costs one slot's KV on top of
+        # weights + main KV.  Empirical capacity rule (2026-08-20):
+        # int8-KV cohorts are chip-proven at width 4 on the 16x2048
+        # flagship (13.7 + 2.4 GiB lane rows of 15.75), but bf16 cohorts
+        # OOM'd at width 2 even with ~1.9 GiB of modeled slack (a
+        # bf16-specific transient the HBM model does not capture) while
+        # width 1 runs cleanly — so multi-row cohorts are int8-only,
+        # clamped to the measured-free HBM; wide-dtype caches keep the
+        # serialized width-1 lane (LANE_WIDTH env overrides either way).
+        if (self.lane_width > 1 and mesh is None and tp_mesh is None
+                and not os.environ.get("LANE_WIDTH")):
+            on_tpu = False
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:  # pragma: no cover
+                pass
+            if jnp.dtype(self.cache_dtype).itemsize > 1:
+                if on_tpu:  # HBM capacity rule; CPU tests keep cohorts
+                    self.lane_width = 1
+            else:
+                limit = hbm_limit_bytes
+                if limit is None:
+                    try:
+                        if jax.default_backend() == "tpu":
+                            limit = (jax.devices()[0].memory_stats()
+                                     or {}).get("bytes_limit")
+                    except Exception:  # pragma: no cover
+                        limit = None
+                if limit:
+                    w_b, kv_b = estimate_engine_hbm(
+                        params, cfg, n_slots, self.n_ctx, self.cache_dtype)
+                    row_b = max(1, kv_b // n_slots)
+                    free = limit - w_b - kv_b - (512 << 20)
+                    self.lane_width = max(1, min(self.lane_width,
+                                                 int(free // row_b)))
         self._prefill_state: dict | None = None
         self._inflight: list[dict] = []
         self._sched_n_past = [0] * n_slots
