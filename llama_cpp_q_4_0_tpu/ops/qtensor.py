@@ -294,6 +294,32 @@ _F16_EXACT_QTYPES = frozenset(
      GGMLType.Q8_0))
 
 
+def cast_scales_bf16(params):
+    """Map scale/bias planes to BFLOAT16 — same −17% decode bytes as the
+    fp16 planes, but the in-kernel decode is a native bf16→f32 convert
+    (~1 VPU op/scale) instead of _scales_f32's ~10-op integer f16
+    bit-decode, which is what sank the fp16 experiment (r4: ~5-10% WORSE
+    despite fewer bytes; the 3x VPU lesson).
+
+    NOT exact: ggml stores d as fp16 (11-bit significand); bf16 keeps 8,
+    so each group scale moves by <= 2^-9 relative (~0.2%) — an order
+    below q4_0's own per-element quantization error.  Env-gated
+    experiment (ab-decode 'kf-bf16s' variant); parity gates must not
+    apply it."""
+    def cast(t):
+        if not isinstance(t, QTensor) or t.gscale_t.dtype != jnp.float32:
+            return t
+        import dataclasses
+
+        return dataclasses.replace(
+            t, gscale_t=t.gscale_t.astype(jnp.bfloat16),
+            gbias_t=(None if t.gbias_t is None
+                     else t.gbias_t.astype(jnp.bfloat16)))
+
+    return jax.tree_util.tree_map(
+        cast, params, is_leaf=lambda t: isinstance(t, QTensor))
+
+
 def cast_scales_f16(params):
     """Map QTensor.scales_f16 over a parameter pytree for the formats
     where it is exact (see _F16_EXACT_QTYPES) — halves the scale/bias

@@ -33,7 +33,9 @@ import numpy as np
 
 import bench
 from llama_cpp_q_4_0_tpu.models import transformer
-from llama_cpp_q_4_0_tpu.ops.qtensor import cast_scales_f16, fold_zero_points
+from llama_cpp_q_4_0_tpu.ops.qtensor import (cast_scales_bf16,
+                                             cast_scales_f16,
+                                             fold_zero_points)
 
 REPS = int(os.environ.get("REPS", "5"))
 STEPS = int(os.environ.get("STEPS", "20"))
@@ -68,6 +70,12 @@ def main():
                 # streamed scale tiles — raw params, NO gbias planes
                 # (−17% decode bytes vs zerofold, same mask/shift unpack)
                 ("kfold", params, {"QMM_KFOLD": "1"}),
+                # r5 late: kfold + BF16 scale planes (−0.54 GB/token, and
+                # unlike f16 the decode is a native convert, not the
+                # integer bit-decode that sank the f16 experiment).
+                # ~0.2%-per-scale accuracy trade — promote only with the
+                # accuracy probe alongside.
+                ("kf-bf16s", cast_scales_bf16(params), {"QMM_KFOLD": "1"}),
                 ("zf-f16s", fold_zero_points(cast_scales_f16(params)), {}),
                 ("plain-f16s", cast_scales_f16(params), {})]
 

@@ -188,6 +188,33 @@ def test_kfold_matches_folded_params_path():
     assert np.abs(kfold - plain).max() / np.abs(plain).max() < 2e-2
 
 
+def test_bf16_scales_within_quantization_noise():
+    """cast_scales_bf16 moves each group scale by <= 2^-9 relative; the
+    matmul must stay within a small multiple of that (far below q4_0's
+    own per-element error), on both the plain and kfold kernels."""
+    from llama_cpp_q_4_0_tpu.ops.pallas.qmm import qmm_packed
+    from llama_cpp_q_4_0_tpu.ops.qtensor import cast_scales_bf16
+
+    w, qt = _mk(256, 1024, GGMLType.Q4_0, seed=13)
+    qb = jax.tree_util.tree_leaves(
+        cast_scales_bf16({"w": qt}),
+        is_leaf=lambda t: isinstance(t, QTensor))[0]
+    assert qb.gscale_t.dtype == jnp.bfloat16
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal((4, 1024)) * 0.5).astype(np.float32)
+    for kf in (False, True):
+        ref = np.asarray(qmm_packed(
+            jnp.asarray(x), qt.levels_t, qt.gscale_t, None, gsize=qt.gsize,
+            zero=qt.pack_zero, block_n=128, block_k=256, kfold=kf,
+            interpret=True))
+        got = np.asarray(qmm_packed(
+            jnp.asarray(x), qb.levels_t, qb.gscale_t, None, gsize=qb.gsize,
+            zero=qb.pack_zero, block_n=128, block_k=256, kfold=kf,
+            interpret=True))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 1e-2, (kf, rel)
+
+
 def test_kfold_default_boundary(monkeypatch):
     """kfold is the TPU decode default: auto mode routes b <= 128 (the
     weight-stream-bound regime — decode MXU cost is flat to ~128, r2
