@@ -238,12 +238,17 @@ def tp_forward(
                 k = rope(k, pos_b, lcfg.n_rot, neox=lcfg.rope_neox,
                          base=lcfg.rope_base)
             if per_row:
-                ck = jax.vmap(lambda c, vv, o: jax.lax.dynamic_update_slice(
-                    c, vv, (o, 0, 0)))(cache_k[l], k.astype(cache_k[l].dtype),
-                                       n_past_v)
-                cv = jax.vmap(lambda c, vv, o: jax.lax.dynamic_update_slice(
-                    c, vv, (o, 0, 0)))(cache_v[l], v.astype(cache_v[l].dtype),
-                                       n_past_v)
+                # scatter, not vmap(dynamic_update_slice): batched DUS
+                # with per-row offsets has no HLO form and lowers to a
+                # whole-cache select (59.4 vs 34.2 ms/step at occ=16
+                # w=2048 in the single-device forward, 2026-08-20)
+                rows_b = jnp.arange(b, dtype=jnp.int32)[:, None]
+                ck = cache_k[l].at[rows_b, pos_b].set(
+                    k.astype(cache_k[l].dtype), mode="promise_in_bounds",
+                    unique_indices=True)
+                cv = cache_v[l].at[rows_b, pos_b].set(
+                    v.astype(cache_v[l].dtype), mode="promise_in_bounds",
+                    unique_indices=True)
             else:
                 ck = jax.lax.dynamic_update_slice(
                     cache_k[l], k.astype(cache_k[l].dtype), (0, n_past, 0, 0))

@@ -836,6 +836,25 @@ def test_long_prompt_admissions_serialize_through_chunked_lane(model):
     assert len(lane_starts) == 2, lane_starts
 
 
+def test_lane_width_clamps_to_free_hbm(model):
+    """Each lane row cache transiently costs one slot's KV: with an
+    injected HBM limit leaving room for only ~2.5 rows above weights+KV,
+    the cohort width clamps to 2 (int8 cache; the bf16 width-1 rule is
+    TPU-scoped)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_q_4_0_tpu.runtime.batch_engine import (
+        BatchEngine, estimate_engine_hbm)
+
+    cfg, params, _ = model
+    w_b, kv_b = estimate_engine_hbm(params, cfg, 8, 64, jnp.int8)
+    row = kv_b // 8
+    lim = w_b + kv_b + (512 << 20) + 2 * row + row // 2
+    eng = BatchEngine(cfg, params, n_slots=8, n_ctx=64,
+                      cache_dtype=jnp.int8, hbm_limit_bytes=lim)
+    assert eng.lane_width == 2, eng.lane_width
+
+
 def test_long_prompt_cohort_rides_lane_together(model, monkeypatch):
     """Equal-chunk-count long prompts admit as ONE lane cohort (lockstep
     [K, chunk] forwards), token-for-token equal to single-session decode
