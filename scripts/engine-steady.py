@@ -46,6 +46,11 @@ N_PREDICT = int(os.environ.get("N_PREDICT", "448"))
 PROMPT_LEN = int(os.environ.get("PROMPT_LEN", str(N_CTX - N_PREDICT - 16)))
 CACHE = os.environ.get("CACHE", "q8")
 CHUNK = int(os.environ.get("CHUNK", "8"))
+SPEC_DRAFT = int(os.environ.get("SPEC_DRAFT", "0"))
+# repeat: periodic per-slot prompts so prompt-lookup speculation has
+# n-gram structure (random tokens can only measure spec overhead)
+PROMPT_KIND = os.environ.get(
+    "PROMPT_KIND", "repeat" if SPEC_DRAFT else "random")
 OCCUPANCIES = [int(x) for x in
                os.environ.get("OCCUPANCIES", "4,8,16").split(",")]
 
@@ -120,14 +125,25 @@ def main():
     flags = {k: os.environ.get(k) for k in
              ("FUSED_ATTN", "FUSED_MAX_T", "QMM_Q8X", "QMM_ZERO_FOLD")
              if os.environ.get(k)}
+    if SPEC_DRAFT:
+        flags["spec"] = str(SPEC_DRAFT)
     for occ in OCCUPANCIES:
         eng = BatchEngine(
             cfg, params, n_slots=occ, n_ctx=N_CTX, chunk=CHUNK,
-            cache_dtype=cache_dtype,
+            cache_dtype=cache_dtype, spec_draft=SPEC_DRAFT,
             device_sampling=DeviceSampling(temp=-1.0),
         )
-        prompts = [rng.integers(5, cfg.n_vocab - 5, PROMPT_LEN).tolist()
-                   for _ in range(occ)]
+        if PROMPT_KIND == "repeat":
+            prompts = []
+            for i in range(occ):
+                period = 6 + (i % 5)
+                pat = rng.integers(5, cfg.n_vocab - 5, period).tolist()
+                prompts.append((pat * (PROMPT_LEN // period + 1))
+                               [:PROMPT_LEN])
+        else:
+            prompts = [rng.integers(5, cfg.n_vocab - 5,
+                                    PROMPT_LEN).tolist()
+                       for _ in range(occ)]
         eng.start()
         try:
             # warm pass compiles every tick/prefill shape, then measure
