@@ -153,21 +153,21 @@ def use_kfold(b: int, w) -> bool:
     """r5 TPU DECODE DEFAULT: route packed no-bias tensors through the
     kfold kernel (in-kernel zero-fold, no gbias planes — see
     ops/pallas/qmm.py _qmm_packed_kfold_kernel) for decode-shaped calls.
-    QMM_KFOLD: unset = auto (b <= QMM_KFOLD_MAX_B, default 128 — decode
-    MXU cost is flat in batch to ~128 (r2 12a), so every b <= 128 call
-    is weight-stream-bound and the fold's VPU savings apply; covers
-    spec-verify batches (slots x (k+1) rows) where the r4 split views'
-    t <= 32 boundary did not.  ab-decode: kfold -5.6% at T=8; 16-slot
-    spec verify b=96: 576 vs 570 tok/s), '0' = off, '1' = every
-    eligible shape (prefill keeps the plain kernel by default: the
-    params-fold regressed compute-bound prefill +6.8% in r4 and kfold
-    shares its unsigned-product numerics)."""
+    QMM_KFOLD: unset = auto (b <= QMM_KFOLD_MAX_B, default 32 — the r4
+    split-view boundary: decode/verify bucketed t <= 32 fold, prefills
+    stay raw).  A 128 boundary was tried (decode MXU is flat to ~128)
+    and REVERTED: it reintroduced fold numerics into 33..128-token
+    prefills, where cross-program comparisons see the fold's ~2-3e-2
+    drift class (test_flash_prefill_on_chip regressed to 1.8e-2), and
+    bought nothing measurable — kfold vs plain at T=8 is noise (10.94
+    vs 10.96 ab median); the fold's win is T=1 (9.82 vs 10.10).
+    '0' = off, '1' = every eligible shape."""
     import os
 
     env = os.environ.get("QMM_KFOLD", "")
     if env == "0" or w.gbias_t is not None or not w.pack_zero:
         return False
-    return env == "1" or b <= int(os.environ.get("QMM_KFOLD_MAX_B", "128"))
+    return env == "1" or b <= int(os.environ.get("QMM_KFOLD_MAX_B", "32"))
 
 
 def packed_vmem_bytes(b: int, bk: int, bn: int, gsize: int,

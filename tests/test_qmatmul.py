@@ -216,19 +216,18 @@ def test_bf16_scales_within_quantization_noise():
 
 
 def test_kfold_default_boundary(monkeypatch):
-    """kfold is the TPU decode default: auto mode routes b <= 128 (the
-    weight-stream-bound regime — decode MXU cost is flat to ~128, r2
-    12a; covers spec-verify batches) through the in-kernel fold, leaves
-    prefill shapes on the plain kernel, and honors QMM_KFOLD=0/1
-    overrides.  Affine formats and zero-folded tensors are never
-    eligible."""
+    """kfold is the TPU decode default: auto mode routes b <= 32 (the
+    r4 split-view boundary; a 128 boundary was measured and reverted —
+    see use_kfold) through the in-kernel fold, leaves prefill shapes on
+    the plain kernel, and honors QMM_KFOLD=0/1 overrides.  Affine
+    formats and zero-folded tensors are never eligible."""
     from llama_cpp_q_4_0_tpu.ops.qmatmul import use_kfold
 
     _, q40 = _mk(256, 512, GGMLType.Q4_0)
     _, q41 = _mk(256, 512, GGMLType.Q4_1)
     monkeypatch.delenv("QMM_KFOLD", raising=False)
-    assert use_kfold(1, q40) and use_kfold(128, q40)
-    assert not use_kfold(129, q40) and not use_kfold(512, q40)
+    assert use_kfold(1, q40) and use_kfold(32, q40)
+    assert not use_kfold(33, q40) and not use_kfold(512, q40)
     assert not use_kfold(1, q41)            # affine: has gbias
     assert not use_kfold(1, q40.fold_zero())  # already folded: zero == 0
     monkeypatch.setenv("QMM_KFOLD", "0")
