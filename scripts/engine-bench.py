@@ -62,6 +62,12 @@ def main():
             period = 6 + (i % 5)
             pat = rng.integers(5, cfg.n_vocab - 5, period).tolist()
             prompts.append((pat * (PROMPT_LEN // period + 1))[:PROMPT_LEN])
+    elif PROMPT_KIND == "mixed":
+        # multi-tenant trace: lengths spread 32..PROMPT_LEN — exercises
+        # every admission lane (short batched, cohort, mismatch deferral)
+        lens = rng.integers(32, max(33, PROMPT_LEN), SLOTS)
+        prompts = [rng.integers(5, cfg.n_vocab - 5, int(n)).tolist()
+                   for n in lens]
     else:
         prompts = [rng.integers(5, cfg.n_vocab - 5, PROMPT_LEN).tolist()
                    for _ in range(SLOTS)]
